@@ -1,0 +1,65 @@
+"""Headline benchmark: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query is forced to full execution with a count-collapsing action
+(``df.write.format("noop")`` — materializes every row, no sink cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from aws_glue_redshift_datawarehouse_etl_pipeline_spark import queries as q
+from aws_glue_redshift_datawarehouse_etl_pipeline_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "star_revenue_by_nation",
+    "antijoin_composite_lineitem",
+    "merge_upsert_orders",
+    "topk_customers_per_nation",
+    "top_orders_by_value",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+    spark = get_spark(app_name="engine-bench", cpus=cpus, shuffle_partitions=cpus)
+    q.register_all()
+    names = [n for n in BENCH_QUERIES if n in q.QUERIES]
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # query, not session startup
+    q.QUERIES[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    timings: dict[str, float] = {}
+    for name in names:
+        start = time.perf_counter()
+        q.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 4)
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,47 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators import joins as J
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+
+def test_both_anti_spellings_agree(spark, orders):
+    existing = orders.filter(F.col("o_orderdate") < "1997-01-01")
+    a = J.left_anti_via_left_join(orders, existing, ["o_orderkey"])
+    b = J.incremental_new_rows(orders, existing, ["o_orderkey"])
+    assert sorted(a.columns) == sorted(orders.columns)
+    assert a.count() == b.count()
+    assert a.exceptAll(b.select(a.columns)).count() == 0
+
+
+def test_anti_join_idempotent(orders):
+    """The reference's core invariant: loading the same batch twice
+    inserts zero new rows."""
+    after_first = orders  # everything loaded
+    second_batch = J.incremental_new_rows(orders, after_first, ["o_orderkey"])
+    assert second_batch.count() == 0
+
+
+def test_merge_upsert_semantics(spark):
+    source = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "b2"), (3, "c")], "k int, v string"
+    )
+    stage = spark.createDataFrame([(2, "B"), (4, "D"), (4, "D2")], "k int, v string")
+    out = J.merge_upsert(source, stage, ["k"]).collect()
+    vals = sorted((r.k, r.v) for r in out)
+    # both source rows with k=2 replaced; stage duplicates kept as-is
+    assert vals == [(1, "a"), (2, "B"), (3, "c"), (4, "D"), (4, "D2")]
+
+
+def test_equi_join_diff_keys(spark, orders, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    j = J.equi_join(orders, cust, ["o_custkey"], ["c_custkey"], broadcast_right=True)
+    assert j.count() == orders.join(cust, orders.o_custkey == cust.c_custkey).count()
+    with pytest.raises(ValueError):
+        J.equi_join(orders, cust, ["a", "b"], ["c"])
