@@ -62,7 +62,19 @@ def query(name: str, oracle: str | None = None):
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # The events table stores TIMESTAMP(NANOS) which the vectorized
+        # parquet reader rejects; read nanos as long and rebuild a
+        # microsecond timestamp with integer arithmetic (a double
+        # division would lose precision above 2^53 ns). Queries must not
+        # emit raw ts: DuckDB keeps ns, Spark truncates to µs.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(path)
 
 
 # ---------------------------------------------------------------------------

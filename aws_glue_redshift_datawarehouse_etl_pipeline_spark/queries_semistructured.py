@@ -1,1 +1,109 @@
-"""Placeholder — populated as this operator family lands."""
+"""Oracle-checked queries for the semi-structured operator family
+(unbox / unnest / relationalize / drop_null_fields)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.semistructured import (
+    drop_null_fields,
+    relationalize,
+    unbox,
+    unnest,
+)
+from aws_glue_redshift_datawarehouse_etl_pipeline_spark.queries import dsum, query, t
+
+
+@query(
+    "unbox_events_props",
+    oracle="""
+    SELECT event_type,
+           CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type, k_bucket
+    """,
+)
+def unbox_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbox: parse the embedded-JSON props column with an explicit
+    schema (one vectorized from_json, no inference job), then aggregate
+    on an extracted field (/root/reference/awsglue/transforms/unbox.py:15-112)."""
+    ev = unbox(t(spark, sf_dir, "events"), "props", "json", "k INT")
+    return (
+        ev.select("event_type", (F.col("props.k") % 10).alias("k_bucket"), "value")
+        .groupBy("event_type", "k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+    )
+
+
+@query(
+    "unnest_nested_struct",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus AS "o.status",
+           o_totalprice AS "o.price",
+           o_orderpriority AS "o.meta.priority"
+    FROM orders WHERE o_orderkey % 7 = 0
+    """,
+)
+def unnest_nested_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unnest: build a two-level nested struct, flatten it back to
+    dotted top-level columns — exercises the recursive schema walk
+    (/root/reference/awsglue/transforms/unnest_frame.py:15-75)."""
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    nested = orders.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+            F.struct(F.col("o_orderpriority").alias("priority")).alias("meta"),
+        ).alias("o"),
+    )
+    return unnest(nested)
+
+
+@query(
+    "relationalize_name_tokens",
+    oracle="""
+    SELECT p_partkey,
+           CAST(u.idx - 1 AS INTEGER) AS "index",
+           u.val AS val
+    FROM (
+      SELECT p_partkey,
+             unnest(list_transform(string_split(p_name, ' '),
+                                   (e, i) -> {'val': e, 'idx': i})) AS u
+      FROM part WHERE p_partkey <= 500
+    )
+    """,
+)
+def relationalize_name_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relationalize: pivot an array column into a child table keyed by
+    the root's natural key, with element index — the (joinkey, index,
+    val) shape of /root/reference/awsglue/transforms/relationalize.py:16-105."""
+    parts = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 500)
+        .select("p_partkey", F.split("p_name", " ").alias("tokens"))
+    )
+    frames = relationalize(parts, "part", id_cols=["p_partkey"])
+    return frames["part_tokens"]
+
+
+@query(
+    "drop_null_fields_customer",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_nationkey = 3
+    """,
+)
+def drop_null_fields_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DropNullFields: NullType columns (here: a literal NULL added by
+    an upstream union) are detected in the schema walk and dropped
+    (/root/reference/awsglue/transforms/drop_nulls.py:17-42)."""
+    cust = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") == 3)
+        .select("c_custkey", "c_name", "c_acctbal", F.lit(None).alias("c_legacy"))
+    )
+    return drop_null_fields(cust)

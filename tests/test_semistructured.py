@@ -1,0 +1,68 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators import semistructured as ss
+
+
+def test_unnest_two_levels(spark):
+    df = spark.createDataFrame(
+        [(1, ((2, 3), "x"))], "a int, s struct<inner:struct<p:int,q:int>, tag:string>"
+    )
+    out = ss.unnest(df)
+    assert out.columns == ["a", "s.inner.p", "s.inner.q", "s.tag"]
+    assert out.first()[1] == 2
+
+
+def test_relationalize_synthetic_id_consistent(spark):
+    df = spark.createDataFrame(
+        [("a", [1, 2]), ("b", [3]), ("c", [])], "k string, xs array<int>"
+    )
+    frames = ss.relationalize(df, "root")
+    root, child = frames["root"], frames["root_xs"]
+    assert "xs" not in root.columns
+    # posexplode_outer keeps empty-array rows with null index
+    assert child.count() == 4
+    joined = root.join(child, "__rid").filter(F.col("index").isNotNull())
+    vals = sorted((r["k"], r["index"], r["val"]) for r in joined.collect())
+    assert vals == [("a", 0, 1), ("a", 1, 2), ("b", 0, 3)]
+
+
+def test_unbox_json_infers_schema(spark):
+    df = spark.createDataFrame([('{"a": 1, "b": "x"}',), ('{"a": 2}',)], "j string")
+    out = ss.unbox(df, "j", "json")
+    assert isinstance(out.schema["j"].dataType, T.StructType)
+    assert out.select("j.a").rdd.map(lambda r: r[0]).collect() == [1, 2]
+
+
+def test_unbox_csv(spark):
+    df = spark.createDataFrame([("1|x",), ("2|y",)], "line string")
+    out = ss.unbox(df, "line", "csv", schema="a INT, b STRING", separator="|")
+    assert out.select("line.b").rdd.map(lambda r: r[0]).collect() == ["x", "y"]
+
+
+def test_unbox_bad_format(spark):
+    df = spark.createDataFrame([("x",)], "c string")
+    with pytest.raises(ValueError):
+        ss.unbox(df, "c", "avro")
+
+
+def test_drop_null_fields_nested(spark):
+    df = spark.createDataFrame([(1, None)], "a int, b void").select(
+        "a", "b", F.struct(F.lit(None).alias("n"), F.lit(2).alias("k")).alias("s")
+    )
+    out = ss.drop_null_fields(df)
+    assert out.columns == ["a", "s"]
+    assert out.select("s.*").columns == ["k"]
+
+
+def test_unnest_ddb_json(spark):
+    df = spark.createDataFrame(
+        [(("5",), ("hello",))],
+        "n struct<N:string>, s struct<S:string>",
+    )
+    out = ss.unnest_ddb_json(df)
+    row = out.first()
+    assert row.n == 5.0 and row.s == "hello"
