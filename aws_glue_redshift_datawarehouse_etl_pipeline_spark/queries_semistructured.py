@@ -92,6 +92,46 @@ def relationalize_name_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "resolve_choice_mixed",
+    oracle="""
+    SELECT o_orderkey,
+           COALESCE(CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey END, -1) AS resolved,
+           CASE WHEN o_orderkey % 3 = 0 THEN CAST(o_orderkey AS VARCHAR)
+                ELSE o_orderpriority END AS raw
+    FROM orders WHERE o_orderkey <= 3000
+    """,
+)
+def resolve_choice_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ChoiceType round trip: a column that is int in some records and
+    string in others is encoded as a struct-of-variants and resolved
+    with cast:bigint (SURVEY.md §2.6; /root/reference/awsglue/
+    dynamicframe.py:394-434). Non-numeric records cast to NULL
+    (coalesced to -1 for the oracle compare)."""
+    from pyspark.sql import types as T
+
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.schema import (
+        ChoiceType,
+        encode_choice_column,
+        resolve_choice,
+    )
+
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 3000)
+    mixed = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_orderkey").cast("string"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("v"),
+    )
+    enc = encode_choice_column(mixed, "v", ChoiceType([T.LongType(), T.StringType()]))
+    resolved = resolve_choice(enc, [("v", "make_struct")])  # keep struct
+    return resolved.select(
+        "o_orderkey",
+        F.coalesce(F.col("v.bigint"), F.lit(-1)).alias("resolved"),
+        F.coalesce(F.col("v.string"), F.col("v.bigint").cast("string")).alias("raw"),
+    )
+
+
+@query(
     "drop_null_fields_customer",
     oracle="""
     SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_nationkey = 3

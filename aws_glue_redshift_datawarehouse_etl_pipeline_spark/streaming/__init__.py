@@ -1,0 +1,19 @@
+from aws_glue_redshift_datawarehouse_etl_pipeline_spark.streaming.microbatch import (
+    for_each_batch,
+    parse_window_size,
+    sample_streaming_frame,
+)
+from aws_glue_redshift_datawarehouse_etl_pipeline_spark.streaming.windows import (
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+__all__ = [
+    "for_each_batch",
+    "parse_window_size",
+    "sample_streaming_frame",
+    "session_window_agg",
+    "sliding_window_agg",
+    "tumbling_window_agg",
+]

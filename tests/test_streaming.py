@@ -1,0 +1,131 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_glue_redshift_datawarehouse_etl_pipeline_spark.streaming import (
+    for_each_batch,
+    parse_window_size,
+    sample_streaming_frame,
+    session_window_agg,
+    tumbling_window_agg,
+)
+
+
+@pytest.fixture()
+def events_stream(spark, sf_dir, tmp_path):
+    # stage a small slice of events as a file-stream source
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .limit(500)
+    )
+    path = str(tmp_path / "events_src")
+    src.write.mode("overwrite").parquet(path)
+    schema = src.schema
+    return spark.readStream.schema(schema).parquet(path), src
+
+
+def test_parse_window_size_grammar():
+    assert parse_window_size("5 seconds") == 5_000
+    assert parse_window_size("2 minutes") == 120_000
+    assert parse_window_size("1 hour") == 3_600_000
+    for bad in ("", "10", "10 days", "x seconds"):
+        with pytest.raises(ValueError):
+            parse_window_size(bad)
+
+
+def test_for_each_batch_processes_all(events_stream, tmp_path):
+    stream, src = events_stream
+    seen = []
+    q = for_each_batch(
+        stream,
+        lambda df, bid: seen.append(df.count()),
+        {"windowSize": "1 second", "checkpointLocation": str(tmp_path / "ckpt")},
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sum(seen) == src.count()
+
+
+def test_for_each_batch_retries_then_succeeds(events_stream, tmp_path):
+    stream, src = events_stream
+    calls = {"n": 0}
+
+    def flaky(df, bid):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("transient")
+
+    q = for_each_batch(
+        stream,
+        flaky,
+        {"windowSize": "1 second", "batchMaxRetries": 5,
+         "checkpointLocation": str(tmp_path / "ckpt2")},
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert calls["n"] >= 3  # two failures + success
+
+
+def test_for_each_batch_exhausts_retries(events_stream, tmp_path):
+    stream, _ = events_stream
+
+    def always_fail(df, bid):
+        raise RuntimeError("permanent")
+
+    q = for_each_batch(
+        stream,
+        always_fail,
+        {"windowSize": "1 second", "batchMaxRetries": 1,
+         "checkpointLocation": str(tmp_path / "ckpt3")},
+    )
+    with pytest.raises(Exception):
+        q.processAllAvailable()
+    q.stop()
+
+
+def test_bad_retry_bounds(events_stream):
+    stream, _ = events_stream
+    with pytest.raises(ValueError):
+        for_each_batch(stream, lambda df, b: None, {"batchMaxRetries": 101})
+
+
+def test_sample_streaming_frame(spark, events_stream):
+    stream, _ = events_stream
+    out = sample_streaming_frame(
+        spark, stream, {"windowSize": "1 second", "pollingTimeInMs": 2000, "recordPollingLimit": 37}
+    )
+    assert out.count() == 37
+    with pytest.raises(ValueError):
+        sample_streaming_frame(spark, stream, {"windowSize": "10 seconds", "pollingTimeInMs": 1})
+
+
+def test_streaming_tumbling_matches_batch(spark, events_stream, tmp_path):
+    stream, src = events_stream
+    agg_stream = tumbling_window_agg(
+        stream, "ts", "1 hour", ["event_type"],
+        [("count", "*", "n"), ("sum", "value", "v")],
+        watermark="10 minutes",
+    )
+    name = "tumbling_out"
+    q = (
+        agg_stream.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql(f"SELECT * FROM {name}")
+    expected = tumbling_window_agg(src, "ts", "1 hour", ["event_type"], [("count", "*", "n"), ("sum", "value", "v")])
+    assert got.count() == expected.count()
+    assert (
+        got.agg(F.sum("n")).first()[0] == expected.agg(F.sum("n")).first()[0] == src.count()
+    )
+
+
+def test_session_window_batch(spark, events_stream):
+    _, src = events_stream
+    out = session_window_agg(src, "ts", "30 minutes", ["user_id"])
+    assert out.count() > 0
+    assert out.agg(F.sum("n")).first()[0] == src.count()
