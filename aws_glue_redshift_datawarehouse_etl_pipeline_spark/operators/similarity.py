@@ -1,0 +1,150 @@
+"""Similarity search over embedding columns.
+
+Baseline: brute-force cosine top-k (exact-decimal dot products — one
+scan, TakeOrdered, no shuffle of the corpus). Scale path: IVF-style
+coarse quantization — assign vectors to the nearest of C centroids at
+index time (one narrow pass), probe only the nprobe nearest clusters at
+query time (prunes the scan to ~nprobe/C of the corpus). Centroid
+choice is deterministic (seeded sample) so results are reproducible.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.dedup import cosine_sim_exact
+
+
+def _lit_vec(vec: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k by cosine similarity against one query vector.
+    Plans as scan → project → TakeOrderedAndProject: per-partition
+    heaps, driver merge — no global sort, no shuffle."""
+    q = _lit_vec(query_vec)
+    return (
+        df.select(
+            F.col(id_col),
+            cosine_sim_exact(F.col(vec_col), q).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def cosine_topk_per_query(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Batch top-k: broadcast the (small) query set against the corpus,
+    rank per query with a window. The corpus never shuffles; the only
+    wide stage is the per-query top-k window on (query_id)."""
+    from pyspark.sql import Window
+
+    joined = corpus.crossJoin(F.broadcast(queries)).withColumn(
+        "cosine", cosine_sim_exact(F.col(vec_col), F.col(query_vec_col))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(query_id_col, id_col, "cosine", "rk")
+    )
+
+
+def build_ivf_index(
+    df: DataFrame,
+    num_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """One-pass IVF index: centroids are a deterministic sample (lowest
+    ids — reproducible without a k-means job; swap in k-means|| offline
+    for better balance), every vector is assigned to its nearest
+    centroid. Returns (assigned corpus, centroid list). The assignment
+    is a narrow map over a broadcast centroid array."""
+    cents = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in df.select(id_col, vec_col).orderBy(id_col).limit(num_centroids).collect()
+    ]
+    assigned = df.withColumn(
+        "__cluster",
+        _nearest_centroid(F.col(vec_col), cents),
+    )
+    return assigned, cents
+
+
+def _nearest_centroid(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
+    """Argmax over centroid similarities as a flat array expression —
+    linear plan size in #centroids (a chained when/otherwise doubles
+    the tree per step and stalls Catalyst past ~12 centroids). The
+    row-vector norm is constant across centroids, so ranking by
+    dot(v, c)/|c| gives the same argmax as full cosine; ties break to
+    the lowest centroid index (array_position = first match)."""
+    import math
+
+    sims = []
+    for _, cvec in cents:
+        norm = math.sqrt(sum(x * x for x in cvec))
+        inv = 1.0 / norm if norm else 0.0
+        dot = F.aggregate(
+            F.zip_with(vec, _lit_vec(cvec), lambda p, q: p.cast("double") * q),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sims.append(dot * F.lit(inv))
+    sim_arr = F.array(*sims)
+    ids = F.array(*[F.lit(cid) for cid, _ in cents])
+    return F.element_at(
+        ids, F.array_position(sim_arr, F.array_max(sim_arr)).cast("int")
+    )
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: rank centroids by similarity to the query,
+    scan only the nprobe nearest clusters. With cluster pruning pushed
+    into a partition filter (write the index partitioned by __cluster),
+    the scan reads ~nprobe/C of the data."""
+    import math
+
+    def cos(a: Sequence[float], b: Sequence[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    probe = sorted(cents, key=lambda c: (-cos(c[1], list(query_vec)), c[0]))[:nprobe]
+    probe_ids = [c[0] for c in probe]
+    return cosine_topk(
+        assigned.filter(F.col("__cluster").isin(probe_ids)),
+        query_vec,
+        k,
+        id_col,
+        vec_col,
+    )

@@ -1,0 +1,113 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, quality scoring, language identification, document
+fingerprinting. All pure Column expressions (JVM-side, whole-stage
+codegen) — no Python UDFs anywhere in the hot path, so throughput is
+scan-bound at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small public stopword lists (top function words per language). Used
+# for both quality's stopword-ratio and the language-ID heuristic.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "you", "that"],
+    "de": ["der", "die", "das", "und", "ist", "ich", "nicht", "mit", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "un", "une", "est", "que", "pour", "dans"],
+    "es": ["el", "los", "las", "y", "que", "en", "un", "es", "por", "con"],
+}
+
+# language priority for deterministic argmax tie-breaks
+LANG_PRIORITY = ["en", "de", "fr", "es"]
+
+_PUNCT_CLASS = "[.,;:!?]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of lowercased text, empty strings removed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token count: splits on whitespace AND
+    letter/digit/punct boundaries (a cheap, deterministic proxy for BPE
+    token counts used to budget training data)."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.split(c, r"(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|\s+|(?=[.,;:!?])")
+    return F.size(F.filter(pieces, lambda x: x != ""))
+
+
+def stopword_hits(col: Column | str, lang: str) -> Column:
+    """Non-distinct count of stopword occurrences for one language."""
+    words = STOPWORDS[lang]
+    return F.size(F.filter(tokens(col), lambda x: x.isin(*words)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append deterministic per-document quality signals:
+    n_chars_obs, n_tokens, punct_ratio, stopword_ratio, mean_token_len,
+    and a composite quality_score in [0,1]. The formula is fixed and
+    mirrored in the oracle SQL — see queries_text.text_quality_scores."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_chars = F.length(c).cast("double")
+    n_tokens = F.size(toks).cast("double")
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(_PUNCT_CLASS), F.lit(0))).cast("double")
+    sw = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS["en"]))).cast("double")
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, sw / n_tokens).otherwise(F.lit(0.0))
+    mean_tok = F.when(n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens).otherwise(
+        F.lit(0.0)
+    )
+    length_score = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    score = (
+        F.lit(0.4) * length_score
+        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0)))
+        + F.lit(0.3) * F.least(stop_ratio * 4, F.lit(1.0))
+    )
+    return (
+        df.withColumn("n_chars_obs", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn("mean_token_len", mean_tok)
+        .withColumn("quality_score", score)
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: stopword-hit argmax with fixed priority
+    tie-break (n-gram/function-word heuristic — deterministic, no
+    model). Unknown when no list scores a hit."""
+    hits = {lang: stopword_hits(text_col, lang) for lang in LANG_PRIORITY}
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    for lang in reversed(LANG_PRIORITY):
+        expr = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def normalized(col: Column | str) -> Column:
+    """Canonical text form for fingerprinting: lowercase, collapse
+    whitespace runs, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint_md5(col: Column | str) -> Column:
+    """Portable content fingerprint: md5 of the normalized text —
+    identical in any engine, the key for exact dedup."""
+    return F.md5(F.encode(normalized(col), "UTF-8"))
+
+
+def fingerprint_xxhash(col: Column | str) -> Column:
+    """Fast 64-bit fingerprint (xxhash64, JVM intrinsic) — the engine's
+    internal dedup key when cross-engine portability isn't needed."""
+    return F.xxhash64(normalized(col))

@@ -1,1 +1,314 @@
-"""Placeholder — populated as this operator family lands."""
+"""Oracle-checked queries for the training-data operator families:
+text analysis, deduplication, similarity search, multimodal columns
+(documents/embeddings tables). Non-SQL-expressible variants (xxhash64
+SimHash, LSH dedup, IVF) are registered without oracles — the driver
+records rows-only checks; their correctness tests live in
+tests/test_training_ops.py with planted duplicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators import dedup as D
+from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators import multimodal as M
+from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators import similarity as S
+from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators import text as X
+from aws_glue_redshift_datawarehouse_etl_pipeline_spark.queries import query, t
+
+# DuckDB spelling of the engine's tokenizer (split on whitespace,
+# drop empties, lowercase) — kept identical across every oracle below.
+_DUCK_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+_DUCK_SHINGLES = (
+    "list_distinct(list_transform(range(len(t) - 2), "
+    "i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))"
+)
+
+
+@query(
+    "token_count_documents",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_DUCK_TOKS}) AS INTEGER) AS n_tokens,
+           n_chars
+    FROM documents
+    """,
+)
+def token_count_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting — pure Column expressions, scan-bound."""
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", X.token_count("text").alias("n_tokens"), "n_chars"
+    )
+
+
+@query(
+    "text_quality_scores",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n_chars_obs,
+             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS DOUBLE) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS n_punct,
+             CAST(len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''),
+                  tk -> list_contains(['the','and','of','to','a','in','is','it','you','that'], tk))) AS DOUBLE) AS sw
+      FROM documents
+    )
+    SELECT doc_id, n_chars_obs, n_tokens,
+           CASE WHEN n_chars_obs > 0 THEN n_punct / n_chars_obs ELSE 0.0 END AS punct_ratio,
+           CASE WHEN n_tokens > 0 THEN sw / n_tokens ELSE 0.0 END AS stopword_ratio,
+           CASE WHEN n_tokens > 0 THEN (n_chars_obs - (n_tokens - 1)) / n_tokens ELSE 0.0 END AS mean_token_len,
+           0.4 * least(n_tokens / 100.0, 1.0)
+             + 0.3 * (1.0 - least((CASE WHEN n_chars_obs > 0 THEN n_punct / n_chars_obs ELSE 0.0 END) * 10, 1.0))
+             + 0.3 * least((CASE WHEN n_tokens > 0 THEN sw / n_tokens ELSE 0.0 END) * 4, 1.0) AS quality_score
+    FROM f
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals + composite score — the filter
+    stage of a data-curation pipeline."""
+    return X.quality_features(t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "n_chars_obs",
+        "n_tokens",
+        "punct_ratio",
+        "stopword_ratio",
+        "mean_token_len",
+        "quality_score",
+    )
+
+
+@query(
+    "language_id_documents",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk
+      FROM documents
+    ), hits AS (
+      SELECT doc_id, lang,
+             len(list_filter(tk, w -> list_contains(['the','and','of','to','a','in','is','it','you','that'], w))) AS h_en,
+             len(list_filter(tk, w -> list_contains(['der','die','das','und','ist','ich','nicht','mit','ein','zu'], w))) AS h_de,
+             len(list_filter(tk, w -> list_contains(['le','la','les','et','un','une','est','que','pour','dans'], w))) AS h_fr,
+             len(list_filter(tk, w -> list_contains(['el','los','las','y','que','en','un','es','por','con'], w))) AS h_es
+      FROM toks
+    )
+    SELECT lang, lang_pred, COUNT(*) AS n_docs FROM (
+      SELECT lang,
+             CASE WHEN h_en = greatest(h_en, h_de, h_fr, h_es) AND greatest(h_en, h_de, h_fr, h_es) > 0 THEN 'en'
+                  WHEN h_de = greatest(h_en, h_de, h_fr, h_es) AND greatest(h_en, h_de, h_fr, h_es) > 0 THEN 'de'
+                  WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) AND greatest(h_en, h_de, h_fr, h_es) > 0 THEN 'fr'
+                  WHEN h_es = greatest(h_en, h_de, h_fr, h_es) AND greatest(h_en, h_de, h_fr, h_es) > 0 THEN 'es'
+                  ELSE 'und' END AS lang_pred
+      FROM hits
+    ) GROUP BY lang, lang_pred
+    """,
+)
+def language_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-argmax language ID, summarized as a (true lang ×
+    predicted lang) confusion table."""
+    docs = X.language_id(t(spark, sf_dir, "documents"))
+    return docs.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@query(
+    "fingerprint_documents",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable content fingerprint (md5 over normalized text)."""
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", X.fingerprint_md5("text").alias("fp")
+    )
+
+
+@query(
+    "dedup_exact_documents",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    JOIN (
+      SELECT MIN(doc_id) AS keeper
+      FROM documents
+      GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    ) k ON d.doc_id = k.keeper
+    """,
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: lowest-id representative per content fingerprint."""
+    return D.exact_dedup(t(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
+@query(
+    "ngram_jaccard_near_dups",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS s FROM toks WHERE len(t) >= 3
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5
+    """,
+)
+def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by word-3-gram Jaccard ≥ 0.5 — engine side
+    uses the inverted-index self-join (never a cross join); the oracle
+    brute-forces the same metric."""
+    return D.ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5
+    )
+
+
+@query(
+    "minhash_signatures_documents",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS s FROM toks WHERE len(t) >= 3
+    ), ex AS (
+      SELECT doc_id, unnest(s) AS s FROM sh
+    ), g AS (
+      SELECT gs AS i FROM generate_series(0, 15) t(gs)
+    )
+    SELECT ex.doc_id AS doc, CAST(g.i AS INTEGER) AS i,
+           MIN(CAST(('0x' || substr(md5(CAST(g.i AS VARCHAR) || '|' || ex.s), 1, 15)) AS BIGINT)) AS minhash
+    FROM ex CROSS JOIN g
+    GROUP BY doc, g.i
+    """,
+)
+def minhash_signatures_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable MinHash signatures (16 md5-derived hash functions over
+    word-3-gram shingles), exploded to scalar rows so the oracle can
+    hash them. Production path uses xxhash64 (portable=False)."""
+    sigs = D.minhash_signatures(
+        t(spark, sf_dir, "documents"), "doc_id", "text", num_hashes=16, portable=True
+    )
+    return sigs.select("doc", F.posexplode("sig").alias("i", "minhash"))
+
+
+@query(
+    "embedding_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    norms AS (
+      SELECT CAST(list_aggregate(list_transform(qv,
+               x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(30,12))), 'sum') AS DOUBLE) AS nq
+      FROM q
+    ),
+    scored AS (
+      SELECT e.vec_id,
+             CAST(list_aggregate(list_transform(range(len(e.embedding)),
+               i -> CAST(CAST(e.embedding[i+1] AS DOUBLE) * CAST(q.qv[i+1] AS DOUBLE) AS DECIMAL(30,12))), 'sum') AS DOUBLE) AS dot,
+             CAST(list_aggregate(list_transform(e.embedding,
+               x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(30,12))), 'sum') AS DOUBLE) AS ne
+      FROM embeddings e, q
+    )
+    SELECT vec_id, dot / (sqrt(ne) * sqrt(nq)) AS cosine
+    FROM scored, norms
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force ANN baseline: top-10 by cosine against the vec_id=0
+    query vector. Exact-decimal dot products keep both engines
+    bit-identical; the plan is scan → TakeOrderedAndProject."""
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return S.cosine_topk(emb, qvec, k=10)
+
+
+@query(
+    "embedding_near_dup_pairs",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             CAST(list_aggregate(list_transform(embedding,
+               x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(30,12))), 'sum') AS DOUBLE) AS nn
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(list_aggregate(list_transform(range(len(a.embedding)),
+             i -> CAST(CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE) AS DECIMAL(30,12))), 'sum') AS DOUBLE)
+             / (sqrt(a.nn) * sqrt(b.nn)) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE CAST(list_aggregate(list_transform(range(len(a.embedding)),
+             i -> CAST(CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE) AS DECIMAL(30,12))), 'sum') AS DOUBLE)
+             / (sqrt(a.nn) * sqrt(b.nn)) >= 0.4
+    """,
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (θ ≥ 0.4 on this corpus)."""
+    return D.embedding_near_dup_pairs(
+        t(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+@query(
+    "multimodal_media_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS byte_len,
+           md5(text) AS checksum
+    FROM documents
+    """,
+)
+def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: attach a media struct (content bytes +
+    typed metadata) and read the metadata back — all JVM-side."""
+    withm = M.attach_media_from_text(t(spark, sf_dir, "documents"))
+    return withm.select(
+        "doc_id",
+        F.col("media.meta.byte_len").alias("byte_len"),
+        F.col("media.meta.checksum").alias("checksum"),
+    )
+
+
+# --- engine-only (rows-only driver check; pytest-verified) --------------
+
+
+@query("minhash_lsh_dedup_documents")
+def minhash_lsh_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH near-dup removal (xxhash64 fast path, Jaccard
+    verification ≥ 0.8). Not SQL-expressible (xxhash64); verified in
+    tests/test_training_ops.py with planted duplicates."""
+    return D.minhash_lsh_dedup(
+        t(spark, sf_dir, "documents"), "doc_id", "text", verify_threshold=0.8
+    ).select("doc_id", "lang", "source")
+
+
+@query("simhash_near_dup_candidates")
+def simhash_near_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash band-collision candidate pairs (xxhash64-based)."""
+    return D.simhash_near_dup_pairs(t(spark, sf_dir, "documents"), "doc_id")
+
+
+@query("ivf_ann_topk")
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: probe the 4 nearest of 16 clusters."""
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    assigned, cents = S.build_ivf_index(emb, num_centroids=16)
+    return S.ivf_topk(assigned, cents, qvec, k=10, nprobe=4)
+
+
+@query("multimodal_decode_stub")
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-decode plumbing over mapInPandas (deterministic stub
+    kernel — container has no codecs; see operators/multimodal.py)."""
+    docs = M.attach_media_from_text(
+        t(spark, sf_dir, "documents").limit(200)
+    )
+    return M.decode_image_batch(docs)

@@ -1,0 +1,228 @@
+"""Correctness tests for the training-data operator families (text,
+dedup, similarity, multimodal) with planted duplicates and known
+vectors — covers the non-SQL-expressible paths (xxhash64 MinHash-LSH,
+SimHash, IVF) that the driver only rows-checks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators import dedup as D
+from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators import multimodal as M
+from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators import similarity as S
+from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators import text as X
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs far into the "
+    "green forest while the sun is setting slowly behind the hills"
+)
+NEAR = BASE.replace("green forest", "dark forest")  # one shingle region changed
+OTHER = (
+    "completely different content about databases indexes partitions "
+    "shuffles joins aggregations windows and catalyst optimizer internals"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact dup of 1
+        (3, "  " + BASE.upper() + "  "),  # dup of 1 after normalization
+        (4, NEAR),  # near-dup of 1
+        (5, OTHER),
+        (6, "short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    kept = sorted(r.doc_id for r in D.exact_dedup(docs, "doc_id").collect())
+    assert kept == [1, 4, 5, 6]
+
+
+def test_exact_dedup_idempotent(docs):
+    once = D.exact_dedup(docs, "doc_id")
+    twice = D.exact_dedup(once, "doc_id")
+    assert once.count() == twice.count()
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", threshold=0.5).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    # exact dups have jaccard 1.0; the near-dup pair crosses 0.5
+    assert (1, 2) in got and (1, 3) in got and (2, 3) in got
+    assert (1, 4) in got
+    assert not any(5 in p or 6 in p for p in got)
+    j = {(r.doc_a, r.doc_b): r.jaccard for r in pairs}
+    assert j[(1, 2)] == 1.0
+    assert 0.5 <= j[(1, 4)] < 1.0
+
+
+def test_stop_shingle_cap_bounds_pairs(spark):
+    # a shingle shared by every doc generates no pairs once capped
+    rows = [(i, f"common shingle here unique{i} tail{i} words{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = D.ngram_jaccard_pairs(
+        df, "doc_id", threshold=0.01, max_shingle_freq=3
+    ).collect()
+    assert pairs == []
+
+
+def test_minhash_lsh_dedup_removes_planted_dups(docs):
+    kept = D.minhash_lsh_dedup(docs, "doc_id", verify_threshold=0.8)
+    ids = sorted(r.doc_id for r in kept.collect())
+    # 2 and 3 are jaccard-1.0 dups of 1 → removed; 4 is below 0.8 verify
+    assert 1 in ids and 2 not in ids and 3 not in ids
+    assert 5 in ids and 6 in ids
+
+
+def test_minhash_signature_shape(docs):
+    sigs = D.minhash_signatures(docs, "doc_id", num_hashes=16, portable=False)
+    row = sigs.filter(F.col("doc") == 1).first()
+    assert len(row.sig) == 16
+    # identical text → identical signature
+    row2 = sigs.filter(F.col("doc") == 2).first()
+    assert list(row.sig) == list(row2.sig)
+
+
+def test_simhash_dups_collide(docs):
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in D.simhash_near_dup_pairs(docs, "doc_id").collect()
+    }
+    # identical normalized text → identical simhash → collide in every band
+    assert (1, 2) in pairs and (1, 3) in pairs
+    # near-dup text must land Hamming-closer to its original than
+    # unrelated text does (band collision is only guaranteed < `bands`
+    # bits apart, which one changed word need not satisfy)
+    h = {r.doc: r.h for r in D.simhash_table(docs, "doc_id").collect()}
+
+    def ham(a: int, b: int) -> int:
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(h[1], h[4]) < ham(h[1], h[5])
+
+
+def test_simhash_table_deterministic(docs):
+    h1 = {r.doc: r.h for r in D.simhash_table(docs, "doc_id").collect()}
+    h2 = {r.doc: r.h for r in D.simhash_table(docs, "doc_id").collect()}
+    assert h1 == h2
+    assert h1[1] == h1[2]
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),  # close to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),  # orthogonal to 0
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [1.0, 0.05, 0.0, 0.0]),  # closest to 0
+        (5, [-1.0, 0.0, 0.0, 0.0]),  # opposite
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_orders_correctly(vectors):
+    res = S.cosine_topk(vectors, [1.0, 0.0, 0.0, 0.0], k=3).collect()
+    assert [r.vec_id for r in res] == [0, 4, 1]
+    assert res[0].cosine == pytest.approx(1.0)
+
+
+def test_cosine_topk_per_query(spark, vectors):
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (200, [0.0, 1.0, 0.0, 0.0])],
+        "query_id long, query_vec array<float>",
+    )
+    res = S.cosine_topk_per_query(vectors, queries, k=2).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.query_id, []).append((r.rk, r.vec_id))
+    assert sorted(by_q[100]) == [(1, 0), (2, 4)]
+    assert by_q[200][0] == (1, 2)
+
+
+def test_embedding_near_dup_pairs(vectors):
+    pairs = D.embedding_near_dup_pairs(vectors, threshold=0.95).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 4) in got
+    assert (0, 5) not in got and (0, 2) not in got
+
+
+def test_ivf_matches_brute_force_when_probing_all(vectors):
+    assigned, cents = S.build_ivf_index(vectors, num_centroids=3)
+    exact = [r.vec_id for r in S.cosine_topk(vectors, [1.0, 0.0, 0.0, 0.0], k=3).collect()]
+    approx = [
+        r.vec_id
+        for r in S.ivf_topk(assigned, cents, [1.0, 0.0, 0.0, 0.0], k=3, nprobe=3).collect()
+    ]
+    assert approx == exact
+
+
+def test_ivf_prunes_clusters(vectors):
+    assigned, cents = S.build_ivf_index(vectors, num_centroids=3)
+    probed = S.ivf_topk(assigned, cents, [1.0, 0.0, 0.0, 0.0], k=6, nprobe=1)
+    # probing 1 of 3 clusters must scan a strict subset of the corpus
+    assert probed.count() < vectors.count()
+
+
+def test_language_id_on_clear_samples(spark):
+    rows = [
+        (1, "the cat and the dog in a house"),
+        (2, "der hund und die katze ist nicht da"),
+        (3, "le chat et la maison est dans les arbres"),
+        (4, "el perro y el gato en la casa es por"),
+        (5, "xyzzy plugh qwerty"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pred = {r.doc_id: r.lang_pred for r in X.language_id(df).collect()}
+    assert pred == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
+
+
+def test_quality_features_ranges(docs):
+    feats = X.quality_features(docs).collect()
+    for r in feats:
+        assert 0.0 <= r.quality_score <= 1.0
+        assert 0.0 <= r.punct_ratio <= 1.0
+        assert 0.0 <= r.stopword_ratio <= 1.0
+
+
+def test_bpe_ish_counts_more_than_whitespace(spark):
+    df = spark.createDataFrame([(1, "abc123 def, ghi.")], "id long, text string")
+    r = df.select(
+        X.token_count("text").alias("ws"), X.bpe_ish_token_count("text").alias("bpe")
+    ).first()
+    assert r.ws == 3
+    assert r.bpe > r.ws
+
+
+def test_media_metadata_roundtrip(spark):
+    df = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    row = M.attach_media_from_text(df).select("media.*").first()
+    assert bytes(row.content) == b"hello world"
+    assert row.meta.byte_len == 11
+    assert row.meta.mime == "application/octet-stream"
+
+
+def test_decode_image_stub_shapes(spark):
+    df = M.attach_media_from_text(
+        spark.createDataFrame([(i, f"payload {i}") for i in range(5)], "doc_id long, text string")
+    )
+    out = M.decode_image_batch(df, size=(8, 8)).collect()
+    assert len(out) == 5
+    assert all(r.height == 8 and r.width == 8 and r.channels == 3 for r in out)
+    # deterministic: same input → same pixel_sum
+    out2 = M.decode_image_batch(df, size=(8, 8)).collect()
+    assert {(r.id, r.pixel_sum) for r in out} == {(r.id, r.pixel_sum) for r in out2}
+
+
+def test_video_frame_sampling(spark):
+    df = M.attach_media_from_text(
+        spark.createDataFrame([(1, "x" * 200)], "doc_id long, text string")
+    )
+    frames = M.sample_video_frames(df, every_n=2, max_frames=4).collect()
+    # 200 bytes → 13 chunks of 16 → every 2nd → 7 → capped at 4
+    assert len(frames) == 4
+    assert [f.frame_index for f in frames] == [0, 1, 2, 3]
