@@ -147,3 +147,62 @@ def drop_null_fields_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name", "c_acctbal", F.lit(None).alias("c_legacy"))
     )
     return drop_null_fields(cust)
+
+# --- scalar/array function surface (engine functions.py ↔ reference
+# awsglue/functions.py:16-31) ------------------------------------------
+
+
+@query(
+    "explode_tokens_with_index",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+      FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT doc_id, CAST(unnest(range(len(t))) AS INTEGER) AS idx, unnest(t) AS val
+    FROM toks
+    """,
+)
+def explode_tokens_with_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explodeWithIndex (posexplode — one narrow generator, no
+    shuffle) over document tokens."""
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark import functions as EF
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.text import tokens
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", tokens("text").alias("t"))
+    )
+    return EF.explode_with_index(docs, "t", "idx", "val").select("doc_id", "idx", "val")
+
+
+@query(
+    "replace_second_token",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           array_to_string(
+             CASE WHEN len(t) > 1 THEN t[1:1] || ['__MASK__'] || t[3:] ELSE t END,
+             ' ') AS masked
+    FROM toks
+    """,
+)
+def replace_second_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """replaceArrayElement (slice/concat rewrite, no UDF): mask the
+    token at index 1 of every document."""
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark import functions as EF
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.text import tokens
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", tokens("text").alias("t"))
+    return docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ", EF.replace_array_element("t", F.lit("__MASK__"), 1)
+        ).alias("masked"),
+    )
