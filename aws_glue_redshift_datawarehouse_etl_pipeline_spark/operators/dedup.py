@@ -133,22 +133,34 @@ def minhash_signatures(
     md5-derived hash (cross-engine verifiable); False uses xxhash64
     (≈10× faster, JVM intrinsic) for production runs.
 
-    Output: (id, sig array<long> of length num_hashes) — computed
-    narrow (no shuffle): transform over hash indices × array_min over
-    shingles.
+    Output: (id, sig array<long> of length num_hashes). Shape: explode
+    shingles once, then ``num_hashes`` simple min-aggregates grouped by
+    doc — every hash is a codegen-able scalar expression evaluated on
+    an already-materialized shingle row (a nested array_min-of-
+    transform spelling re-evaluates the shingle array per hash in
+    interpreted HOF mode — ~num_hashes× slower), and the one shuffle
+    is map-side combined down to a row per doc.
     """
-    sh = word_ngrams(text_col, n)
+    ex = df.select(
+        F.col(id_col).alias("doc"), F.explode(word_ngrams(text_col, n)).alias("s")
+    )
     if portable:
-        def one(i: Column) -> Column:
-            return F.array_min(F.transform(sh, lambda s: _portable_hash(i, s)))
+        aggs = [
+            F.min(_portable_hash(i, F.col("s"))).alias(f"__h{i}")
+            for i in range(num_hashes)
+        ]
     else:
-        def one(i: Column) -> Column:
-            return F.array_min(F.transform(sh, lambda s: F.xxhash64(i, s)))
-
-    sig = F.transform(F.sequence(F.lit(0), F.lit(num_hashes - 1)), one)
-    return df.select(
-        F.col(id_col).alias("doc"), sig.alias("sig")
-    ).filter(F.size(sh) > 0)
+        aggs = [
+            F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"__h{i}")
+            for i in range(num_hashes)
+        ]
+    return (
+        ex.groupBy("doc")
+        .agg(*aggs)
+        .select(
+            "doc", F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("sig")
+        )
+    )
 
 
 def minhash_lsh_pairs(
@@ -210,10 +222,29 @@ def minhash_lsh_dedup(
     doc, the standard large-scale policy)."""
     pairs = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands, n)
     if verify_threshold is not None:
-        true_j = ngram_jaccard_pairs(df, id_col, text_col, n, verify_threshold)
-        pairs = pairs.join(
-            true_j.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "inner"
+        # Verify ONLY the LSH candidates: join each pair back to its two
+        # shingle sets and intersect per pair. Cost is O(candidates),
+        # never the all-pairs inverted-index join — at scale the
+        # candidate set is tiny relative to the corpus.
+        sh = df.select(
+            F.col(id_col).alias("doc"), word_ngrams(text_col, n).alias("s")
         )
+        verified = (
+            pairs.join(
+                sh.select(F.col("doc").alias("doc_a"), F.col("s").alias("sa")), "doc_a"
+            )
+            .join(
+                sh.select(F.col("doc").alias("doc_b"), F.col("s").alias("sb")), "doc_b"
+            )
+            .withColumn("__common", F.size(F.array_intersect("sa", "sb")))
+            .withColumn(
+                "__j",
+                F.col("__common").cast("double")
+                / (F.size("sa") + F.size("sb") - F.col("__common")).cast("double"),
+            )
+            .filter(F.col("__j") >= verify_threshold)
+        )
+        pairs = verified.select("doc_a", "doc_b")
     losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
 
@@ -319,8 +350,21 @@ def embedding_near_dup_pairs(
     b = normed.select(
         F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nn").alias("nb")
     )
+
+    # Two-phase: a cheap all-double cosine prunes the quadratic pair set
+    # (with a 1e-6 safety margin — double vs decimal accumulation agree
+    # far tighter than that), then the exact-decimal metric is computed
+    # only for survivors, keeping the reported values and the threshold
+    # decision bit-identical to the oracle.
+    fast = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda p, q: p.cast("double") * q.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ) / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb")))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("__fast", fast)
+        .filter(F.col("__fast") >= threshold - 1e-6)
         .withColumn(
             "cosine",
             dot_exact(F.col("va"), F.col("vb"))

@@ -107,3 +107,34 @@ def merge_upsert(
         how="left_anti",
     )
     return keep.unionByName(stage)
+
+
+def salted_equi_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: Sequence[str],
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: spread a hot join key across
+    ``salt_buckets`` reducers by salting the skewed side with a
+    deterministic hash of its full row, and replicating the other
+    (smaller) side once per salt value. Result set is identical to the
+    plain equi-join; the shuffle key becomes (key, salt) so no single
+    reducer receives an entire hot key's rows. AQE's skew-join split
+    handles moderate skew automatically — salting is the explicit tool
+    for pathological keys (the 100 TB case where one key holds >1
+    partition's worth of rows).
+    """
+    if how.replace("_outer", "") in ("right", "full"):
+        # unmatched rows of the replicated side would appear once per
+        # salt value — flip the sides or pre-aggregate instead
+        raise ValueError(f"salted join does not support how={how!r}")
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt_buckets)
+    ).cast("int")
+    left = skewed.withColumn("__salt", salt)
+    right = other.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return left.join(right, on=[*on, "__salt"], how=how).drop("__salt")

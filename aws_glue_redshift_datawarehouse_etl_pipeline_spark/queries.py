@@ -392,6 +392,34 @@ def top_orders_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "salted_join_orders_customer",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def salted_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join (shuffle key becomes (key, salt), so
+    a pathological hot key spreads across reducers) — result must be
+    identical to the plain equi-join the oracle runs."""
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.joins import (
+        salted_equi_join,
+    )
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = salted_equi_join(o, c, ["c_custkey"], salt_buckets=8)
+    return j.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total_price")
+    )
+
+
 def register_all() -> None:
     """Import side-effect modules that add more queries to the registry."""
     # Populated as operator families land (semi-structured, text, dedup,
@@ -399,6 +427,7 @@ def register_all() -> None:
     from aws_glue_redshift_datawarehouse_etl_pipeline_spark import (  # noqa: F401
         queries_analytics,
         queries_semistructured,
+        queries_streaming,
         queries_text,
     )
 

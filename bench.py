@@ -19,12 +19,20 @@ from aws_glue_redshift_datawarehouse_etl_pipeline_spark import queries as q
 from aws_glue_redshift_datawarehouse_etl_pipeline_spark.session import get_spark
 
 BENCH_QUERIES = [
+    # relational / star-schema core
     "pricing_summary",
     "star_revenue_by_nation",
     "antijoin_composite_lineitem",
     "merge_upsert_orders",
     "topk_customers_per_nation",
     "top_orders_by_value",
+    # training-data operator families
+    "token_count_documents",
+    "dedup_exact_documents",
+    "minhash_lsh_dedup_documents",
+    "embedding_cosine_topk",
+    # streaming engine (availableNow over staged events)
+    "streaming_hourly_event_counts",
 ]
 
 

@@ -45,3 +45,34 @@ def test_equi_join_diff_keys(spark, orders, sf_dir):
     assert j.count() == orders.join(cust, orders.o_custkey == cust.c_custkey).count()
     with pytest.raises(ValueError):
         J.equi_join(orders, cust, ["a", "b"], ["c"])
+
+
+def test_salted_join_equals_plain_join(spark, orders, sf_dir):
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.joins import (
+        salted_equi_join,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    plain = orders.join(cust, "o_custkey").groupBy("c_mktsegment").count()
+    salted = (
+        salted_equi_join(orders, cust, ["o_custkey"], salt_buckets=5)
+        .groupBy("c_mktsegment")
+        .count()
+    )
+    assert {(r.c_mktsegment, r["count"]) for r in plain.collect()} == {
+        (r.c_mktsegment, r["count"]) for r in salted.collect()
+    }
+
+
+def test_salted_join_left_outer(spark):
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.joins import (
+        salted_equi_join,
+    )
+
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (9, "z")], "k long, v string")
+    right = spark.createDataFrame([(1, "x"), (2, "y")], "k long, w string")
+    out = salted_equi_join(left, right, ["k"], salt_buckets=3, how="left")
+    rows = {(r.k, r.v, r.w) for r in out.collect()}
+    assert rows == {(1, "a", "x"), (2, "b", "y"), (9, "z", None)}
