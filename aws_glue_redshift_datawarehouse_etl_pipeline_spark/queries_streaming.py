@@ -67,3 +67,56 @@ def streaming_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     sq.awaitTermination()
     return spark.table(sink)
+
+
+@query(
+    "streaming_dedup_fingerprints",
+    oracle="""
+    SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def streaming_dedup_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful cross-micro-batch stream dedup (applyInPandasWithState)
+    over the documents feed: exactly one row is emitted per distinct
+    content fingerprint no matter how occurrences are spread across
+    micro-batches, so the emitted fingerprint SET equals batch
+    DISTINCT — which is what the oracle checks (first-occurrence row
+    payload depends on arrival order; the set does not)."""
+    import uuid as _uuid
+
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.text import (
+        fingerprint_md5,
+    )
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.streaming.stateful import (
+        stream_dedup,
+    )
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint_md5("text").alias("fp")
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    stage = os.path.join(tempfile.gettempdir(), f"engine_docs_fp_stage_{tag}")
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        # several files → several micro-batches under maxFilesPerTrigger
+        docs.repartition(4).write.mode("overwrite").parquet(stage)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    sink = f"stream_dedup_{_uuid.uuid4().hex[:8]}"
+    sq = (
+        stream_dedup(stream, "fp")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.gettempdir(), f"ckpt_{sink}"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    return spark.table(sink).select("fp")

@@ -312,3 +312,63 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "documents").limit(200)
     )
     return M.decode_image_batch(docs)
+
+
+@query(
+    "curation_pipeline_documents",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, lang, source, text,
+             CAST(length(text) AS DOUBLE) AS n_chars_obs,
+             CAST(len({_DUCK_TOKS}) AS DOUBLE) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS n_punct,
+             CAST(len(list_filter({_DUCK_TOKS},
+                  tk -> list_contains(['the','and','of','to','a','in','is','it','you','that'], tk))) AS DOUBLE) AS sw,
+             len(list_filter({_DUCK_TOKS}, w -> list_contains(['the','and','of','to','a','in','is','it','you','that'], w))) AS h_en,
+             len(list_filter({_DUCK_TOKS}, w -> list_contains(['der','die','das','und','ist','ich','nicht','mit','ein','zu'], w))) AS h_de,
+             len(list_filter({_DUCK_TOKS}, w -> list_contains(['le','la','les','et','un','une','est','que','pour','dans'], w))) AS h_fr,
+             len(list_filter({_DUCK_TOKS}, w -> list_contains(['el','los','las','y','que','en','un','es','por','con'], w))) AS h_es
+      FROM documents
+    ), scored AS (
+      SELECT *,
+             0.4 * least(n_tokens / 100.0, 1.0)
+               + 0.3 * (1.0 - least((CASE WHEN n_chars_obs > 0 THEN n_punct / n_chars_obs ELSE 0.0 END) * 10, 1.0))
+               + 0.3 * least((CASE WHEN n_tokens > 0 THEN sw / n_tokens ELSE 0.0 END) * 4, 1.0) AS quality_score,
+             CASE WHEN h_en = greatest(h_en, h_de, h_fr, h_es) AND greatest(h_en, h_de, h_fr, h_es) > 0 THEN 'en'
+                  WHEN h_de = greatest(h_en, h_de, h_fr, h_es) AND greatest(h_en, h_de, h_fr, h_es) > 0 THEN 'de'
+                  WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) AND greatest(h_en, h_de, h_fr, h_es) > 0 THEN 'fr'
+                  WHEN h_es = greatest(h_en, h_de, h_fr, h_es) AND greatest(h_en, h_de, h_fr, h_es) > 0 THEN 'es'
+                  ELSE 'und' END AS lang_pred
+      FROM f
+    ), kept AS (
+      SELECT * FROM scored WHERE quality_score >= 0.5 AND lang_pred = lang
+    ), dedup AS (
+      SELECT k.* FROM kept k
+      JOIN (
+        SELECT MIN(doc_id) AS keeper
+        FROM kept
+        GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+      ) m ON k.doc_id = m.keeper
+    )
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           SUM(CAST(n_tokens AS BIGINT)) AS total_tokens
+    FROM dedup
+    GROUP BY lang, source
+    """,
+)
+def curation_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline: quality-score filter → predicted
+    language must match the labeled one → exact dedup → per-(lang,
+    source) doc and token budget. Single lineage, no collects; every
+    stage before the final agg is narrow, so the only shuffles are the
+    dedup fingerprint and the final group-by."""
+    docs = X.language_id(X.quality_features(t(spark, sf_dir, "documents")))
+    kept = docs.filter(
+        (F.col("quality_score") >= 0.5) & (F.col("lang_pred") == F.col("lang"))
+    )
+    dd = D.exact_dedup(kept, "doc_id")
+    return dd.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
+    )

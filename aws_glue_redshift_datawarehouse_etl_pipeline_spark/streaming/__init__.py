@@ -3,6 +3,10 @@ from aws_glue_redshift_datawarehouse_etl_pipeline_spark.streaming.microbatch imp
     parse_window_size,
     sample_streaming_frame,
 )
+from aws_glue_redshift_datawarehouse_etl_pipeline_spark.streaming.stateful import (
+    stream_dedup,
+    stream_running_counts,
+)
 from aws_glue_redshift_datawarehouse_etl_pipeline_spark.streaming.windows import (
     session_window_agg,
     sliding_window_agg,
@@ -13,6 +17,8 @@ __all__ = [
     "for_each_batch",
     "parse_window_size",
     "sample_streaming_frame",
+    "stream_dedup",
+    "stream_running_counts",
     "session_window_agg",
     "sliding_window_agg",
     "tumbling_window_agg",
