@@ -144,3 +144,55 @@ def sample_video_frames(
         F.col(id_col).alias("__id"), F.col(f"{media_col}.content").alias("__content")
     )
     return staged.mapInPandas(run, _FRAME_SCHEMA)
+
+
+_AUDIO_SCHEMA = "id long, n_samples int, sample_rate int, duration_ms double, rms double"
+
+
+def extract_audio_features(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media", sample_rate: int = 16000
+) -> DataFrame:
+    """Audio feature extraction plumbing: emit sample count, duration,
+    and RMS energy per payload. Real path uses soundfile when
+    available; the stub interprets the payload bytes as 8-bit PCM so
+    the Arrow batching, schema, and parallelism are exercised with
+    deterministic output."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            import soundfile  # noqa: F401
+
+            have_sf = True
+        except ImportError:
+            have_sf = False
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                content = row["__content"]
+                if content is None:
+                    continue
+                if have_sf:
+                    raise NotImplementedError(
+                        "real audio decode: wire soundfile.read(BytesIO(content)) here"
+                    )
+                samples = np.frombuffer(bytes(content), dtype=np.uint8).astype(np.float64)
+                samples = (samples - 128.0) / 128.0
+                n = len(samples)
+                rms = float(np.sqrt(np.mean(samples**2))) if n else 0.0
+                out.append(
+                    {
+                        "id": row["__id"],
+                        "n_samples": n,
+                        "sample_rate": sample_rate,
+                        "duration_ms": 1000.0 * n / sample_rate,
+                        "rms": rms,
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=["id", "n_samples", "sample_rate", "duration_ms", "rms"]
+            )
+
+    staged = df.select(
+        F.col(id_col).alias("__id"), F.col(f"{media_col}.content").alias("__content")
+    )
+    return staged.mapInPandas(run, _AUDIO_SCHEMA)

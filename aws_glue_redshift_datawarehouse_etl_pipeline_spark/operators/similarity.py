@@ -148,3 +148,47 @@ def ivf_topk(
         id_col,
         vec_col,
     )
+
+
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    num_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Persist the IVF index partitioned by cluster id: one directory
+    per centroid, so a probe of ``nprobe`` clusters reads only those
+    directories (Catalyst partition pruning — the scan never touches
+    the other ~(C-nprobe)/C of the corpus). Returns the centroid list
+    (store it beside the index in production)."""
+    assigned, cents = build_ivf_index(df, num_centroids, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("__cluster").parquet(path)
+    return cents
+
+
+def ivf_topk_from_index(
+    spark,
+    path: str,
+    cents: list[tuple[int, list[float]]],
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k over a persisted IVF index. The cluster filter
+    is a partition-column predicate, so pruning happens at file-listing
+    time (verify: .explain shows PartitionFilters on __cluster)."""
+    import math
+
+    def cos(a: Sequence[float], b: Sequence[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    probe = sorted(cents, key=lambda c: (-cos(c[1], list(query_vec)), c[0]))[:nprobe]
+    probe_ids = [c[0] for c in probe]
+    assigned = spark.read.parquet(path).filter(F.col("__cluster").isin(probe_ids))
+    return cosine_topk(assigned, query_vec, k, id_col, vec_col)

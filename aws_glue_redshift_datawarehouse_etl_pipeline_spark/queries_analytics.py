@@ -289,3 +289,57 @@ def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").alias("hour_start"), "event_type", "n", "total_value"
         )
     )
+
+
+@query(
+    "events_sliding_30m",
+    oracle="""
+    WITH w AS (
+      SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws,
+             event_type
+      FROM events
+    )
+    SELECT CAST(ws AS TIMESTAMP) AS window_start, event_type, COUNT(*) AS n
+    FROM w GROUP BY 1, 2
+    """,
+)
+def events_sliding_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 hour, slide 30 min): every event lands in
+    exactly two windows; the oracle unnests both epoch-aligned
+    candidate starts. Same code runs under readStream."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+@query(
+    "grouping_sets_orders",
+    oracle="""
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(c_mktsegment, 'ALL') AS segment,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY GROUPING SETS ((o_orderpriority), (c_mktsegment), ())
+    """,
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via Spark SQL (one pass, expanded map-side like
+    rollup/cube); grouped-out columns coalesced so the output is
+    null-free for order-insensitive comparison."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+               COALESCE(c_mktsegment, 'ALL') AS segment,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY GROUPING SETS ((o_orderpriority), (c_mktsegment), ())
+        """
+    )

@@ -226,3 +226,26 @@ def test_video_frame_sampling(spark):
     # 200 bytes → 13 chunks of 16 → every 2nd → 7 → capped at 4
     assert len(frames) == 4
     assert [f.frame_index for f in frames] == [0, 1, 2, 3]
+
+
+def test_ivf_partitioned_index_prunes_and_matches(spark, vectors, tmp_path):
+    idx = str(tmp_path / "ivf_idx")
+    cents = S.write_ivf_index(vectors, idx, num_centroids=3)
+    got = S.ivf_topk_from_index(spark, idx, cents, [1.0, 0.0, 0.0, 0.0], k=3, nprobe=3)
+    exact = [r.vec_id for r in S.cosine_topk(vectors, [1.0, 0.0, 0.0, 0.0], k=3).collect()]
+    assert [r.vec_id for r in got.collect()] == exact
+    # partition pruning: the cluster predicate must reach PartitionFilters
+    pruned = S.ivf_topk_from_index(spark, idx, cents, [1.0, 0.0, 0.0, 0.0], k=3, nprobe=1)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [__cluster" in plan or "__cluster#" in plan
+
+
+def test_audio_features_stub(spark):
+    df = M.attach_media_from_text(
+        spark.createDataFrame([(1, "abcd" * 100), (2, "")], "doc_id long, text string")
+    )
+    rows = {r.id: r for r in M.extract_audio_features(df).collect()}
+    assert rows[1].n_samples == 400
+    assert rows[1].duration_ms == pytest.approx(25.0)
+    assert 0.0 < rows[1].rms < 1.0
+    assert rows[2].n_samples == 0 and rows[2].rms == 0.0
