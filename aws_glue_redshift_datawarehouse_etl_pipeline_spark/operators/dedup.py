@@ -171,6 +171,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     n: int = 3,
     portable: bool = False,
+    cache: bool = True,
 ) -> DataFrame:
     """LSH candidate pairs: split the signature into ``bands`` bands of
     ``num_hashes/bands`` rows; documents sharing any band hash are
@@ -180,6 +181,12 @@ def minhash_lsh_pairs(
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, n, portable)
+    if cache:
+        # both sides of the self-join read the same banded frame; the
+        # signature aggregation doesn't canonicalize to a reused
+        # exchange (one side becomes a broadcast), so cache it instead
+        # of computing signatures twice
+        sigs = sigs.persist()
     banded = sigs.select(
         "doc",
         F.posexplode(

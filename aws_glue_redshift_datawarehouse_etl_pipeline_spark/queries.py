@@ -420,6 +420,41 @@ def salted_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "error_channel_summary",
+    oracle="""
+    SELECT 'quality_gate' AS stage,
+           'RuntimeError(''quantity out of range'')' AS error_message,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0 AND l_quantity > 45
+    """,
+)
+def error_channel_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (data, errors) side channel end-to-end: a row-predicate gate
+    raises on out-of-range rows, which stay in the main stream but are
+    copied to the error frame (reference exception semantics,
+    /root/reference/awsglue/dynamicframe.py:85-90); the oracle counts
+    exactly the rows the gate must flag."""
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.frame import EngineFrame
+
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 100 == 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+    def gate(row: dict) -> bool:
+        if row["l_quantity"] > 45:
+            raise RuntimeError("quantity out of range")
+        return True
+
+    out = EngineFrame(li, name="lineitem").filter(gate, transformation_ctx="quality_gate")
+    return out.errors_frame().groupBy("stage", "error_message").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 def register_all() -> None:
     """Import side-effect modules that add more queries to the registry."""
     # Populated as operator families land (semi-structured, text, dedup,

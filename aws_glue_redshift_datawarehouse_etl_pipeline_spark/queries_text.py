@@ -372,3 +372,56 @@ def curation_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
     )
+
+
+_DUCK_SELF_DOT = (
+    "CAST(list_aggregate(list_transform({v}, "
+    "x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(30,12))), 'sum') AS DOUBLE)"
+)
+_DUCK_PAIR_DOT = (
+    "CAST(list_aggregate(list_transform(range(len({a})), "
+    "i -> CAST(CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE) AS DECIMAL(30,12))), 'sum') AS DOUBLE)"
+)
+
+
+@query(
+    "batch_ann_topk_per_query",
+    oracle=f"""
+    WITH qs AS (
+      SELECT vec_id AS query_id, embedding AS qv,
+             {_DUCK_SELF_DOT.format(v='embedding')} AS nnq
+      FROM embeddings WHERE vec_id IN (0, 1, 2)
+    ), n AS (
+      SELECT vec_id, embedding,
+             {_DUCK_SELF_DOT.format(v='embedding')} AS nn
+      FROM embeddings
+    ), scored AS (
+      SELECT qs.query_id, n.vec_id,
+             {_DUCK_PAIR_DOT.format(a='n.embedding', b='qs.qv')}
+               / (sqrt(n.nn) * sqrt(qs.nnq)) AS cosine
+      FROM n CROSS JOIN qs
+    )
+    SELECT query_id, vec_id, cosine, CAST(rk AS INTEGER) AS rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+)
+def batch_ann_topk_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN: top-5 per query vector for a broadcast query set —
+    corpus never shuffles; the only wide stage is the per-query window."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin([0, 1, 2])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return S.cosine_topk_per_query(emb, queries, k=5)
+
+
+@query("bpe_token_count_documents")
+def bpe_token_count_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-word-ish token counting (lookaround regex splits — RE2-based
+    DuckDB can't express lookbehinds, so rows-only; pytest asserts the
+    counting rules)."""
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", X.bpe_ish_token_count("text").alias("n_bpe_tokens")
+    )
