@@ -380,3 +380,58 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def embedding_near_dup_pairs_bucketed(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_buckets: int = 16,
+) -> DataFrame:
+    """Scale path for embedding near-dup: assign each vector to its
+    nearest coarse centroid (narrow map over a broadcast centroid set)
+    and run the pair join WITHIN buckets only — the quadratic term
+    becomes sum of per-bucket squares, ~1/num_buckets of the full
+    cross join for balanced buckets. Near-identical vectors (the
+    near-dup regime) quantize to the same centroid, so recall at high
+    thresholds is near-1; cross-bucket borderline pairs are the
+    accepted approximation (probe-2 assignment recovers them at 2×
+    cost if needed)."""
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+    )
+
+    assigned, _ = build_ivf_index(df, num_buckets, id_col, vec_col)
+    vec = F.col(vec_col)
+    normed = assigned.select(
+        F.col(id_col).alias("id"),
+        vec.alias("v"),
+        dot_exact(vec, vec).alias("nn"),
+        F.col("__cluster").alias("b"),
+    )
+    a = normed.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("nn").alias("na"), F.col("b").alias("ba"),
+    )
+    bb = normed.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nn").alias("nb"), F.col("b").alias("bb"),
+    )
+    fast = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda p, q: p.cast("double") * q.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ) / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb")))
+    return (
+        a.join(bb, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("__fast", fast)
+        .filter(F.col("__fast") >= threshold - 1e-6)
+        .withColumn(
+            "cosine",
+            dot_exact(F.col("va"), F.col("vb"))
+            / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -343,3 +343,94 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderpriority), (c_mktsegment), ())
         """
     )
+
+
+@query(
+    "orders_monthly_summary",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(extract(year FROM o_orderdate) AS INTEGER) AS order_year,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def orders_monthly_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal rollup — date_trunc/extract function coverage."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.year("o_orderdate").alias("order_year"),
+    ).agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total_price"))
+
+
+@query(
+    "part_string_features",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_u,
+           substr(p_name, 1, 10) AS name_prefix,
+           replace(p_type, ' ', '_') AS type_slug,
+           CAST(length(p_name) AS INTEGER) AS name_len
+    FROM part
+    WHERE p_partkey % 20 = 0
+    """,
+)
+def part_string_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function coverage (upper/substring/replace/length) —
+    scan-bound Column expressions."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") % 20 == 0)
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.substring("p_name", 1, 10).alias("name_prefix"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_slug"),
+        F.length("p_name").alias("name_len"),
+    )
+
+
+@query(
+    "nation_segments_collected",
+    oracle="""
+    SELECT n_name,
+           array_to_string(list_sort(list_distinct(list(c_mktsegment))), ',') AS segments
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def nation_segments_collected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation (collect_set + sort, joined to a scalar so
+    the pandas-based comparator can sort/hash it)."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    return (
+        c.join(n, c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias(
+                "segments"
+            )
+        )
+    )
+
+
+@query(
+    "semijoin_customers_with_open_orders",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+    )
+    """,
+)
+def semijoin_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): one shuffle on the key, no row
+    multiplication however many orders match."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_semi"
+    ).select("c_custkey", "c_mktsegment")

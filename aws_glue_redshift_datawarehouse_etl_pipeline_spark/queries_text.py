@@ -425,3 +425,14 @@ def bpe_token_count_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t(spark, sf_dir, "documents").select(
         "doc_id", X.bpe_ish_token_count("text").alias("n_bpe_tokens")
     )
+
+
+@query("embedding_near_dup_bucketed")
+def embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding near-dup: IVF-bucketed equi-join pair
+    generation (no nested-loop join anywhere). Approximate across
+    bucket borders → rows-only; recall vs brute force is asserted in
+    tests/test_training_ops.py."""
+    return D.embedding_near_dup_pairs_bucketed(
+        t(spark, sf_dir, "embeddings"), threshold=0.4, num_buckets=8
+    )

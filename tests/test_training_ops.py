@@ -249,3 +249,32 @@ def test_audio_features_stub(spark):
     assert rows[1].duration_ms == pytest.approx(25.0)
     assert 0.0 < rows[1].rms < 1.0
     assert rows[2].n_samples == 0 and rows[2].rms == 0.0
+
+
+def test_bucketed_near_dup_is_equi_join_and_finds_close_pairs(spark, vectors):
+    out = D.embedding_near_dup_pairs_bucketed(
+        vectors, threshold=0.95, num_buckets=2
+    )
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    # the genuinely near-identical pair quantizes to the same bucket
+    assert (0, 4) in got
+    # plan must be an equi-join on the bucket, never a nested-loop pair join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_bucketed_near_dup_high_recall_on_corpus(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_near_dup_pairs(emb, threshold=0.9).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_near_dup_pairs_bucketed(
+            emb, threshold=0.9, num_buckets=8
+        ).collect()
+    }
+    assert approx <= exact  # never invents pairs
+    if exact:
+        assert len(approx) / len(exact) >= 0.8  # high recall at high threshold
