@@ -434,3 +434,29 @@ def semijoin_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> Dat
     return c.join(
         o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_semi"
     ).select("c_custkey", "c_mktsegment")
+
+
+@query("approx_distinct_customers")
+def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count sketch per segment (engine-only:
+    DuckDB's approx sketch differs; pytest bounds the error vs exact).
+    At scale this replaces a full distinct shuffle with fixed-size
+    sketch merges."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"))
+    )
+
+
+@query("approx_percentile_prices")
+def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch (percentile_approx) of order totals per
+    priority — fixed-memory alternative to a global sort; accuracy
+    bounded in pytest."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", [0.5, 0.95], 10000).alias("p50_p95")
+    )

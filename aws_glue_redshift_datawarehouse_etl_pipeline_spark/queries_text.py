@@ -436,3 +436,19 @@ def embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_near_dup_pairs_bucketed(
         t(spark, sf_dir, "embeddings"), threshold=0.4, num_buckets=8
     )
+
+
+@query("multimodal_video_frames")
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: every Nth 16-byte chunk as a
+    'frame' with checksum (stub kernel; mapInPandas contract is the
+    tested part)."""
+    docs = M.attach_media_from_text(t(spark, sf_dir, "documents").limit(100))
+    return M.sample_video_frames(docs, every_n=2, max_frames=4)
+
+
+@query("multimodal_audio_features")
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction plumbing (RMS/duration over stub PCM)."""
+    docs = M.attach_media_from_text(t(spark, sf_dir, "documents").limit(200))
+    return M.extract_audio_features(docs)
