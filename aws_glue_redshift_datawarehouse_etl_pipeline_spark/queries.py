@@ -455,6 +455,42 @@ def error_channel_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "map_derived_revenue",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_revenue
+    FROM lineitem WHERE l_orderkey % 500 = 0
+    """,
+)
+def map_derived_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-batched row ``map`` (DynamicFrame.map semantics,
+    /root/reference/awsglue/dynamicframe.py:101-118) computing a
+    derived column in Python — IEEE double arithmetic is bit-identical
+    to the oracle's SQL expression, proving the Python boundary loses
+    nothing. (Production code would spell this as a Column expression;
+    the query exists to verify the map path.)"""
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.frame import EngineFrame
+
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 500 == 0)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+    )
+
+    def derive(row: dict) -> dict:
+        return {
+            "l_orderkey": row["l_orderkey"],
+            "l_linenumber": row["l_linenumber"],
+            "net_revenue": row["l_extendedprice"] * (1 - row["l_discount"]),
+        }
+
+    out = EngineFrame(li, name="lineitem").map(
+        derive, "l_orderkey long, l_linenumber int, net_revenue double"
+    )
+    return out.df
+
+
 def register_all() -> None:
     """Import side-effect modules that add more queries to the registry."""
     # Populated as operator families land (semi-structured, text, dedup,

@@ -460,3 +460,59 @@ def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderpriority").agg(
         F.percentile_approx("o_totalprice", [0.5, 0.95], 10000).alias("p50_p95")
     )
+
+
+@query(
+    "cumulative_daily_revenue",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS day_rev
+      FROM orders GROUP BY 1
+    )
+    SELECT day,
+           CAST(day_rev AS DOUBLE) AS day_revenue,
+           CAST(SUM(day_rev) OVER (ORDER BY day
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS cum_revenue
+    FROM d
+    """,
+)
+def cumulative_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-frame running total over daily buckets — decimal
+    accumulation keeps the running sum order-independent and exact."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("day_rev"))
+    w = (
+        Window.orderBy("day")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "day",
+        F.col("day_rev").cast("double").alias("day_revenue"),
+        F.sum("day_rev").over(w).cast("double").alias("cum_revenue"),
+    )
+
+
+@query(
+    "supplier_cost_quartiles",
+    oracle="""
+    SELECT s_suppkey, s_nationkey,
+           CAST(NTILE(4) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey) AS INTEGER) AS quartile,
+           PERCENT_RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey) AS pr
+    FROM supplier
+    """,
+)
+def supplier_cost_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-family window functions (ntile, percent_rank) with a
+    deterministic total order (acctbal, suppkey tie-break)."""
+    s = t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+    )
