@@ -76,3 +76,13 @@ def test_salted_join_left_outer(spark):
     out = salted_equi_join(left, right, ["k"], salt_buckets=3, how="left")
     rows = {(r.k, r.v, r.w) for r in out.collect()}
     assert rows == {(1, "a", "x"), (2, "b", "y"), (9, "z", None)}
+
+
+def test_merge_upsert_idempotent(spark):
+    src = spark.createDataFrame([(1, "old"), (2, "keep")], "k long, v string")
+    stage = spark.createDataFrame([(1, "new"), (3, "ins")], "k long, v string")
+    once = J.merge_upsert(src, stage, ["k"])
+    twice = J.merge_upsert(once, stage, ["k"])
+    assert sorted((r.k, r.v) for r in once.collect()) == sorted(
+        (r.k, r.v) for r in twice.collect()
+    ) == [(1, "new"), (2, "keep"), (3, "ins")]
