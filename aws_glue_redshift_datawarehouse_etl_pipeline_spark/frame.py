@@ -191,6 +191,55 @@ class EngineFrame:
         return out
 
 
+    # -- partition-level callbacks --------------------------------------
+
+    def map_partitions(
+        self,
+        f: Callable[[Iterator[dict]], Iterator[dict]],
+        output_schema: T.StructType | str,
+    ) -> "EngineFrame":
+        """Partition-level Python function (mapPartitions,
+        /root/reference/awsglue/dynamicframe.py:96-124). The reference
+        round-trips through a Python RDD; here the partition stays on
+        the Arrow path — ``mapInPandas`` hands each partition to ``f``
+        as an iterator of dicts and rebuilds Arrow batches from the
+        yielded records. No error channel: exceptions in ``f`` fail the
+        stage, matching the reference (only map/filter wrap errors)."""
+        if isinstance(output_schema, str):
+            output_schema = T.StructType.fromDDL(output_schema)
+        out_cols = [c.name for c in output_schema.fields]
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            def rows() -> Iterator[dict]:
+                for pdf in batches:
+                    yield from pdf.to_dict("records")
+
+            out = list(f(rows()))
+            yield pd.DataFrame(out, columns=out_cols)
+
+        return EngineFrame(
+            self.df.mapInPandas(run, output_schema), self._errors, self.name
+        )
+
+    def map_partitions_with_index(
+        self,
+        f: Callable[[int, Iterator[dict]], Iterator[dict]],
+        output_schema: T.StructType | str,
+    ) -> "EngineFrame":
+        """mapPartitionsWithIndex (/root/reference/awsglue/
+        dynamicframe.py:96-99): ``f(partition_index, records)``. The
+        index comes from ``TaskContext.partitionId()`` so the data still
+        moves as Arrow batches instead of pickled rows."""
+        from pyspark import TaskContext
+
+        def indexed(rows: Iterator[dict]) -> Iterator[dict]:
+            ctx = TaskContext.get()
+            pid = ctx.partitionId() if ctx is not None else 0
+            yield from f(pid, rows)
+
+        return self.map_partitions(indexed, output_schema)
+
+
 class FrameCollection:
     """Named dict of frames — output shape of split_fields/split_rows/
     relationalize (/root/reference/awsglue/dynamicframe.py:522-593).

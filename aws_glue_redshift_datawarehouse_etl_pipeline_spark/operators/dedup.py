@@ -256,23 +256,33 @@ def minhash_lsh_dedup(
     return df.join(losers, id_col, "left_anti")
 
 
-def simhash_table(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document: explode tokens, hash each
-    (xxhash64, JVM intrinsic), and per bit take the sign of the sum of
-    ±1 contributions. One shuffle on the doc id with 64 vectorized
-    sums — far cheaper per row than nested array folds, and the
-    shuffle key is the same id downstream ops group on."""
+def simhash_table(
+    df: DataFrame, id_col: str, text_col: str = "text", portable: bool = False
+) -> DataFrame:
+    """SimHash per document: explode tokens, hash each, and per bit
+    take the sign of the sum of ±1 contributions. One shuffle on the
+    doc id with per-bit vectorized sums — far cheaper per row than
+    nested array folds, and the shuffle key is the same id downstream
+    ops group on.
+
+    Default: 64-bit xxhash64 (JVM intrinsic, the production path).
+    ``portable=True``: 60-bit md5-derived hash reproducible in any
+    engine (the oracle-checkable path, same trick as MinHash's)."""
+    nbits = 60 if portable else 64
     ex = df.select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("tok"))
-    ex = ex.withColumn("h", F.xxhash64("tok"))
+    if portable:
+        ex = ex.withColumn("h", _portable_hash(0, F.col("tok")))
+    else:
+        ex = ex.withColumn("h", F.xxhash64("tok"))
     aggs = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(nbits)
     ]
     sums = ex.groupBy("doc").agg(*aggs)
     acc: Column = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(nbits):
         bitval = (1 << i) if i < 63 else -(1 << 63)
         acc = acc.bitwiseOR(
             F.when(F.col(f"b{i}") > 0, F.lit(bitval).cast("long")).otherwise(

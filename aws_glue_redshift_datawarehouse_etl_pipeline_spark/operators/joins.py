@@ -12,8 +12,9 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def equi_join(
@@ -138,3 +139,138 @@ def salted_equi_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     )
     return left.join(right, on=[*on, "__salt"], how=how).drop("__salt")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: Sequence[str],
+    tiebreak: str | None = None,
+    tolerance: int | None = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, attach the single nearest right
+    row with ``right_ts <= left_ts`` (backward; ``forward`` flips the
+    inequality) within the same key group.
+
+    Not in the reference's surface (SURVEY §2.5 notes its absence) —
+    this is the time-series extension a warehouse of `events` needs.
+
+    Spark-first plan: NO join operator at all. Both sides are unioned
+    with a side tag, and one window pass over (keys) ordered by
+    (ts, side, tiebreak) carries the latest right-side payload onto
+    each left row — a single hash shuffle on the keys, linear work per
+    partition, no range/nested-loop join at any scale. This is the
+    same plan a 100 TB run wants: the shuffle key is the join key, and
+    skew is bounded by per-key event density, not pair counts.
+
+    ``left_ts``/``right_ts`` must be numeric (e.g. epoch micros) so
+    tolerance arithmetic and the forward flip stay exact. Ties on the
+    right (equal ts) resolve to the greatest ``tiebreak`` value;
+    a right row tied with a left row's ts counts as a match.
+    ``tolerance``: max allowed ``left_ts - right_ts`` (same unit as
+    the ts columns); matches beyond it become NULLs.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
+    keys = list(on)
+    rvals = list(right_value_cols)
+    clash = set(rvals) & set(left.columns)
+    if clash:
+        raise ValueError(f"right_value_cols collide with left columns: {sorted(clash)}")
+    sign = 1 if direction == "backward" else -1
+    tb = F.col(tiebreak) if tiebreak is not None else F.lit(0)
+
+    l_tag = left.select(
+        *[F.col(c) for c in left.columns],
+        (F.col(left_ts) * sign).alias("__ats"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast("long").alias("__tb"),
+        F.lit(None)
+        .cast(
+            T.StructType(
+                [T.StructField("__rts", T.LongType())]
+                + [T.StructField(c, right.schema[c].dataType) for c in rvals]
+            )
+        )
+        .alias("__payload"),
+    )
+    r_tag = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) if c not in keys else F.col(c) for c in left.columns],
+        (F.col(right_ts) * sign).alias("__ats"),
+        F.lit(0).alias("__side"),
+        tb.cast("long").alias("__tb"),
+        F.struct(
+            F.col(right_ts).cast("long").alias("__rts"),
+            *[F.col(c) for c in rvals],
+        ).alias("__payload"),
+    )
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ats").asc(), F.col("__side").asc(), F.col("__tb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = l_tag.unionByName(r_tag).withColumn(
+        "__m", F.last("__payload", ignorenulls=True).over(w)
+    ).filter(F.col("__side") == 1)
+    if tolerance is not None:
+        gap = F.col(left_ts) - F.col("__m.__rts") if sign == 1 else F.col("__m.__rts") - F.col(left_ts)
+        matched = matched.withColumn(
+            "__m", F.when(gap <= F.lit(tolerance), F.col("__m"))
+        )
+    return matched.select(
+        *[F.col(c) for c in left.columns],
+        F.col("__m.__rts").alias("matched_ts"),
+        *[F.col(f"__m.{c}").alias(c) for c in rvals],
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    lower: int,
+    upper: int,
+    bin_width: int | None = None,
+) -> DataFrame:
+    """Interval join: all (left, right) pairs with equal keys and
+    ``right_ts`` in ``[left_ts + lower, left_ts + upper]`` (numeric ts,
+    e.g. epoch micros; lower <= upper, both may be negative).
+
+    A raw inequality join plans as a nested-loop join — quadratic per
+    key group and a non-starter at scale. Instead the left side
+    explodes to the time bins its window spans (bin width defaults to
+    the window span, so that's at most 2 bins per row), the right side
+    maps to its own bin, and the equality (keys, bin) drives one hash
+    shuffle; the exact range predicate filters candidates after. Each
+    qualifying pair appears exactly once (a right row lives in one
+    bin). Flink's interval join and KDB's window join use the same
+    binned-equi-join shape.
+    """
+    if lower > upper:
+        raise ValueError("lower must be <= upper")
+    span = upper - lower
+    width = bin_width or max(span, 1)
+    keys = list(on)
+    clash = set(left.columns) & set(right.columns) - set(keys)
+    if clash:
+        raise ValueError(f"ambiguous columns on both sides: {sorted(clash)}")
+    lo_bin = F.floor((F.col(left_ts) + lower) / width).cast("long")
+    hi_bin = F.floor((F.col(left_ts) + upper) / width).cast("long")
+    l_binned = left.withColumn("__bin", F.explode(F.sequence(lo_bin, hi_bin)))
+    r_binned = right.withColumn(
+        "__bin", F.floor(F.col(right_ts) / width).cast("long")
+    )
+    return (
+        l_binned.join(r_binned, on=keys + ["__bin"])
+        .filter(
+            F.col(right_ts).between(F.col(left_ts) + lower, F.col(left_ts) + upper)
+        )
+        .drop("__bin")
+    )

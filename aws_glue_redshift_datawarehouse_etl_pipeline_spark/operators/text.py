@@ -35,13 +35,17 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
 def bpe_ish_token_count(col: Column | str) -> Column:
-    """Sub-word-ish token count: splits on whitespace AND
-    letter/digit/punct boundaries (a cheap, deterministic proxy for BPE
-    token counts used to budget training data)."""
+    """Sub-word-ish token count: count matches of letter runs, digit
+    runs, and symbol runs — the shape of a BPE pre-tokenizer's split
+    (GPT-2's pattern, simplified), a cheap deterministic proxy for
+    token budgets. Match-based (no lookarounds) so it runs on RE2
+    engines too and the oracle can reproduce it exactly."""
     c = F.col(col) if isinstance(col, str) else col
-    pieces = F.split(c, r"(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|\s+|(?=[.,;:!?])")
-    return F.size(F.filter(pieces, lambda x: x != ""))
+    return F.regexp_count(c, F.lit(BPE_ISH_PATTERN))
 
 
 def stopword_hits(col: Column | str, lang: str) -> Column:

@@ -516,3 +516,114 @@ def supplier_cost_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("quartile"),
         F.percent_rank().over(w).alias("pr"),
     )
+
+
+@query(
+    "asof_purchase_last_click",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             CAST(epoch_us(ts) AS BIGINT) AS us
+      FROM events
+    ), tagged AS (
+      SELECT user_id, us, 0 AS side, event_id AS tb,
+             {'rts': us, 'click_id': event_id} AS payload,
+             CAST(NULL AS BIGINT) AS purchase_id
+      FROM e WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, us, 1, NULL, NULL, event_id
+      FROM e WHERE event_type = 'purchase'
+    ), win AS (
+      SELECT user_id, us, side, purchase_id,
+             last_value(payload IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY us, side, tb
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+      FROM tagged
+    )
+    SELECT purchase_id, user_id, us AS purchase_us,
+           COALESCE(m.click_id, -1) AS click_id,
+           COALESCE(us - m.rts, -1) AS gap_us
+    FROM win WHERE side = 1
+    """,
+)
+def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: every purchase annotated with the user's
+    most recent click at-or-before it (ties on the click side resolve
+    to the greatest click id). The engine plan is join-free — one
+    union + one window over user_id (operators/joins.py::asof_join);
+    the oracle is the same union-window algorithm spelled in SQL,
+    which is also what DuckDB's native ASOF JOIN computes."""
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators import joins as J
+
+    ev = t(spark, sf_dir, "events").withColumn("us", F.unix_micros("ts"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("us").alias("purchase_us"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("us").alias("click_us"), F.col("event_id").alias("click_id")
+    )
+    out = J.asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="purchase_us",
+        right_ts="click_us",
+        right_value_cols=["click_id"],
+        tiebreak="click_id",
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        "purchase_us",
+        F.coalesce("click_id", F.lit(-1)).alias("click_id"),
+        F.coalesce(F.col("purchase_us") - F.col("matched_ts"), F.lit(-1)).alias(
+            "gap_us"
+        ),
+    )
+
+
+@query(
+    "range_join_error_context",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             CAST(epoch_us(ts) AS BIGINT) AS us
+      FROM events
+    )
+    SELECT a.event_id AS error_id, b.event_id AS ctx_id,
+           a.us - b.us AS gap_us
+    FROM e a JOIN e b
+      ON a.user_id = b.user_id
+     AND b.us BETWEEN a.us - 3600000000 AND a.us
+    WHERE a.event_type = 'error' AND b.event_type <> 'error'
+    """,
+)
+def range_join_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: each error event paired with every same-user
+    non-error event in the preceding hour. The engine plan is the
+    binned equi-join (operators/joins.py::range_join) — hash shuffle
+    on (user_id, time bin), never a nested-loop join; the oracle is
+    the naive inequality join DuckDB can afford at oracle scale."""
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators import joins as J
+
+    ev = t(spark, sf_dir, "events").withColumn("us", F.unix_micros("ts"))
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", F.col("us").alias("err_us")
+    )
+    others = ev.filter(F.col("event_type") != "error").select(
+        "user_id", F.col("event_id").alias("ctx_id"), F.col("us").alias("ctx_us")
+    )
+    pairs = J.range_join(
+        errors,
+        others,
+        on=["user_id"],
+        left_ts="err_us",
+        right_ts="ctx_us",
+        lower=-3_600_000_000,
+        upper=0,
+    )
+    return pairs.select(
+        "error_id", "ctx_id", (F.col("err_us") - F.col("ctx_us")).alias("gap_us")
+    )

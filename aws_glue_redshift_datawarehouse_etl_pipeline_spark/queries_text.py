@@ -295,6 +295,37 @@ def simhash_near_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_dup_pairs(t(spark, sf_dir, "documents"), "doc_id")
 
 
+@query(
+    "simhash_portable_documents",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), ex AS (
+      SELECT doc_id, unnest(t) AS tok FROM toks
+    ), h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('0|' || tok), 1, 15)) AS BIGINT) AS h
+      FROM ex
+    ), bits AS (
+      SELECT doc_id, g.i,
+             SUM(CASE WHEN (h >> g.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN (SELECT CAST(gs AS INTEGER) AS i
+                         FROM generate_series(0, 59) t(gs)) g
+      GROUP BY doc_id, g.i
+    )
+    SELECT doc_id AS doc,
+           CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i)
+               ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS h
+    FROM bits GROUP BY doc
+    """,
+)
+def simhash_portable_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable SimHash: 60-bit md5-derived token hashes,
+    per-bit sign-of-sum — exact cross-engine agreement on every
+    signature. The production path stays on 64-bit xxhash64."""
+    return D.simhash_table(t(spark, sf_dir, "documents"), "doc_id", portable=True)
+
+
 @query("ivf_ann_topk")
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: probe the 4 nearest of 16 clusters."""
@@ -417,11 +448,18 @@ def batch_ann_topk_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk_per_query(emb, queries, k=5)
 
 
-@query("bpe_token_count_documents")
+@query(
+    "bpe_token_count_documents",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))
+                AS INTEGER) AS n_bpe_tokens
+    FROM documents
+    """,
+)
 def bpe_token_count_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sub-word-ish token counting (lookaround regex splits — RE2-based
-    DuckDB can't express lookbehinds, so rows-only; pytest asserts the
-    counting rules)."""
+    """Sub-word-ish token counting (match-based BPE-pre-tokenizer
+    pattern — identical matches under Java regex and RE2)."""
     return t(spark, sf_dir, "documents").select(
         "doc_id", X.bpe_ish_token_count("text").alias("n_bpe_tokens")
     )

@@ -43,6 +43,12 @@ class WarehouseCatalog:
     def read_table(self, table: str) -> DataFrame:
         return self.spark.read.parquet(self._path(table))
 
+    def get_table_schema(self, table: str):
+        """Declared schema lookup (get_catalog_schema_as_spark_schema,
+        /root/reference/awsglue/context.py:149-150): read from the
+        parquet footers — a metadata-only operation, no data scan."""
+        return self.read_table(table).schema
+
     def write_table(
         self,
         df: DataFrame,

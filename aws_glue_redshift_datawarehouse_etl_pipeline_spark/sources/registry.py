@@ -113,6 +113,24 @@ def write_sink(
         raise ValueError(f"unsupported connection_type {connection_type!r}")
 
 
+def write_frame(
+    frame,
+    connection_type: str,
+    options: Mapping[str, Any] | None = None,
+    fmt: str | None = None,
+    mode: str = "append",
+    partition_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Sink an EngineFrame and hand back its error companion — the
+    reference's DataSink.writeFrame returns ``name + "_errors"``
+    (/root/reference/awsglue/data_sink.py:31-49). The data side goes
+    through write_sink; the caller inspects/persists the returned
+    errors frame (usually asserting it's empty via
+    ``assert_error_threshold`` first)."""
+    write_sink(frame.df, connection_type, options, fmt, mode, partition_by)
+    return frame.errors_frame()
+
+
 def spigot(df: DataFrame, path: str, topk: int | None = 100, prob: float | None = None) -> DataFrame:
     """Tee a sample of records to a JSON path and pass the frame
     through unchanged (/root/reference/awsglue/transforms/

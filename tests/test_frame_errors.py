@@ -90,3 +90,41 @@ def test_collection_map_flatmap(spark):
     assert doubled["x"].count() == 1
     flat = coll.flatmap(lambda d, k: {f"{k}_even": d.filter("a % 2 = 0"), f"{k}_odd": d.filter("a % 2 = 1")})
     assert sorted(flat.keys()) == ["x_even", "x_odd"]
+
+
+def test_map_partitions_running_total(frame):
+    def per_partition(rows):
+        total = 0
+        for r in rows:
+            total += r["k"]
+            yield {"k": r["k"], "running": total}
+
+    out = frame.df.repartition(2)
+    got = EngineFrame(out, name="t").map_partitions(per_partition, "k int, running int")
+    rows = got.df.collect()
+    assert sorted(r.k for r in rows) == [1, 2, 3, 4]
+    # each partition's last running value equals that partition's sum
+    assert sum(r.k for r in rows) == 10
+
+
+def test_map_partitions_with_index(frame):
+    def tag(pid, rows):
+        for r in rows:
+            yield {"k": r["k"], "pid": pid}
+
+    got = EngineFrame(frame.df.repartition(3), name="t").map_partitions_with_index(
+        tag, "k int, pid int"
+    )
+    rows = got.df.collect()
+    assert len(rows) == 4
+    assert all(0 <= r.pid < 3 for r in rows)
+    assert len({r.pid for r in rows}) >= 2  # index actually varies by partition
+
+
+def test_map_partitions_preserves_error_channel(frame):
+    def bad(row):
+        raise RuntimeError("boom")
+
+    with_errs = frame.filter(bad)  # 4 flagged rows
+    out = with_errs.map_partitions(lambda rows: iter(list(rows)), "k int, v string")
+    assert out.errors_count() == with_errs.errors_count() == 4

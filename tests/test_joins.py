@@ -86,3 +86,65 @@ def test_merge_upsert_idempotent(spark):
     assert sorted((r.k, r.v) for r in once.collect()) == sorted(
         (r.k, r.v) for r in twice.collect()
     ) == [(1, "new"), (2, "keep"), (3, "ins")]
+
+
+def _asof_frames(spark):
+    left = spark.createDataFrame(
+        [(1, 100, "p1"), (1, 205, "p2"), (2, 50, "p3")], "k long, ts long, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 10), (1, 200, 20), (1, 300, 30), (2, 60, 40)],
+        "k long, rts long, payload long",
+    )
+    return left, right
+
+
+def test_asof_backward_with_ties_and_misses(spark):
+    left, right = _asof_frames(spark)
+    out = J.asof_join(left, right, ["k"], "ts", "rts", ["payload"], tiebreak="payload")
+    got = {r.tag: (r.matched_ts, r.payload) for r in out.collect()}
+    # p1 ties with rts=100 (tie counts), p2 takes rts=200, p3 has no match
+    assert got == {"p1": (100, 10), "p2": (200, 20), "p3": (None, None)}
+
+
+def test_asof_forward_and_tolerance(spark):
+    left, right = _asof_frames(spark)
+    fwd = J.asof_join(
+        left, right, ["k"], "ts", "rts", ["payload"], tiebreak="payload",
+        direction="forward",
+    )
+    got = {r.tag: r.payload for r in fwd.collect()}
+    assert got == {"p1": 10, "p2": 30, "p3": 40}
+    tol = J.asof_join(
+        left, right, ["k"], "ts", "rts", ["payload"], tiebreak="payload", tolerance=4
+    )
+    got_tol = {r.tag: r.payload for r in tol.collect()}
+    assert got_tol == {"p1": 10, "p2": None, "p3": None}  # gap 5 > 4 dropped
+
+
+def test_asof_plan_is_join_free(spark):
+    left, right = _asof_frames(spark)
+    plan = J.asof_join(
+        left, right, ["k"], "ts", "rts", ["payload"]
+    )._sc if False else J.asof_join(left, right, ["k"], "ts", "rts", ["payload"])
+    s = plan._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in s  # single shuffle + window, no join operator
+
+
+def test_range_join_matches_naive_and_avoids_bnlj(spark):
+    left = spark.createDataFrame(
+        [(1, 1000, "a"), (1, 2000, "b"), (2, 1500, "c")], "k long, lts long, ltag string"
+    )
+    right = spark.createDataFrame(
+        [(1, 900, "x"), (1, 1400, "y"), (1, 2600, "z"), (2, 1500, "w")],
+        "k long, rts long, rtag string",
+    )
+    out = J.range_join(left, right, ["k"], "lts", "rts", lower=-500, upper=100)
+    got = sorted((r.ltag, r.rtag) for r in out.collect())
+    naive = left.join(right, "k").filter(
+        "rts between lts - 500 and lts + 100"
+    )
+    assert got == sorted((r.ltag, r.rtag) for r in naive.collect())
+    assert got == [("a", "x"), ("c", "w")]
+    s = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in s and "CartesianProduct" not in s

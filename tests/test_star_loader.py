@@ -125,3 +125,28 @@ def test_write_sink_partitioned(spark, sf_dir, tmp_path):
     import os
 
     assert any(d.startswith("status=") for d in os.listdir(out))
+
+
+def test_catalog_schema_lookup_and_write_frame(spark, tmp_path):
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.frame import EngineFrame
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.sources.catalog import WarehouseCatalog
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.sources.registry import write_frame
+
+    cat = WarehouseCatalog(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    cat.write_table(df, "t")
+    schema = cat.get_table_schema("t")
+    assert [(f.name, f.dataType.simpleString()) for f in schema.fields] == [
+        ("k", "bigint"),
+        ("v", "string"),
+    ]
+
+    errs = write_frame(
+        EngineFrame(df, name="t"),
+        "file",
+        {"path": str(tmp_path / "out")},
+        fmt="parquet",
+        mode="overwrite",
+    )
+    assert errs.count() == 0  # DataSink.writeFrame returns the error companion
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 1
