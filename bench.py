@@ -26,6 +26,9 @@ BENCH_QUERIES = [
     "merge_upsert_orders",
     "topk_customers_per_nation",
     "top_orders_by_value",
+    # time-series joins (join-free asof, binned range)
+    "asof_purchase_last_click",
+    "range_join_error_context",
     # training-data operator families
     "token_count_documents",
     "dedup_exact_documents",

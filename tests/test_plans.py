@@ -1,0 +1,75 @@
+"""Physical-plan regression tests: the 100 TB design claims in
+SCALE.md, asserted against what Catalyst actually plans at test SF.
+
+Each test pins the plan *shape* (which operators appear), not costs:
+broadcast where a dimension is small, pushed filters at the parquet
+scan, two-phase aggregation, top-k without a global sort, and the
+absence of nested-loop joins in the extension operators. If a future
+change regresses one of these, the query still returns correct rows —
+only these tests catch the plan degrading.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from aws_glue_redshift_datawarehouse_etl_pipeline_spark import queries as q
+
+q.register_all()
+
+
+def plan(spark, sf_dir, name: str) -> str:
+    return q.QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_dir):
+    s = plan(spark, sf_dir, "star_revenue_by_nation")
+    assert "BroadcastHashJoin" in s  # dims broadcast: no shuffle of lineitem for dims
+    assert "SortMergeJoin" not in s
+    assert s.count("HashAggregate") >= 2  # partial (map-side) + final aggregation
+
+
+def test_pricing_summary_pushes_filter_and_prunes_columns(spark, sf_dir):
+    s = plan(spark, sf_dir, "pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in s
+    # column pruning: the scan must not read all 16 lineitem columns
+    read_schema = next(ln for ln in s.splitlines() if "ReadSchema" in ln)
+    assert "l_comment" not in read_schema and "l_partkey" not in read_schema
+    assert s.count("HashAggregate") >= 2  # partial (map-side) + final aggregation
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    s = plan(spark, sf_dir, "top_orders_by_value")
+    assert "TakeOrderedAndProject" in s  # per-partition heaps + driver merge
+    assert "Exchange rangepartitioning" not in s  # no full sort shuffle
+
+
+def test_antijoin_is_hash_not_nested_loop(spark, sf_dir):
+    s = plan(spark, sf_dir, "antijoin_composite_lineitem")
+    assert "LeftAnti" in s
+    assert "BroadcastNestedLoopJoin" not in s and "CartesianProduct" not in s
+
+
+def test_asof_join_plans_without_join_operator(spark, sf_dir):
+    s = plan(spark, sf_dir, "asof_purchase_last_click")
+    assert "Join" not in s  # union + single window pass
+    assert "Window" in s
+
+
+def test_range_join_plans_as_hash_join(spark, sf_dir):
+    s = plan(spark, sf_dir, "range_join_error_context")
+    assert "BroadcastNestedLoopJoin" not in s and "CartesianProduct" not in s
+
+
+def test_merge_upsert_single_pass(spark, sf_dir):
+    s = plan(spark, sf_dir, "merge_upsert_orders")
+    assert "LeftAnti" in s  # anti + union, not a full outer join
+    assert "FullOuter" not in s
+
+
+@pytest.mark.parametrize("name", ["token_count_documents", "text_quality_scores"])
+def test_text_ops_are_codegen_not_python(spark, sf_dir, name):
+    s = plan(spark, sf_dir, name)
+    # pure Column expressions: no Python worker in the hot path
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+    assert "FileScan parquet" in s  # …directly over the vectorized scan
