@@ -221,13 +221,14 @@ def minhash_lsh_dedup(
     bands: int = 4,
     n: int = 3,
     verify_threshold: float | None = 0.8,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup removal: LSH candidates (optionally verified with true
     Jaccard ≥ threshold), then keep the minimum id of each duplicate
     component (union-find collapsed to min-neighbor — single-pass
     approximation that removes every verified duplicate of a smaller-id
     doc, the standard large-scale policy)."""
-    pairs = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands, n)
+    pairs = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands, n, portable)
     if verify_threshold is not None:
         # Verify ONLY the LSH candidates: join each pair back to its two
         # shingle sets and intersect per pair. Cost is O(candidates),
@@ -293,14 +294,15 @@ def simhash_table(
 
 
 def simhash_near_dup_pairs(
-    df: DataFrame, id_col: str, text_col: str = "text", bands: int = 4
+    df: DataFrame, id_col: str, text_col: str = "text", bands: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
-    """Candidate near-dup pairs by SimHash band collision: split the 64
-    bits into ``bands`` 16-bit bands; docs equal in any band are
+    """Candidate near-dup pairs by SimHash band collision: split the
+    hash bits into ``bands`` equal bands; docs equal in any band are
     candidates (any pair at Hamming distance < bands is guaranteed to
     collide in some band)."""
-    width = 64 // bands
-    sh = simhash_table(df, id_col, text_col)
+    width = (60 if portable else 64) // bands
+    sh = simhash_table(df, id_col, text_col, portable=portable)
     banded = sh.select(
         "doc",
         "h",

@@ -326,6 +326,100 @@ def simhash_portable_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_table(t(spark, sf_dir, "documents"), "doc_id", portable=True)
 
 
+@query(
+    "minhash_lsh_dedup_portable",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS s FROM toks WHERE len(t) >= 3
+    ), ex AS (
+      SELECT doc_id, unnest(s) AS s FROM sh
+    ), g AS (
+      SELECT CAST(gs AS INTEGER) AS i FROM generate_series(0, 15) t(gs)
+    ), sig AS (
+      SELECT ex.doc_id AS doc, g.i AS i,
+             MIN(CAST(('0x' || substr(md5(CAST(g.i AS VARCHAR) || '|' || ex.s), 1, 15)) AS BIGINT)) AS h
+      FROM ex CROSS JOIN g
+      GROUP BY doc, g.i
+    ), banded AS (
+      SELECT doc, i // 4 AS band,
+             md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY i)) AS bucket
+      FROM sig GROUP BY doc, i // 4
+    ), cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+    ), verified AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b
+      WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+              / CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE) >= 0.8
+    ), losers AS (
+      SELECT DISTINCT doc_b FROM verified
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_b
+    WHERE l.doc_b IS NULL
+    """,
+)
+def minhash_lsh_dedup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH near-dup removal on the portable (md5-derived)
+    hash family — the entire pipeline (signatures → 4-row bands →
+    candidate pairs → Jaccard ≥ 0.8 verification → min-id survivor
+    anti-join) is reproduced in the oracle SQL, so the exact survivor
+    set is cross-engine checked. Production runs use the xxhash64 fast
+    path (`minhash_lsh_dedup_documents`, rows-only)."""
+    return D.minhash_lsh_dedup(
+        t(spark, sf_dir, "documents"), "doc_id", "text",
+        verify_threshold=0.8, portable=True,
+    ).select("doc_id", "lang", "source")
+
+
+@query(
+    "simhash_near_dup_portable",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), ex AS (
+      SELECT doc_id, unnest(t) AS tok FROM toks
+    ), h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('0|' || tok), 1, 15)) AS BIGINT) AS h
+      FROM ex
+    ), bits AS (
+      SELECT doc_id, g.i,
+             SUM(CASE WHEN (h >> g.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN (SELECT CAST(gs AS INTEGER) AS i
+                         FROM generate_series(0, 59) t(gs)) g
+      GROUP BY doc_id, g.i
+    ), sim AS (
+      SELECT doc_id AS doc,
+             CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i)
+                 ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS h
+      FROM bits GROUP BY doc
+    ), banded AS (
+      SELECT doc, g.b AS band, (h >> (g.b * 15)) & 32767 AS bucket
+      FROM sim CROSS JOIN (SELECT CAST(gs AS INTEGER) AS b
+                           FROM generate_series(0, 3) t(gs)) g
+    )
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+    """,
+)
+def simhash_near_dup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash band-collision candidates on the portable 60-bit hash
+    (4 bands × 15 bits — any pair within Hamming distance 3 collides):
+    the band split and pair generation are oracle-checked end to end.
+    Production stays on the 64-bit xxhash64 path."""
+    return D.simhash_near_dup_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", portable=True
+    )
+
+
 @query("ivf_ann_topk")
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: probe the 4 nearest of 16 clusters."""
