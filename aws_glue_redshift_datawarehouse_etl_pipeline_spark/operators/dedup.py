@@ -48,6 +48,20 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
     )
 
 
+def _ensure_parallelism(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Spread CPU-bound map work (shingling, n×hash evaluation) across
+    the session's cores. Small files arrive from the scan as one or two
+    partitions, which would serialize the expensive per-row expressions
+    that follow; a cheap hash repartition of the raw (id, text) rows
+    fixes that. At scale the scan already carries >= defaultParallelism
+    partitions and this is a no-op — no shuffle is inserted, so the
+    100 TB path never pays an extra pass."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, *key_cols) if key_cols else df.repartition(target)
+    return df
+
+
 def word_ngrams(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the normalized text."""
     toks = tokens(col)
@@ -76,9 +90,13 @@ def ngram_jaccard_pairs(
     candidates while carrying almost no signal. At 100 TB this cap is
     what keeps the pair-generation shuffle bounded.
     """
-    sh = df.select(
-        F.col(id_col).alias("doc"), word_ngrams(text_col, n).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    sh = (
+        _ensure_parallelism(
+            df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t")), "doc"
+        )
+        .select("doc", word_ngrams("__t", n).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+    )
     sizes = sh.select("doc", F.size("shingles").alias("sz"))
     exploded = sh.select("doc", F.explode("shingles").alias("s"))
     if max_shingle_freq is not None:
@@ -141,9 +159,9 @@ def minhash_signatures(
     interpreted HOF mode — ~num_hashes× slower), and the one shuffle
     is map-side combined down to a row per doc.
     """
-    ex = df.select(
-        F.col(id_col).alias("doc"), F.explode(word_ngrams(text_col, n)).alias("s")
-    )
+    ex = _ensure_parallelism(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t")), "doc"
+    ).select("doc", F.explode(word_ngrams("__t", n)).alias("s"))
     if portable:
         aggs = [
             F.min(_portable_hash(i, F.col("s"))).alias(f"__h{i}")
@@ -230,12 +248,23 @@ def minhash_lsh_dedup(
     doc, the standard large-scale policy)."""
     pairs = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands, n, portable)
     if verify_threshold is not None:
-        # Verify ONLY the LSH candidates: join each pair back to its two
-        # shingle sets and intersect per pair. Cost is O(candidates),
-        # never the all-pairs inverted-index join — at scale the
-        # candidate set is tiny relative to the corpus.
-        sh = df.select(
-            F.col(id_col).alias("doc"), word_ngrams(text_col, n).alias("s")
+        # Verify ONLY the LSH candidates, and shingle ONLY the docs that
+        # appear in a candidate pair (semi-join first): verification
+        # cost is O(candidates), never another pass over the corpus —
+        # at scale the candidate set is tiny relative to the input.
+        # `pairs` feeds three consumers (both verify joins + the id
+        # set), so persist it rather than recomputing the band join.
+        pairs = pairs.persist()
+        cand_ids = (
+            pairs.select(F.col("doc_a").alias("doc"))
+            .union(pairs.select(F.col("doc_b").alias("doc")))
+            .distinct()
+        )
+        sh = (
+            df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t"))
+            .join(F.broadcast(cand_ids), "doc", "left_semi")
+            .repartition(df.sparkSession.sparkContext.defaultParallelism, "doc")
+            .select("doc", word_ngrams("__t", n).alias("s"))
         )
         verified = (
             pairs.join(
@@ -270,7 +299,9 @@ def simhash_table(
     ``portable=True``: 60-bit md5-derived hash reproducible in any
     engine (the oracle-checkable path, same trick as MinHash's)."""
     nbits = 60 if portable else 64
-    ex = df.select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("tok"))
+    ex = _ensure_parallelism(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t")), "doc"
+    ).select("doc", F.explode(tokens("__t")).alias("tok"))
     if portable:
         ex = ex.withColumn("h", _portable_hash(0, F.col("tok")))
     else:
