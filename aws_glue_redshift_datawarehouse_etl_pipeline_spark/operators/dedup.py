@@ -26,6 +26,7 @@ from pyspark.sql import types as T
 from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.text import (
     fingerprint_md5,
     normalized,
+    spread_small_scan as _ensure_parallelism,
     tokens,
 )
 
@@ -46,20 +47,6 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
         .filter(F.col("__rn") == 1)
         .drop("__fp", "__rn")
     )
-
-
-def _ensure_parallelism(df: DataFrame, *key_cols: str) -> DataFrame:
-    """Spread CPU-bound map work (shingling, n×hash evaluation) across
-    the session's cores. Small files arrive from the scan as one or two
-    partitions, which would serialize the expensive per-row expressions
-    that follow; a cheap hash repartition of the raw (id, text) rows
-    fixes that. At scale the scan already carries >= defaultParallelism
-    partitions and this is a no-op — no shuffle is inserted, so the
-    100 TB path never pays an extra pass."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target, *key_cols) if key_cols else df.repartition(target)
-    return df
 
 
 def word_ngrams(col: Column | str, n: int = 3) -> Column:
@@ -391,7 +378,9 @@ def embedding_near_dup_pairs(
     first (see similarity.ivf_topk's centroid assignment) and join
     within buckets."""
     vec = F.col(vec_col)
-    normed = df.select(
+    # the pair join streams one side through a nested-loop broadcast;
+    # spread it so the per-pair cosine work runs on every core
+    normed = _ensure_parallelism(df, id_col).select(
         F.col(id_col).alias("id"), vec.alias("v"), dot_exact(vec, vec).alias("nn")
     )
     a = normed.select(
@@ -445,7 +434,7 @@ def embedding_near_dup_pairs_bucketed(
         build_ivf_index,
     )
 
-    assigned, _ = build_ivf_index(df, num_buckets, id_col, vec_col)
+    assigned, _ = build_ivf_index(_ensure_parallelism(df, id_col), num_buckets, id_col, vec_col)
     vec = F.col(vec_col)
     normed = assigned.select(
         F.col(id_col).alias("id"),

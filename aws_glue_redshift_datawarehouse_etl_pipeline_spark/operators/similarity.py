@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.dedup import cosine_sim_exact
+from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.text import spread_small_scan
 
 
 def _lit_vec(vec: Sequence[float]) -> Column:
@@ -31,10 +32,13 @@ def cosine_topk(
 ) -> DataFrame:
     """Brute-force top-k by cosine similarity against one query vector.
     Plans as scan → project → TakeOrderedAndProject: per-partition
-    heaps, driver merge — no global sort, no shuffle."""
+    heaps, driver merge — no global sort. (Under-partitioned local
+    scans are spread first so the per-row fold uses every core; at
+    scale that spread is a no-op and the plan stays shuffle-free.)"""
     q = _lit_vec(query_vec)
     return (
-        df.select(
+        spread_small_scan(df, id_col)
+        .select(
             F.col(id_col),
             cosine_sim_exact(F.col(vec_col), q).alias("cosine"),
         )

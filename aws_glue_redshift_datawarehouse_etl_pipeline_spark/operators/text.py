@@ -25,6 +25,20 @@ LANG_PRIORITY = ["en", "de", "fr", "es"]
 _PUNCT_CLASS = "[.,;:!?]"
 
 
+def spread_small_scan(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Spread CPU-bound per-row work (regex tokenization, hashing,
+    shingling) across the session's cores. A small single-row-group
+    parquet file arrives from the scan as ONE partition — Spark cannot
+    split inside a row group — which would serialize every expression
+    evaluated before the first shuffle. Repartition only when the scan
+    is under-partitioned; at 100 TB the scan already carries >=
+    defaultParallelism partitions and this inserts nothing."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, *key_cols) if key_cols else df.repartition(target)
+    return df
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens of lowercased text, empty strings removed."""
     c = F.col(col) if isinstance(col, str) else col

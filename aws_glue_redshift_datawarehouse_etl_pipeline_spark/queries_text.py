@@ -37,7 +37,7 @@ _DUCK_SHINGLES = (
 )
 def token_count_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token counting — pure Column expressions, scan-bound."""
-    return t(spark, sf_dir, "documents").select(
+    return X.spread_small_scan(t(spark, sf_dir, "documents"), "doc_id").select(
         "doc_id", X.token_count("text").alias("n_tokens"), "n_chars"
     )
 
@@ -67,7 +67,9 @@ def token_count_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality signals + composite score — the filter
     stage of a data-curation pipeline."""
-    return X.quality_features(t(spark, sf_dir, "documents")).select(
+    return X.quality_features(
+        X.spread_small_scan(t(spark, sf_dir, "documents"), "doc_id")
+    ).select(
         "doc_id",
         "n_chars_obs",
         "n_tokens",
@@ -107,7 +109,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def language_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-argmax language ID, summarized as a (true lang ×
     predicted lang) confusion table."""
-    docs = X.language_id(t(spark, sf_dir, "documents"))
+    docs = X.language_id(X.spread_small_scan(t(spark, sf_dir, "documents"), "doc_id"))
     return docs.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
@@ -121,7 +123,7 @@ def language_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable content fingerprint (md5 over normalized text)."""
-    return t(spark, sf_dir, "documents").select(
+    return X.spread_small_scan(t(spark, sf_dir, "documents"), "doc_id").select(
         "doc_id", X.fingerprint_md5("text").alias("fp")
     )
 
@@ -488,7 +490,9 @@ def curation_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     source) doc and token budget. Single lineage, no collects; every
     stage before the final agg is narrow, so the only shuffles are the
     dedup fingerprint and the final group-by."""
-    docs = X.language_id(X.quality_features(t(spark, sf_dir, "documents")))
+    docs = X.language_id(
+        X.quality_features(X.spread_small_scan(t(spark, sf_dir, "documents"), "doc_id"))
+    )
     kept = docs.filter(
         (F.col("quality_score") >= 0.5) & (F.col("lang_pred") == F.col("lang"))
     )
@@ -554,7 +558,7 @@ def batch_ann_topk_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bpe_token_count_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-word-ish token counting (match-based BPE-pre-tokenizer
     pattern — identical matches under Java regex and RE2)."""
-    return t(spark, sf_dir, "documents").select(
+    return X.spread_small_scan(t(spark, sf_dir, "documents"), "doc_id").select(
         "doc_id", X.bpe_ish_token_count("text").alias("n_bpe_tokens")
     )
 

@@ -73,3 +73,24 @@ def test_text_ops_are_codegen_not_python(spark, sf_dir, name):
     # pure Column expressions: no Python worker in the hot path
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
     assert "FileScan parquet" in s  # …directly over the vectorized scan
+
+
+def test_cosine_topk_uses_partition_heaps(spark, sf_dir):
+    s = plan(spark, sf_dir, "embedding_cosine_topk")
+    assert "TakeOrderedAndProject" in s  # no global sort for top-k
+    assert "Exchange rangepartitioning" not in s
+
+
+def test_spread_small_scan_spreads_only_when_under_partitioned(spark, sf_dir):
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.text import (
+        spread_small_scan,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = spark.sparkContext.defaultParallelism
+    spread = spread_small_scan(docs, "doc_id")
+    assert spread.rdd.getNumPartitions() == target
+    # rows unchanged, and an already-wide frame passes through untouched
+    assert spread.count() == docs.count()
+    wide = docs.repartition(target + 4)
+    assert spread_small_scan(wide, "doc_id") is wide
