@@ -112,6 +112,84 @@ def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred
     return df.withColumn(out_col, expr)
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document (quality filters
+    for training-data curation; see Rae et al. 2021 §A1.1):
+
+    - ``top_token_fraction``: share of tokens that are the single most
+      frequent token (high → degenerate/boilerplate text),
+    - ``dup_bigram_fraction``: share of word bigrams that are repeats
+      of an earlier bigram in the same document.
+
+    Shape: one explode + (doc, token) count + per-doc aggregate for
+    the token mode — all map-side combinable, shuffle keyed on the doc
+    id — and a narrow higher-order-function pass for the bigram stats,
+    joined back on the doc id. Everything is integer counting until
+    the final division, so the emitted doubles are bit-identical
+    across engines and partitionings."""
+    base = spread_small_scan(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t")), "doc"
+    )
+    ex = base.select("doc", F.explode(tokens("__t")).alias("tok"))
+    tok_counts = ex.groupBy("doc", "tok").agg(F.count(F.lit(1)).alias("n"))
+    mode = tok_counts.groupBy("doc").agg(
+        F.sum("n").alias("n_tokens"), F.max("n").alias("top_n")
+    )
+    toks = tokens("__t")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+    )
+    bg = base.select(
+        "doc",
+        F.when(F.size(toks) >= 2, F.size(toks) - 1).otherwise(0).alias("n_bigrams"),
+        F.when(F.size(toks) >= 2, F.size(F.array_distinct(bigrams)))
+        .otherwise(0)
+        .alias("n_distinct_bigrams"),
+    )
+    return (
+        mode.join(bg, "doc")
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("top_n").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "top_token_fraction"
+            ),
+            F.when(
+                F.col("n_bigrams") > 0,
+                (F.col("n_bigrams") - F.col("n_distinct_bigrams")).cast("double")
+                / F.col("n_bigrams").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_bigram_fraction"),
+        )
+    )
+
+
+def vocab_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-level vocabulary statistics: per token, total occurrences
+    (term frequency) and number of documents containing it (document
+    frequency) — the first step of tokenizer/vocab training and of
+    stopword discovery at corpus scale.
+
+    One explode feeding a single groupBy(token): both aggregates are
+    map-side combinable, so the shuffle carries one row per (partition,
+    token) — at 100 TB the reduce side is vocabulary-sized, not
+    corpus-sized. Hot tokens are one row each after partial
+    aggregation, so token skew never concentrates raw rows."""
+    ex = spread_small_scan(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t")), "doc"
+    ).select("doc", F.explode(tokens("__t")).alias("token"))
+    return ex.groupBy("token").agg(
+        F.count(F.lit(1)).alias("term_freq"),
+        F.count_distinct("doc").alias("doc_freq"),
+    )
+
+
 def normalized(col: Column | str) -> Column:
     """Canonical text form for fingerprinting: lowercase, collapse
     whitespace runs, trim."""

@@ -129,6 +129,62 @@ def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "repetition_stats_documents",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), ex AS (
+      SELECT doc_id, unnest(t) AS tok FROM toks
+    ), c AS (
+      SELECT doc_id, tok, COUNT(*) AS n FROM ex GROUP BY doc_id, tok
+    ), mode AS (
+      SELECT doc_id, SUM(n) AS n_tokens, MAX(n) AS top_n FROM c GROUP BY doc_id
+    ), bg AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 2 THEN len(t) - 1 ELSE 0 END AS n_bigrams,
+             CASE WHEN len(t) >= 2 THEN len(list_distinct(list_transform(
+               range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2]))) ELSE 0 END AS n_distinct
+      FROM toks
+    )
+    SELECT m.doc_id,
+           CAST(m.n_tokens AS BIGINT) AS n_tokens,
+           CAST(m.top_n AS DOUBLE) / CAST(m.n_tokens AS DOUBLE) AS top_token_fraction,
+           CASE WHEN b.n_bigrams > 0
+                THEN CAST(b.n_bigrams - b.n_distinct AS DOUBLE) / CAST(b.n_bigrams AS DOUBLE)
+                ELSE 0.0 END AS dup_bigram_fraction
+    FROM mode m JOIN bg b USING (doc_id)
+    """,
+)
+def repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (top-token share,
+    duplicate-bigram share) — integer counting end to end, so both
+    engines emit bit-identical fractions."""
+    return X.repetition_stats(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "vocab_stats_documents",
+    oracle=f"""
+    WITH ex AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents
+    )
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS term_freq,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM ex GROUP BY token
+    """,
+)
+def vocab_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics (term + document frequency per
+    token) — vocabulary-sized output no matter the corpus size."""
+    return X.vocab_stats(t(spark, sf_dir, "documents")).select(
+        "token",
+        F.col("term_freq").cast("long").alias("term_freq"),
+        F.col("doc_freq").cast("long").alias("doc_freq"),
+    )
+
+
+@query(
     "dedup_exact_documents",
     oracle="""
     SELECT d.doc_id, d.lang, d.source

@@ -1,6 +1,6 @@
 """Runnable training-data curation job over the `documents` table:
-quality scoring → language-ID gate → exact dedup → MinHash-LSH
-near-dedup → curated write with token accounting.
+quality scoring → language-ID gate → repetition gate → exact dedup →
+MinHash-LSH near-dedup → curated write with token accounting.
 
     python examples/curate_documents_job.py \
         --JOB_NAME curate --src_dir /root/testdata/sf0.001 \
@@ -41,6 +41,8 @@ def main(argv: list[str]) -> None:
     kept = scored.filter(
         (F.col("quality_score") >= 0.5) & (F.col("lang_pred") == F.col("lang"))
     )
+    rep = X.repetition_stats(kept).select("doc_id", "dup_bigram_fraction")
+    kept = kept.join(rep, "doc_id").filter(F.col("dup_bigram_fraction") < 0.10)
     exact = D.exact_dedup(kept, "doc_id")
     near = D.minhash_lsh_dedup(exact, "doc_id", "text", verify_threshold=0.8)
 

@@ -278,3 +278,25 @@ def test_bucketed_near_dup_high_recall_on_corpus(spark):
     assert approx <= exact  # never invents pairs
     if exact:
         assert len(approx) / len(exact) >= 0.8  # high recall at high threshold
+
+
+def test_repetition_stats_planted(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),          # one token repeated
+            (2, "a b c d"),                       # all distinct
+            (3, "x y x y x y"),                   # repeated bigrams both ways
+            (4, "solo"),                          # no bigrams at all
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in X.repetition_stats(df).collect()}
+    assert rows[1].top_token_fraction == 1.0
+    # bigrams: ["spam spam"] ×3 → 3 total, 1 distinct → 2/3 duplicated
+    assert abs(rows[1].dup_bigram_fraction - 2 / 3) < 1e-12
+    assert rows[2].top_token_fraction == 0.25
+    assert rows[2].dup_bigram_fraction == 0.0
+    # "x y x y x y": bigrams [xy, yx, xy, yx, xy] → 5 total, 2 distinct
+    assert rows[3].n_tokens == 6
+    assert abs(rows[3].dup_bigram_fraction - 3 / 5) < 1e-12
+    assert rows[4].n_tokens == 1 and rows[4].dup_bigram_fraction == 0.0
