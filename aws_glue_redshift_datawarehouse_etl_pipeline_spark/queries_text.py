@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators import dedup as D
 from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators import multimodal as M
+from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators import sampling as P
 from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators import similarity as S
 from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators import text as X
 from aws_glue_redshift_datawarehouse_etl_pipeline_spark.queries import query, t
@@ -182,6 +183,31 @@ def vocab_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("term_freq").cast("long").alias("term_freq"),
         F.col("doc_freq").cast("long").alias("doc_freq"),
     )
+
+
+@query(
+    "stratified_sample_documents",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE CAST(('0x' || substr(md5('7|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+            % 1000000
+          < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
+                      WHEN 'fr' THEN 100000 ELSE 0 END
+    """,
+)
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language data mixing (50% en / 25% de /
+    10% fr / drop the rest): membership is a pure function of the
+    doc id's portable hash, so the oracle reproduces the exact
+    subset — something `df.sample()`'s partition-seeded RNG cannot."""
+    return P.stratified_sample(
+        t(spark, sf_dir, "documents"),
+        "lang",
+        {"en": 0.5, "de": 0.25, "fr": 0.10},
+        key_col="doc_id",
+        seed=7,
+    ).select("doc_id", "lang", "source")
 
 
 @query(

@@ -300,3 +300,31 @@ def test_repetition_stats_planted(spark):
     assert rows[3].n_tokens == 6
     assert abs(rows[3].dup_bigram_fraction - 3 / 5) < 1e-12
     assert rows[4].n_tokens == 1 and rows[4].dup_bigram_fraction == 0.0
+
+
+def test_hash_sample_deterministic_and_rate(spark):
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators import sampling as P
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    a = {r.doc_id for r in P.hash_sample(docs, 0.3, "doc_id").select("doc_id").collect()}
+    b = {r.doc_id for r in P.hash_sample(docs.repartition(7), 0.3, "doc_id").select("doc_id").collect()}
+    assert a == b  # partitioning-independent membership
+    n = docs.count()
+    assert 0.2 * n < len(a) < 0.4 * n  # ~30% within loose bounds
+    other = {r.doc_id for r in P.hash_sample(docs, 0.3, "doc_id", seed=1).select("doc_id").collect()}
+    assert other != a  # different seed, different draw
+
+
+def test_stratified_sample_respects_rates(spark):
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators import sampling as P
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = P.stratified_sample(
+        docs, "lang", {"en": 1.0, "de": 0.0}, key_col="doc_id", default=0.0
+    )
+    got = {r.lang for r in out.select("lang").distinct().collect()}
+    assert got == {"en"}  # en kept fully, everything else dropped
+    assert out.count() == docs.filter("lang = 'en'").count()
+    # no shuffle: sampling must plan as filter over the scan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
