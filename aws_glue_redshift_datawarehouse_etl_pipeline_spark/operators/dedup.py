@@ -37,10 +37,19 @@ from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.text import (
 _DEC12 = T.DecimalType(30, 12)
 
 
-def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
-    """Keep the lowest-id representative per normalized-content
-    fingerprint. Deterministic (min id), one shuffle."""
-    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+def exact_dedup(
+    df: DataFrame, id_col: str, text_col: str = "text",
+    score_col: str | None = None,
+) -> DataFrame:
+    """Keep one representative per normalized-content fingerprint.
+    Default policy: lowest id. With ``score_col``: the highest-scoring
+    duplicate survives (curation keeps the best copy — e.g. quality
+    score — not an arbitrary one), id ascending as the deterministic
+    tie-break. One shuffle either way."""
+    order = [F.col(id_col).asc()]
+    if score_col is not None:
+        order = [F.col(score_col).desc(), F.col(id_col).asc()]
+    w = Window.partitionBy("__fp").orderBy(*order)
     return (
         df.withColumn("__fp", fingerprint_md5(text_col))
         .withColumn("__rn", F.row_number().over(w))

@@ -46,6 +46,60 @@ def hash_sample(
     return df.filter(_gate(key_col, seed) < int(round(fraction * _DENOM)))
 
 
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    out_col: str = "split",
+    seed: int = 0,
+) -> DataFrame:
+    """Assign every row to exactly one named split (train/val/test…)
+    by cumulative hash-gate ranges over ``weights`` (must sum to 1).
+    Deterministic and leak-proof: a key lands in the same split on
+    every run, cluster shape, and engine — the property that keeps a
+    validation set honest across pipeline re-runs. Narrow projection,
+    no shuffle."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    gate = _gate(key_col, seed)
+    names = list(weights)
+    # when-chain built innermost-first so the SMALLEST bound is tested
+    # first in the final expression (earlier ranges win)
+    bounds = []
+    cum = 0.0
+    for name in names[:-1]:
+        cum += weights[name]
+        bounds.append((name, int(round(cum * _DENOM))))
+    expr: Column = F.lit(names[-1])
+    for name, b in reversed(bounds):
+        expr = F.when(gate < b, F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def upsample(
+    df: DataFrame, weight: float, key_col: str, seed: int = 0,
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Deterministic fractional upsampling: every row is repeated
+    ``floor(weight)`` times, plus one more copy for the hash-gated
+    ``frac(weight)`` of keys — so a 2.3× mixture weight reproduces the
+    same 2.3× corpus on every run. ``copy_col`` numbers the copies
+    (1..n) so downstream shuffles don't collapse them. Narrow explode;
+    output size is exactly sum(n_copies), no shuffle introduced."""
+    if weight < 0:
+        raise ValueError(f"weight must be >= 0, got {weight}")
+    whole = int(weight)
+    frac_thresh = int(round((weight - whole) * _DENOM))
+    n = F.lit(whole) + (_gate(key_col, seed) < frac_thresh).cast("int")
+    return (
+        df.withColumn("__n", n)
+        .filter(F.col("__n") > 0)
+        .withColumn(copy_col, F.explode(F.sequence(F.lit(1), F.col("__n"))))
+        .drop("__n")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -211,6 +211,77 @@ def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "hash_split_documents",
+    oracle="""
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM (
+      SELECT CASE WHEN g < 800000 THEN 'train'
+                  WHEN g < 900000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT CAST(('0x' || substr(md5('3|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                     % 1000000 AS g
+            FROM documents)
+    ) GROUP BY split
+    """,
+)
+def hash_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment — the same doc
+    lands in the same split on every run and engine (leak-proof
+    validation sets), which the oracle verifies row-for-row before the
+    summary count."""
+    out = P.hash_split(
+        t(spark, sf_dir, "documents"), "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1}, seed=3,
+    )
+    return out.groupBy("split").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+
+
+@query(
+    "upsample_documents",
+    oracle="""
+    SELECT doc_id, CAST(copy_idx AS BIGINT) AS copy_idx
+    FROM (
+      SELECT doc_id,
+             unnest(range(1, 3 + CASE WHEN CAST(('0x' || substr(md5('11|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                                            % 1000000 < 300000
+                                 THEN 1 ELSE 0 END)) AS copy_idx
+      FROM documents)
+    """,
+)
+def upsample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 2.3× fractional upsampling: two copies of every
+    doc plus a hash-gated third for 30% of keys — the exact multiset
+    is reproduced by the oracle."""
+    return P.upsample(
+        t(spark, sf_dir, "documents"), 2.3, "doc_id", seed=11
+    ).select("doc_id", F.col("copy_idx").cast("long").alias("copy_idx"))
+
+
+@query(
+    "dedup_keep_best_documents",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang, n_chars,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY fp ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def dedup_keep_best_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping the BEST duplicate (here: most characters,
+    id tie-break) instead of an arbitrary one — the curation policy
+    when duplicates differ in truncation."""
+    return D.exact_dedup(
+        t(spark, sf_dir, "documents"), "doc_id", score_col="n_chars"
+    ).select("doc_id", "lang", "n_chars")
+
+
+@query(
     "dedup_exact_documents",
     oracle="""
     SELECT d.doc_id, d.lang, d.source

@@ -328,3 +328,47 @@ def test_stratified_sample_respects_rates(spark):
     # no shuffle: sampling must plan as filter over the scan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_hash_split_partitions_everyone_and_is_stable(spark):
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators import sampling as P
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = P.hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert out.count() == docs.count()  # total partition, no row lost
+    by = {r.doc_id: r.split for r in out.select("doc_id", "split").collect()}
+    again = {
+        r.doc_id: r.split
+        for r in P.hash_split(docs.repartition(5), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        .select("doc_id", "split").collect()
+    }
+    assert by == again  # same assignment under any partitioning
+    counts = out.groupBy("split").count().collect()
+    frac = {r.split: r["count"] / docs.count() for r in counts}
+    assert 0.7 < frac["train"] < 0.9 and frac["val"] < 0.2 and frac["test"] < 0.2
+    with pytest.raises(ValueError):
+        P.hash_split(docs, "doc_id", {"a": 0.5, "b": 0.4})
+
+
+def test_upsample_exact_copy_counts(spark):
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators import sampling as P
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    up = P.upsample(docs, 2.0, "doc_id")
+    assert up.count() == 2 * docs.count()  # integer weight: exact
+    per = up.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 2 for r in per)
+    frac = P.upsample(docs, 0.25, "doc_id")
+    assert 0 < frac.count() < docs.count()  # pure downsample via 0<w<1
+    assert P.upsample(docs, 0.0, "doc_id").count() == 0
+
+
+def test_exact_dedup_keep_best_prefers_high_score(spark):
+    df = spark.createDataFrame(
+        [(1, "same text", 0.2), (2, "same text", 0.9), (3, "other", 0.5)],
+        "doc_id long, text string, score double",
+    )
+    kept = sorted(r.doc_id for r in D.exact_dedup(df, "doc_id", score_col="score").collect())
+    assert kept == [2, 3]  # highest score wins, not lowest id
+    kept_default = sorted(r.doc_id for r in D.exact_dedup(df, "doc_id").collect())
+    assert kept_default == [1, 3]
