@@ -236,12 +236,20 @@ def minhash_lsh_dedup(
     n: int = 3,
     verify_threshold: float | None = 0.8,
     portable: bool = False,
+    transitive: bool = False,
 ) -> DataFrame:
     """Near-dup removal: LSH candidates (optionally verified with true
-    Jaccard ≥ threshold), then keep the minimum id of each duplicate
-    component (union-find collapsed to min-neighbor — single-pass
-    approximation that removes every verified duplicate of a smaller-id
-    doc, the standard large-scale policy)."""
+    Jaccard ≥ threshold), then keep one representative per duplicate
+    group.
+
+    Default policy (``transitive=False``): drop the larger id of every
+    verified pair (min-neighbor) — single-pass, the standard
+    large-scale shortcut; a doc that reaches the group's minimum only
+    through intermediaries can survive. ``transitive=True`` collapses
+    the verified-pair graph to connected components first
+    (operators/graph.py), keeping exactly the minimum id of each
+    component — cluster-level semantics at the cost of O(diameter)
+    label-propagation rounds over the (tiny) candidate graph."""
     pairs = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands, n, portable)
     if verify_threshold is not None:
         # Verify ONLY the LSH candidates, and shingle ONLY the docs that
@@ -278,6 +286,12 @@ def minhash_lsh_dedup(
             .filter(F.col("__j") >= verify_threshold)
         )
         pairs = verified.select("doc_a", "doc_b")
+    if transitive:
+        from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.graph import (
+            dedup_by_components,
+        )
+
+        return dedup_by_components(df, pairs, id_col)
     losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
 

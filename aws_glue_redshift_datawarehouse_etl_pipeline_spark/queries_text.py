@@ -575,6 +575,66 @@ def simhash_near_dup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "minhash_lsh_dedup_transitive",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS s FROM toks WHERE len(t) >= 3
+    ), ex AS (
+      SELECT doc_id, unnest(s) AS s FROM sh
+    ), g AS (
+      SELECT CAST(gs AS INTEGER) AS i FROM generate_series(0, 15) t(gs)
+    ), sig AS (
+      SELECT ex.doc_id AS doc, g.i AS i,
+             MIN(CAST(('0x' || substr(md5(CAST(g.i AS VARCHAR) || '|' || ex.s), 1, 15)) AS BIGINT)) AS h
+      FROM ex CROSS JOIN g
+      GROUP BY doc, g.i
+    ), banded AS (
+      SELECT doc, i // 4 AS band,
+             md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY i)) AS bucket
+      FROM sig GROUP BY doc, i // 4
+    ), cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+    ), verified AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b
+      WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+              / CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE) >= 0.8
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM verified
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM verified
+    ), reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.src, rc.r FROM edges e JOIN reach rc ON e.dst = rc.id
+    ), comp AS (
+      SELECT id, MIN(r) AS component FROM reach GROUP BY id
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN comp ON d.doc_id = comp.id
+    WHERE comp.id = comp.component
+    """,
+)
+def minhash_lsh_dedup_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER-level near-dup removal: the verified LSH pair graph is
+    collapsed to connected components (iterative min-label propagation,
+    operators/graph.py) and only each component's minimum id survives —
+    a chain A≈B≈C keeps exactly A even though (A, C) never collided in
+    a band. The oracle reproduces the closure with a recursive CTE, so
+    the exact survivor set is cross-engine checked."""
+    return D.minhash_lsh_dedup(
+        t(spark, sf_dir, "documents"), "doc_id", "text",
+        verify_threshold=0.8, portable=True, transitive=True,
+    ).select("doc_id", "lang", "source")
+
+
 @query("ivf_ann_topk")
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: probe the 4 nearest of 16 clusters."""

@@ -372,3 +372,36 @@ def test_exact_dedup_keep_best_prefers_high_score(spark):
     assert kept == [2, 3]  # highest score wins, not lowest id
     kept_default = sorted(r.doc_id for r in D.exact_dedup(df, "doc_id").collect())
     assert kept_default == [1, 3]
+
+
+def test_connected_components_chain_and_isolates(spark):
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators import graph as G
+
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 20]], "id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long")
+    comp = {r.id: r.component for r in G.connected_components(nodes, pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_connected_components_raises_when_iteration_bound_hit(spark):
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators import graph as G
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    chain = spark.createDataFrame([(i, i + 1) for i in range(5)], "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        G.connected_components(nodes, chain, max_iter=2)
+
+
+def test_transitive_dedup_beats_pairwise_on_star(spark):
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators import graph as G
+
+    df = spark.createDataFrame([(i, f"row{i}") for i in [1, 2, 3]], "doc_id long, text string")
+    # star through 3: pairs (1,3), (2,3) — pairwise keeps {1, 2}, but as
+    # an equivalence closure 2 is in 1's cluster and must go
+    pairs = spark.createDataFrame([(1, 3), (2, 3)], "doc_a long, doc_b long")
+    pairwise = df.join(
+        pairs.select(F.col("doc_b").alias("doc_id")).distinct(), "doc_id", "left_anti"
+    )
+    assert sorted(r.doc_id for r in pairwise.collect()) == [1, 2]
+    transitive = G.dedup_by_components(df, pairs, "doc_id")
+    assert sorted(r.doc_id for r in transitive.collect()) == [1]
