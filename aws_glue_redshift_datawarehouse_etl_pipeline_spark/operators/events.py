@@ -1,0 +1,87 @@
+"""Event-sequence analytics over the `events` stream table: ordered
+funnels (which users performed step₁ → step₂ → … in order, each within
+a bounded gap of the previous step). The reference pipeline's event
+surface stops at windowed counts (`awsglue/context.py:122-147`
+streaming sources feeding `forEachBatch`); funnels are the standard
+next question a warehouse answers over the same table.
+
+Shape per step: filter the step's events (predicate reaches the scan)
+→ equi-join on the user id against the cohort that completed the
+previous step → min-aggregate per user. Every join and aggregate is
+keyed on the SAME user id, so at scale one hash partitioning carries
+through all k steps with map-side combine on each aggregate; cost is
+O(k) passes over per-step event subsets, never a self-join of the
+whole stream. The step count summary is built lazily (one action,
+no driver-side loop over data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_stage_times(
+    events: DataFrame,
+    steps: list[str],
+    max_gap: str | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> list[DataFrame]:
+    """Per-step cohorts: element i is a (user, t) frame of users who
+    completed steps[0..i] in order — t is the earliest completion time
+    of step i given the user's earliest qualifying step i-1. With
+    ``max_gap`` (an INTERVAL string like '1 day'), each step must
+    occur within that gap of the previous one."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    gap: Column | None = (
+        F.expr(f"INTERVAL {max_gap}") if max_gap is not None else None
+    )
+    cur = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t"))
+    )
+    stages = [cur]
+    for step in steps[1:]:
+        cond = F.col(f"e.{ts_col}") > F.col("c.t")
+        if gap is not None:
+            cond = cond & (F.col(f"e.{ts_col}") <= F.col("c.t") + gap)
+        cur = (
+            events.filter(F.col(type_col) == step)
+            .alias("e")
+            .join(cur.alias("c"), user_col)
+            .filter(cond)
+            .groupBy(user_col)
+            .agg(F.min(f"e.{ts_col}").alias("t"))
+        )
+        stages.append(cur)
+    return stages
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    max_gap: str | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Funnel summary: one row per step with the number of users who
+    reached it in order (monotonically non-increasing down the
+    funnel)."""
+    stages = funnel_stage_times(events, steps, max_gap, user_col, ts_col, type_col)
+    parts = [
+        stage.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i + 1).alias("step_idx"),
+            F.lit(step).alias("step"),
+            F.col("n_users").cast("long").alias("n_users"),
+        )
+        for i, (step, stage) in enumerate(zip(steps, stages))
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

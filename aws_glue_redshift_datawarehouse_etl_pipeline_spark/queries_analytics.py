@@ -627,3 +627,42 @@ def range_join_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "error_id", "ctx_id", (F.col("err_us") - F.col("ctx_us")).alias("gap_us")
     )
+
+
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t FROM events e
+      JOIN s1 ON e.user_id = s1.user_id
+             AND e.ts > s1.t AND e.ts <= s1.t + INTERVAL '1 day'
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t FROM events e
+      JOIN s2 ON e.user_id = s2.user_id
+             AND e.ts > s2.t AND e.ts <= s2.t + INTERVAL '1 day'
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT 1 AS step_idx, 'view' AS step, CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 2, 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+    UNION ALL
+    SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel with a 1-day max gap between consecutive steps:
+    users whose earliest qualifying view → click → purchase chain
+    stays within the gap at every hop (operators/events.py — per step
+    one user-keyed join + min-aggregate, never a stream self-join)."""
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.events import (
+        funnel_counts,
+    )
+
+    return funnel_counts(
+        t(spark, sf_dir, "events"),
+        ["view", "click", "purchase"],
+        max_gap="'1' DAY",
+    )

@@ -405,3 +405,33 @@ def test_transitive_dedup_beats_pairwise_on_star(spark):
     assert sorted(r.doc_id for r in pairwise.collect()) == [1, 2]
     transitive = G.dedup_by_components(df, pairs, "doc_id")
     assert sorted(r.doc_id for r in transitive.collect()) == [1]
+
+
+def test_funnel_order_and_gap_semantics(spark):
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.events import (
+        funnel_counts,
+    )
+
+    rows = [
+        # user 1: full ordered funnel within gaps
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 10:05:00", "click"),
+        (1, "2024-01-01 10:10:00", "purchase"),
+        # user 2: purchase BEFORE click — order violated at step 3
+        (2, "2024-01-01 10:00:00", "view"),
+        (2, "2024-01-01 10:20:00", "purchase"),
+        (2, "2024-01-01 10:30:00", "click"),
+        # user 3: click too late (outside the 15-minute gap)
+        (3, "2024-01-01 10:00:00", "view"),
+        (3, "2024-01-01 11:00:00", "click"),
+        # user 4: never viewed
+        (4, "2024-01-01 10:00:00", "click"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts_s string, event_type string").select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_type"
+    )
+    out = {
+        r.step: r.n_users
+        for r in funnel_counts(ev, ["view", "click", "purchase"], max_gap="'15' MINUTE").collect()
+    }
+    assert out == {"view": 3, "click": 1, "purchase": 1}
