@@ -61,6 +61,38 @@ def funnel_stage_times(
     return stages
 
 
+def retention_counts(
+    events: DataFrame,
+    step_type: str | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Weekly retention cohorts: for each user, week 0 is the week of
+    their first qualifying event; the output counts users active again
+    k weeks later (one row per ``week_offset``). ``step_type`` filters
+    which events count as activity (None = all).
+
+    Shape: distinct (user, week) — one shuffle, map-side combinable —
+    then a per-user min and a user-keyed join back; the final count is
+    offset-keyed and tiny. Week arithmetic is date_trunc + integer day
+    difference // 7, which every engine evaluates identically (no
+    engine-specific week-diff semantics)."""
+    act = events
+    if step_type is not None:
+        act = act.filter(F.col(type_col) == step_type)
+    act = act.select(
+        F.col(user_col).alias("u"), F.date_trunc("week", F.col(ts_col)).alias("w")
+    ).distinct()
+    first = act.groupBy("u").agg(F.min("w").alias("w0"))
+    return (
+        act.join(first, "u")
+        .select(F.floor(F.datediff("w", "w0") / 7).cast("int").alias("week_offset"))
+        .groupBy("week_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
 def funnel_counts(
     events: DataFrame,
     steps: list[str],

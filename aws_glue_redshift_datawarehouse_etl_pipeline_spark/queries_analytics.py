@@ -666,3 +666,29 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["view", "click", "purchase"],
         max_gap="'1' DAY",
     )
+
+
+@query(
+    "retention_weekly_purchases",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS w
+      FROM events WHERE event_type = 'purchase'
+    ), fw AS (
+      SELECT u, MIN(w) AS w0 FROM act GROUP BY u
+    )
+    SELECT CAST(date_diff('day', fw.w0, act.w) // 7 AS INTEGER) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM act JOIN fw USING (u)
+    GROUP BY week_offset
+    """,
+)
+def retention_weekly_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly purchase-retention cohorts (operators/events.py):
+    date_trunc week buckets + integer day difference — identical
+    arithmetic in both engines, no week-diff dialect."""
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.events import (
+        retention_counts,
+    )
+
+    return retention_counts(t(spark, sf_dir, "events"), step_type="purchase")

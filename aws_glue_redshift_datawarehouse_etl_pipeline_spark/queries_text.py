@@ -282,6 +282,51 @@ def dedup_keep_best_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quality_top_quartile_per_lang",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, lang,
+             CAST(length(text) AS DOUBLE) AS n_chars_obs,
+             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS DOUBLE) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS n_punct,
+             CAST(len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''),
+                  tk -> list_contains(['the','and','of','to','a','in','is','it','you','that'], tk))) AS DOUBLE) AS sw
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang,
+             0.4 * least(n_tokens / 100.0, 1.0)
+               + 0.3 * (1.0 - least((CASE WHEN n_chars_obs > 0 THEN n_punct / n_chars_obs ELSE 0.0 END) * 10, 1.0))
+               + 0.3 * least((CASE WHEN n_tokens > 0 THEN sw / n_tokens ELSE 0.0 END) * 4, 1.0) AS quality_score
+      FROM f
+    )
+    SELECT doc_id, lang, quality_score FROM (
+      SELECT doc_id, lang, quality_score,
+             PERCENT_RANK() OVER (PARTITION BY lang ORDER BY quality_score DESC, doc_id ASC) AS pr
+      FROM scored
+    ) WHERE pr <= 0.25
+    """,
+)
+def quality_top_quartile_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group percentile gating — keep each language's top quality
+    quartile: the curation policy when absolute thresholds would
+    starve low-resource languages. One window pass per group; the
+    doc-id tie-break makes the kept set deterministic."""
+    from pyspark.sql import Window
+
+    scored = X.quality_features(
+        X.spread_small_scan(t(spark, sf_dir, "documents"), "doc_id")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") <= 0.25)
+        .select("doc_id", "lang", "quality_score")
+    )
+
+
+@query(
     "dedup_exact_documents",
     oracle="""
     SELECT d.doc_id, d.lang, d.source

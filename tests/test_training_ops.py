@@ -435,3 +435,26 @@ def test_funnel_order_and_gap_semantics(spark):
         for r in funnel_counts(ev, ["view", "click", "purchase"], max_gap="'15' MINUTE").collect()
     }
     assert out == {"view": 3, "click": 1, "purchase": 1}
+
+
+def test_retention_counts_planted_weeks(spark):
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.events import (
+        retention_counts,
+    )
+
+    rows = [
+        # user 1: weeks 0, 1, 3 (2024-01-01 is a Monday)
+        (1, "2024-01-02 10:00:00", "purchase"),
+        (1, "2024-01-09 10:00:00", "purchase"),
+        (1, "2024-01-23 10:00:00", "purchase"),
+        (1, "2024-01-23 15:00:00", "purchase"),  # same week: counted once
+        # user 2: week 0 only (a different calendar week than user 1's)
+        (2, "2024-01-10 09:00:00", "purchase"),
+        # user 3: never purchases
+        (3, "2024-01-02 09:00:00", "view"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts_s string, event_type string").select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_type"
+    )
+    out = {r.week_offset: r.n_users for r in retention_counts(ev, "purchase").collect()}
+    assert out == {0: 2, 1: 1, 3: 1}
