@@ -19,6 +19,7 @@ from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.joins import (
     incremental_new_rows,
     left_anti_via_left_join,
     merge_upsert,
+    snapshot_diff,
 )
 from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.setops import (
     union_by_name,
@@ -35,5 +36,6 @@ __all__ = [
     "incremental_new_rows",
     "left_anti_via_left_join",
     "merge_upsert",
+    "snapshot_diff",
     "union_by_name",
 ]

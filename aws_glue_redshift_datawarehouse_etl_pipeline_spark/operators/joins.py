@@ -110,6 +110,53 @@ def merge_upsert(
     return keep.unionByName(stage)
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """CDC-style diff of two table snapshots: one row per key present
+    in either side, labeled ``added`` (new only), ``removed`` (old
+    only), ``changed`` (both, compared columns differ), or
+    ``unchanged`` (emitted only with ``include_unchanged``). The
+    companion to the incremental-load surface: what `mergeDynamicFrame`
+    applies, this audits.
+
+    Scale shape: each side is first PROJECTED to (keys, md5 row
+    fingerprint of the compared columns) — the full-outer join, the
+    only shuffle, carries fingerprint-width rows regardless of table
+    width. Null-safe: every compared value goes through a sentinel (\\u0001)
+    + unit-separator (\\u001f) concat, so NULL vs '' vs absent all fingerprint
+    differently."""
+    keys = list(keys)
+    if compare_cols is None:
+        compare_cols = [
+            c for c in old.columns if c in set(new.columns) and c not in set(keys)
+        ]
+
+    def fp(cols: Sequence[str]) -> Column:
+        parts = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\u0001")) for c in cols
+        ]
+        return F.md5(F.concat_ws("\u001f", *parts))
+
+    o = old.select(*keys, fp(compare_cols).alias("__fp_old"))
+    n = new.select(*keys, fp(compare_cols).alias("__fp_new"))
+    j = o.join(n, keys, "full_outer")
+    change = (
+        F.when(F.col("__fp_old").isNull(), "added")
+        .when(F.col("__fp_new").isNull(), "removed")
+        .when(F.col("__fp_old") != F.col("__fp_new"), "changed")
+        .otherwise("unchanged")
+    )
+    out = j.select(change.alias("change_type"), *keys)
+    if not include_unchanged:
+        out = out.filter(F.col("change_type") != "unchanged")
+    return out
+
+
 def salted_equi_join(
     skewed: DataFrame,
     other: DataFrame,

@@ -28,6 +28,7 @@ from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators import (
     incremental_new_rows,
     left_anti_via_left_join,
     merge_upsert,
+    snapshot_diff,
     split_rows,
     union_by_name,
 )
@@ -316,6 +317,45 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
     ).withColumn("o_orderstatus", F.lit("U"))
     return merge_upsert(orders, stage, ["o_orderkey"])
+
+
+@query(
+    "snapshot_diff_orders",
+    oracle="""
+    WITH oldt AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END AS st,
+             o_orderpriority AS pr
+      FROM orders WHERE o_orderkey % 101 != 0
+    ), newt AS (
+      SELECT o_orderkey, o_orderstatus AS st, o_orderpriority AS pr
+      FROM orders WHERE o_orderkey % 97 != 0
+    )
+    SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey
+    FROM oldt o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.st != n.st OR o.pr != n.pr
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot audit (operators/joins.py::snapshot_diff):
+    the old snapshot lacks keys ≡0 (mod 101) and mangles the status of
+    keys ≡0 (mod 7); the new snapshot lacks keys ≡0 (mod 97) — so the
+    diff must label exactly those keys added/removed/changed. Each
+    side is projected to (key, row fingerprint) before the full-outer
+    join, so the only shuffle carries fingerprint-width rows."""
+    orders = t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 101 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 7 == 0, "X").otherwise(F.col("o_orderstatus")),
+    )
+    new = orders.filter(F.col("o_orderkey") % 97 != 0)
+    return snapshot_diff(
+        old, new, ["o_orderkey"], ["o_orderstatus", "o_orderpriority"]
+    )
 
 
 @query(

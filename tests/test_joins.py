@@ -148,3 +148,23 @@ def test_range_join_matches_naive_and_avoids_bnlj(spark):
     assert got == [("a", "x"), ("c", "w")]
     s = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in s and "CartesianProduct" not in s
+
+
+def test_snapshot_diff_labels_and_null_safety(spark):
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.joins import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", None), (2, "b", "y"), (3, "c", "z"), (4, None, "w")],
+        "id long, s1 string, s2 string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", None), (2, "B", "y"), (5, "e", "v"), (4, "", "w")],
+        "id long, s1 string, s2 string",
+    )
+    got = {r.id: r.change_type for r in snapshot_diff(old, new, ["id"]).collect()}
+    # 1 unchanged (dropped), 2 changed, 3 removed, 5 added, 4: NULL -> '' must be a change
+    assert got == {2: "changed", 3: "removed", 5: "added", 4: "changed"}
+    full = snapshot_diff(old, new, ["id"], include_unchanged=True)
+    assert {r.id: r.change_type for r in full.collect()}[1] == "unchanged"
