@@ -27,6 +27,43 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _driver_union_find(
+    nodes: DataFrame, edge_rows: list, id_col: str
+) -> DataFrame:
+    """Small-graph fast path: union-find with path compression on the
+    driver (one collect of the edge list, one broadcast join back).
+    Roots are the component minimum, matching the distributed path
+    bit-for-bit."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edge_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    mapping = [(x, find(x)) for x in parent]
+    spark = nodes.sparkSession
+    if mapping:
+        comp = spark.createDataFrame(mapping, ["id", "component"])
+    else:
+        comp = spark.createDataFrame([], "id long, component long")
+    out = nodes.select(F.col(id_col).alias("id")).join(
+        F.broadcast(comp), "id", "left"
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        F.coalesce("component", "id").alias("component"),
+    )
+
+
 def connected_components(
     nodes: DataFrame,
     pairs: DataFrame,
@@ -34,19 +71,35 @@ def connected_components(
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_iter: int = 25,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Label every node with the minimum node id reachable through the
     undirected ``pairs`` graph. Returns (id_col, component) — nodes
     absent from any pair keep their own id as the component.
 
-    ``max_iter`` bounds the propagation; if the fixpoint isn't reached
-    (component diameter exceeds the bound) a RuntimeError is raised
-    rather than silently returning partial clusters."""
+    Graphs with at most ``driver_threshold`` edges take the union-find
+    fast path: after LSH, the candidate graph is a vanishing fraction
+    of the corpus (thousands of edges from millions of docs), and a
+    single collect beats 3-5 rounds of tiny distributed jobs by an
+    order of magnitude. Larger graphs run distributed min-label
+    propagation; ``max_iter`` bounds it, and if the fixpoint isn't
+    reached (component diameter exceeds the bound) a RuntimeError is
+    raised rather than silently returning partial clusters."""
     edges = (
         pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .union(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
         .persist()
     )
+    # count the PERSISTED edge frame: this one action materializes the
+    # cache that either branch (collect, or every propagation round)
+    # reads — the upstream pair pipeline runs exactly once
+    n_edges = edges.count() // 2
+    if n_edges <= driver_threshold:
+        try:
+            edge_rows = [(r.src, r.dst) for r in edges.collect()]
+            return _driver_union_find(nodes, edge_rows, id_col)
+        finally:
+            edges.unpersist()
     labels = nodes.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("component")
     ).persist()

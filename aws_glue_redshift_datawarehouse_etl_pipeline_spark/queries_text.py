@@ -680,6 +680,18 @@ def minhash_lsh_dedup_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+@query("minhash_lsh_dedup_transitive_fast")
+def minhash_lsh_dedup_transitive_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production path of cluster-level dedup: xxhash64 signatures
+    (JVM intrinsic) + connected components. Same pipeline as the
+    oracle-checked `minhash_lsh_dedup_transitive`, which pins the
+    semantics on the portable hash family; this one is rows-only."""
+    return D.minhash_lsh_dedup(
+        t(spark, sf_dir, "documents"), "doc_id", "text",
+        verify_threshold=0.8, transitive=True,
+    ).select("doc_id", "lang", "source")
+
+
 @query("ivf_ann_topk")
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: probe the 4 nearest of 16 clusters."""

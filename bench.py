@@ -29,10 +29,16 @@ BENCH_QUERIES = [
     # time-series joins (join-free asof, binned range)
     "asof_purchase_last_click",
     "range_join_error_context",
+    # warehouse ops + event analytics
+    "snapshot_diff_orders",
+    "funnel_view_click_purchase",
+    "retention_weekly_purchases",
     # training-data operator families
     "token_count_documents",
     "dedup_exact_documents",
     "minhash_lsh_dedup_documents",
+    "minhash_lsh_dedup_transitive_fast",
+    "stratified_sample_documents",
     "embedding_cosine_topk",
     # streaming engine (availableNow over staged events)
     "streaming_hourly_event_counts",

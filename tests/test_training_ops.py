@@ -379,8 +379,14 @@ def test_connected_components_chain_and_isolates(spark):
 
     nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 20]], "id long")
     pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long")
-    comp = {r.id: r.component for r in G.connected_components(nodes, pairs).collect()}
-    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+    expected = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+    # union-find fast path and distributed propagation must agree
+    fast = {r.id: r.component for r in G.connected_components(nodes, pairs).collect()}
+    dist = {
+        r.id: r.component
+        for r in G.connected_components(nodes, pairs, driver_threshold=0).collect()
+    }
+    assert fast == expected and dist == expected
 
 
 def test_connected_components_raises_when_iteration_bound_hit(spark):
@@ -389,7 +395,7 @@ def test_connected_components_raises_when_iteration_bound_hit(spark):
     nodes = spark.createDataFrame([(i,) for i in range(6)], "id long")
     chain = spark.createDataFrame([(i, i + 1) for i in range(5)], "doc_a long, doc_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        G.connected_components(nodes, chain, max_iter=2)
+        G.connected_components(nodes, chain, max_iter=2, driver_threshold=0)
 
 
 def test_transitive_dedup_beats_pairwise_on_star(spark):
