@@ -190,6 +190,46 @@ def vocab_stats(
     )
 
 
+def distinctive_terms(
+    df: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Top-``k`` most distinctive terms per document: score = term
+    frequency in the doc / document frequency in the corpus (the
+    rational tf-idf variant — same ranking intent as tf·log(N/df)
+    without a transcendental, so every engine computes the identical
+    doubles and the ranking is exactly reproducible; ties break on the
+    term ascending).
+
+    Shape: one (doc, token) count, one token-keyed join against the
+    corpus doc-frequency table (vocabulary-sized — broadcastable), one
+    per-doc window. All three shuffles are on bounded keys."""
+    from pyspark.sql import Window
+
+    ex = spread_small_scan(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t")), "doc"
+    ).select("doc", F.explode(tokens("__t")).alias("token"))
+    tf = ex.groupBy("doc", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = ex.select("doc", "token").distinct().groupBy("token").agg(
+        F.count(F.lit(1)).alias("doc_freq")
+    )
+    w = Window.partitionBy("doc").orderBy(
+        (F.col("tf").cast("double") / F.col("doc_freq").cast("double")).desc(),
+        F.col("token").asc(),
+    )
+    return (
+        tf.join(dfreq, "token")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("doc").alias(id_col),
+            "token",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("doc_freq").cast("long").alias("doc_freq"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def normalized(col: Column | str) -> Column:
     """Canonical text form for fingerprinting: lowercase, collapse
     whitespace runs, trim."""

@@ -327,6 +327,39 @@ def quality_top_quartile_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "distinctive_terms_documents",
+    oracle=f"""
+    WITH ex AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM ex GROUP BY doc_id, token
+    ), dfreq AS (
+      SELECT token, COUNT(*) AS doc_freq
+      FROM (SELECT DISTINCT doc_id, token FROM ex) GROUP BY token
+    )
+    SELECT doc_id, token,
+           CAST(tf AS BIGINT) AS tf,
+           CAST(doc_freq AS BIGINT) AS doc_freq,
+           CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT tf.doc_id, tf.token, tf.tf, dfreq.doc_freq,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY CAST(tf.tf AS DOUBLE) / CAST(dfreq.doc_freq AS DOUBLE) DESC,
+                        tf.token ASC
+             ) AS rank
+      FROM tf JOIN dfreq USING (token)
+    ) WHERE rank <= 3
+    """,
+)
+def distinctive_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most distinctive terms per document (tf / corpus doc-freq,
+    the transcendental-free tf-idf ranking — exactly reproducible
+    doubles, term-ascending tie-break)."""
+    return X.distinctive_terms(t(spark, sf_dir, "documents"), k=3)
+
+
+@query(
     "dedup_exact_documents",
     oracle="""
     SELECT d.doc_id, d.lang, d.source

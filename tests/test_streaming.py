@@ -129,3 +129,25 @@ def test_session_window_batch(spark, events_stream):
     out = session_window_agg(src, "ts", "30 minutes", ["user_id"])
     assert out.count() > 0
     assert out.agg(F.sum("n")).first()[0] == src.count()
+
+
+def test_hash_sample_identical_in_batch_and_streaming(spark, sf_dir, tmp_path):
+    """The deterministic sampler is a pure row-key function, so the
+    SAME subset must survive whether the gate runs as a batch filter
+    or inside a streaming micro-batch plan."""
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators import sampling as P
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    path = str(tmp_path / "docs_src")
+    docs.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(docs.schema).parquet(path)
+    name = "sampled_stream_out"
+    q = (
+        P.hash_sample(stream, 0.3, "doc_id")
+        .writeStream.format("memory").queryName(name)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    streamed = {r.doc_id for r in spark.sql(f"SELECT doc_id FROM {name}").collect()}
+    batch = {r.doc_id for r in P.hash_sample(docs, 0.3, "doc_id").select("doc_id").collect()}
+    assert streamed == batch and len(batch) > 0

@@ -464,3 +464,19 @@ def test_retention_counts_planted_weeks(spark):
     )
     out = {r.week_offset: r.n_users for r in retention_counts(ev, "purchase").collect()}
     assert out == {0: 2, 1: 1, 3: 1}
+
+
+def test_distinctive_terms_planted(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "zebra zebra common"),   # 'zebra' frequent here, rare in corpus
+            (2, "common common apple"),
+            (3, "common banana"),
+        ],
+        "doc_id long, text string",
+    )
+    out = X.distinctive_terms(df, k=1).collect()
+    top = {r.doc_id: (r.token, r.tf, r.doc_freq) for r in out}
+    assert top[1] == ("zebra", 2, 1)   # tf 2 / df 1 = 2.0 beats common's 1/3
+    assert top[2] == ("apple", 1, 1)   # 1/1 = 1.0 beats common's 2/3
+    assert top[3] == ("banana", 1, 1)  # 1/1 = 1.0 beats common's 1/3
