@@ -230,6 +230,55 @@ def distinctive_terms(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every ordered k-token gram,
+    slide a window of ``w`` consecutive hashes, keep each window's
+    minimum. Guarantees any shared run of ≥ w+k-1 tokens between two
+    documents yields at least one shared fingerprint, at ~1/w the
+    storage of all-gram hashing — the standard partial-overlap
+    detector where whole-document hashes (``fingerprint_md5``) and
+    set-overlap measures (MinHash) miss ordered substring reuse.
+
+    Pure Column pipeline: gram hashing and window minima are
+    higher-order functions on the token array (per-row, no shuffle),
+    then one explode + distinct keyed on (doc, fingerprint). The hash
+    is the portable md5-derived family, so any engine reproduces the
+    exact fingerprint set."""
+    base = spread_small_scan(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t")), "doc"
+    )
+    toks = tokens("__t")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(
+            F.substring(F.md5(F.encode(F.concat_ws("|", F.lit("0"), g), "UTF-8")), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+    )
+    wins = F.transform(
+        F.sequence(F.lit(0), F.size(hashes) - w),
+        lambda j: F.array_min(F.slice(hashes, j + 1, w)),
+    )
+    fps = F.when(F.size(toks) >= k + w - 1, F.array_distinct(wins)).otherwise(
+        F.array().cast("array<long>")
+    )
+    return base.select(
+        F.col("doc").alias(id_col), F.explode(fps).alias("fp")
+    ).distinct()
+
+
 def normalized(col: Column | str) -> Column:
     """Canonical text form for fingerprinting: lowercase, collapse
     whitespace runs, trim."""

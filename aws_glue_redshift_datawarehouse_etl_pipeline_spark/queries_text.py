@@ -360,6 +360,38 @@ def distinctive_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "winnow_fingerprints_documents",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), h AS (
+      SELECT doc_id,
+             list_transform(
+               list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]),
+               g -> CAST(('0x' || substr(md5('0|' || g), 1, 15)) AS BIGINT)
+             ) AS hs,
+             len(t) AS n
+      FROM toks
+    ), wins AS (
+      SELECT doc_id,
+             CASE WHEN n >= 6
+                  THEN list_distinct(list_transform(range(len(hs) - 3),
+                         j -> list_min(list_slice(hs, j + 1, j + 4))))
+                  ELSE [] END AS fps
+      FROM h
+    )
+    SELECT DISTINCT doc_id, CAST(unnest(fps) AS BIGINT) AS fp FROM wins
+    """,
+)
+def winnow_fingerprints_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (k=3-token grams, window w=4): the
+    rolling min-hash fingerprint set every engine reproduces exactly —
+    the ordered-substring-reuse detector alongside MinHash's
+    set-overlap."""
+    return X.winnow_fingerprints(t(spark, sf_dir, "documents"), k=3, w=4)
+
+
+@query(
     "dedup_exact_documents",
     oracle="""
     SELECT d.doc_id, d.lang, d.source

@@ -480,3 +480,25 @@ def test_distinctive_terms_planted(spark):
     assert top[1] == ("zebra", 2, 1)   # tf 2 / df 1 = 2.0 beats common's 1/3
     assert top[2] == ("apple", 1, 1)   # 1/1 = 1.0 beats common's 2/3
     assert top[3] == ("banana", 1, 1)  # 1/1 = 1.0 beats common's 1/3
+
+
+def test_winnow_shared_run_guarantee(spark):
+    # winnowing guarantee: a shared token run of length >= w+k-1 (= 6
+    # for k=3, w=4) must produce at least one shared fingerprint
+    shared = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [
+            (1, f"one two {shared} three"),
+            (2, f"{shared} nine ten eleven"),
+            (3, "totally unrelated words with no overlap at all here"),
+            (4, "tiny doc"),  # below k+w-1 tokens: no fingerprints
+        ],
+        "doc_id long, text string",
+    )
+    fps = X.winnow_fingerprints(df, k=3, w=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2]            # overlap detected
+    assert not (by_doc[1] & by_doc[3])      # unrelated: disjoint
+    assert 4 not in by_doc                  # too short to fingerprint
