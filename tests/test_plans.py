@@ -94,3 +94,16 @@ def test_spread_small_scan_spreads_only_when_under_partitioned(spark, sf_dir):
     assert spread.count() == docs.count()
     wide = docs.repartition(target + 4)
     assert spread_small_scan(wide, "doc_id") is wide
+
+
+def test_snapshot_diff_joins_on_fingerprints_not_rows(spark, sf_dir):
+    s = plan(spark, sf_dir, "snapshot_diff_orders")
+    assert "BroadcastNestedLoopJoin" not in s and "CartesianProduct" not in s
+    # the only join input columns are key + md5 fingerprint, never the
+    # wide compared columns
+    assert "FullOuter" in s or "SortMergeJoin" in s or "ShuffledHashJoin" in s
+
+
+def test_funnel_has_no_cartesian_and_stays_user_keyed(spark, sf_dir):
+    s = plan(spark, sf_dir, "funnel_view_click_purchase")
+    assert "BroadcastNestedLoopJoin" not in s and "CartesianProduct" not in s
