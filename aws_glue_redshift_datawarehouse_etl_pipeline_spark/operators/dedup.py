@@ -37,6 +37,18 @@ from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.text import (
 _DEC12 = T.DecimalType(30, 12)
 
 
+def release_caches(cache_registry: list[DataFrame]) -> None:
+    """Unpersist every frame a dedup call registered (see the
+    ``cache_registry`` parameter on ``minhash_lsh_pairs`` /
+    ``minhash_lsh_dedup``) and clear the list. Call after the FINAL
+    action on the returned frame — the caches exist to avoid
+    recomputation across the multiple consumers inside one job, and
+    holding them longer just pins executor storage."""
+    for frame in cache_registry:
+        frame.unpersist(blocking=False)
+    cache_registry.clear()
+
+
 def exact_dedup(
     df: DataFrame, id_col: str, text_col: str = "text",
     score_col: str | None = None,
@@ -186,11 +198,18 @@ def minhash_lsh_pairs(
     n: int = 3,
     portable: bool = False,
     cache: bool = True,
+    cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: split the signature into ``bands`` bands of
     ``num_hashes/bands`` rows; documents sharing any band hash are
     candidates. One shuffle on (band_index, band_hash). Pairs are
-    deduplicated across bands."""
+    deduplicated across bands.
+
+    Persisted intermediates are appended to ``cache_registry`` when
+    given; a long-lived session should pass a list and unpersist its
+    entries after the final action on the returned frame (see
+    ``release_caches``) — otherwise the signature cache stays pinned in
+    executor storage until the session ends."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
@@ -201,6 +220,8 @@ def minhash_lsh_pairs(
         # exchange (one side becomes a broadcast), so cache it instead
         # of computing signatures twice
         sigs = sigs.persist()
+        if cache_registry is not None:
+            cache_registry.append(sigs)
     banded = sigs.select(
         "doc",
         F.posexplode(
@@ -237,6 +258,7 @@ def minhash_lsh_dedup(
     verify_threshold: float | None = 0.8,
     portable: bool = False,
     transitive: bool = False,
+    cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Near-dup removal: LSH candidates (optionally verified with true
     Jaccard ≥ threshold), then keep one representative per duplicate
@@ -249,8 +271,16 @@ def minhash_lsh_dedup(
     the verified-pair graph to connected components first
     (operators/graph.py), keeping exactly the minimum id of each
     component — cluster-level semantics at the cost of O(diameter)
-    label-propagation rounds over the (tiny) candidate graph."""
-    pairs = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands, n, portable)
+    label-propagation rounds over the (tiny) candidate graph.
+
+    Pass ``cache_registry`` (a list) to receive every persisted
+    intermediate; call ``release_caches`` on it after the final action
+    on the returned frame so a long-lived session doesn't accumulate
+    pinned signature/pair caches."""
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, num_hashes, bands, n, portable,
+        cache_registry=cache_registry,
+    )
     if verify_threshold is not None:
         # Verify ONLY the LSH candidates, and shingle ONLY the docs that
         # appear in a candidate pair (semi-join first): verification
@@ -259,6 +289,8 @@ def minhash_lsh_dedup(
         # `pairs` feeds three consumers (both verify joins + the id
         # set), so persist it rather than recomputing the band join.
         pairs = pairs.persist()
+        if cache_registry is not None:
+            cache_registry.append(pairs)
         cand_ids = (
             pairs.select(F.col("doc_a").alias("doc"))
             .union(pairs.select(F.col("doc_b").alias("doc")))
@@ -393,13 +425,27 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    max_rows: int | None = 1_000_000,
 ) -> DataFrame:
     """Embedding near-duplicates: pairs with cosine ≥ threshold.
     Self-norms are computed once per row BEFORE the pair join (one
-    exact fold per pair instead of three). Brute-force block self-join
-    — for corpora beyond ~1M vectors, bucket by coarse quantization
-    first (see similarity.ivf_topk's centroid assignment) and join
-    within buckets."""
+    exact fold per pair instead of three).
+
+    This is the O(n²) VERIFICATION BASELINE, not the production path —
+    ``embedding_near_dup_pairs_bucketed`` is the scale path (bucketed
+    equi-join, sum-of-squares instead of full quadratic). To keep the
+    quadratic plan from ever reaching a real corpus, the call refuses
+    corpora above ``max_rows`` (the size check is one cheap count
+    aggregation); pass ``max_rows=None`` to force."""
+    if max_rows is not None:
+        n = df.count()
+        if n > max_rows:
+            raise ValueError(
+                f"embedding_near_dup_pairs is the O(n^2) verification baseline "
+                f"and the corpus has {n} rows (> max_rows={max_rows}); use "
+                "embedding_near_dup_pairs_bucketed (the production path) or "
+                "pass max_rows=None to force."
+            )
     vec = F.col(vec_col)
     # the pair join streams one side through a nested-loop broadcast;
     # spread it so the per-pair cosine work runs on every core

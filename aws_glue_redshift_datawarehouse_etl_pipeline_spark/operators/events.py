@@ -31,33 +31,55 @@ def funnel_stage_times(
 ) -> list[DataFrame]:
     """Per-step cohorts: element i is a (user, t) frame of users who
     completed steps[0..i] in order — t is the earliest completion time
-    of step i given the user's earliest qualifying step i-1. With
-    ``max_gap`` (an INTERVAL string like '1 day'), each step must
-    occur within that gap of the previous one."""
+    of step i over ALL valid sequences (exists-a-valid-sequence
+    semantics). With ``max_gap`` (an INTERVAL string like '1 day'),
+    each step must occur within that gap of the previous one.
+
+    Without a gap, tracking only each user's earliest step-i time is
+    exact (any later step qualifies against the earliest predecessor).
+    With a gap it is not — a user whose LATER step-i occurrence is the
+    one that enables step i+1 would be undercounted — so the gap path
+    carries every qualifying step time per user and semi-joins the next
+    step's events against them. Still user-keyed hash joins throughout
+    (one partitioning carries all k steps); the extra state is the
+    distinct per-step event times per user, the inherent cost of
+    sequence-exists semantics."""
     if not steps:
         raise ValueError("funnel needs at least one step")
     gap: Column | None = (
         F.expr(f"INTERVAL {max_gap}") if max_gap is not None else None
     )
-    cur = (
-        events.filter(F.col(type_col) == steps[0])
-        .groupBy(user_col)
-        .agg(F.min(ts_col).alias("t"))
+    first = events.filter(F.col(type_col) == steps[0]).select(
+        user_col, F.col(ts_col).alias("t")
     )
-    stages = [cur]
+    if gap is None:
+        cur = first.groupBy(user_col).agg(F.min("t").alias("t"))
+        stages = [cur]
+        for step in steps[1:]:
+            cur = (
+                events.filter(F.col(type_col) == step)
+                .alias("e")
+                .join(cur.alias("c"), user_col)
+                .filter(F.col(f"e.{ts_col}") > F.col("c.t"))
+                .groupBy(user_col)
+                .agg(F.min(f"e.{ts_col}").alias("t"))
+            )
+            stages.append(cur)
+        return stages
+    qual = first.distinct()
+    stages = [qual.groupBy(user_col).agg(F.min("t").alias("t"))]
     for step in steps[1:]:
-        cond = F.col(f"e.{ts_col}") > F.col("c.t")
-        if gap is not None:
-            cond = cond & (F.col(f"e.{ts_col}") <= F.col("c.t") + gap)
-        cur = (
-            events.filter(F.col(type_col) == step)
-            .alias("e")
-            .join(cur.alias("c"), user_col)
-            .filter(cond)
-            .groupBy(user_col)
-            .agg(F.min(f"e.{ts_col}").alias("t"))
+        nxt = events.filter(F.col(type_col) == step).select(
+            user_col, F.col(ts_col).alias("t")
+        ).distinct()
+        qual = nxt.alias("e").join(
+            qual.alias("c"),
+            (F.col(f"e.{user_col}") == F.col(f"c.{user_col}"))
+            & (F.col("e.t") > F.col("c.t"))
+            & (F.col("e.t") <= F.col("c.t") + gap),
+            "left_semi",
         )
-        stages.append(cur)
+        stages.append(qual.groupBy(user_col).agg(F.min("t").alias("t")))
     return stages
 
 

@@ -81,13 +81,15 @@ def unbox(
     schema: T.StructType | str | None = None,
     **options: str,
 ) -> DataFrame:
-    """Parse a string column as embedded JSON/CSV into a struct column
-    of the same name (Unbox,
-    /root/reference/awsglue/transforms/unbox.py:15-112). A schema keeps
-    the parse a single vectorized expression; without one, a sampling
-    inference pass derives it (schema_of_json on a driver-side sample —
-    cheap, but prefer explicit schemas at scale).
-    """
+    """Parse a string (or, for avro, binary) column as embedded
+    JSON/CSV/Avro into a struct column of the same name (Unbox,
+    /root/reference/awsglue/transforms/unbox.py:15-112 — same format
+    list). A schema keeps the parse a single vectorized expression;
+    without one, a sampling inference pass derives it (schema_of_json
+    on a driver-side sample — cheap, but prefer explicit schemas at
+    scale). Avro requires an explicit Avro JSON schema string and the
+    spark-avro connector on the session classpath (it is an external
+    Spark module; ``from_avro`` raises AVRO_NOT_LOADED otherwise)."""
     fmt = fmt.lower()
     if fmt == "json":
         if schema is None:
@@ -101,6 +103,15 @@ def unbox(
             raise ValueError("CSV unbox requires an explicit schema")
         sep = options.pop("separator", ",")
         parsed = F.from_csv(F.col(path), schema if isinstance(schema, str) else schema.simpleString(), {"sep": sep, **options})
+    elif fmt == "avro":
+        if schema is None or not isinstance(schema, str):
+            raise ValueError(
+                "Avro unbox requires an explicit Avro JSON schema string "
+                "(there is no in-band schema in a bare Avro-encoded column)"
+            )
+        from pyspark.sql.avro.functions import from_avro
+
+        parsed = from_avro(F.col(path), schema, dict(options))
     else:
         raise ValueError(f"unsupported unbox format: {fmt!r}")
     return df.withColumn(path, parsed)

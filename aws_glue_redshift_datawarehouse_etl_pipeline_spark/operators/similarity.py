@@ -80,14 +80,19 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
-    """One-pass IVF index: centroids are a deterministic sample (lowest
-    ids — reproducible without a k-means job; swap in k-means|| offline
-    for better balance), every vector is assigned to its nearest
-    centroid. Returns (assigned corpus, centroid list). The assignment
-    is a narrow map over a broadcast centroid array."""
+    """One-pass IVF index: centroids are a deterministic hash-spread
+    sample — ordered by ``xxhash64(id)`` rather than raw id, so the
+    choice is content-independent (ids usually correlate with ingestion
+    order, and the lowest-id prefix would skew buckets badly); swap in
+    k-means|| offline for better balance. Every vector is assigned to
+    its nearest centroid. Returns (assigned corpus, centroid list). The
+    assignment is a narrow map over a broadcast centroid array."""
     cents = [
         (int(r[0]), [float(x) for x in r[1]])
-        for r in df.select(id_col, vec_col).orderBy(id_col).limit(num_centroids).collect()
+        for r in df.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(num_centroids)
+        .collect()
     ]
     assigned = df.withColumn(
         "__cluster",

@@ -543,11 +543,86 @@ def register_all() -> None:
     )
 
 
+# The driver samples the FIRST 50 registry entries for its oracle
+# comparison, so the window below is curated to cover every operator
+# family in SURVEY.md §2 — core relational/ETL, semi-structured, schema
+# resolution, streaming, custom temporal ops, and the full LLM
+# training-data family (text stats, exact/LSH/SimHash/embedding dedup,
+# ANN, sampling) — one representative per family, variants afterwards.
+PRIORITY: tuple[str, ...] = (
+    # flagship + core relational / ETL transforms
+    "pricing_summary",
+    "star_revenue_by_nation",
+    "apply_mapping_part",
+    "split_rows_part",
+    "antijoin_incremental_orders",
+    "antijoin_composite_lineitem",
+    "merge_upsert_orders",
+    "snapshot_diff_orders",
+    "union_by_name_customer",
+    "topk_customers_per_nation",
+    "salted_join_orders_customer",
+    "error_channel_summary",
+    "map_derived_revenue",
+    # analytics representatives (full family continues below the window)
+    "rollup_pricing",
+    "pivot_linestatus",
+    "window_running_supplier",
+    "semijoin_customers_with_open_orders",
+    "approx_distinct_customers",
+    "approx_percentile_prices",
+    # temporal / event custom operators
+    "sessionize_events",
+    "events_hourly_tumbling",
+    "asof_purchase_last_click",
+    "range_join_error_context",
+    "funnel_view_click_purchase",
+    "retention_weekly_purchases",
+    # semi-structured + schema resolution
+    "unbox_events_props",
+    "unnest_nested_struct",
+    "relationalize_name_tokens",
+    "resolve_choice_mixed",
+    "drop_null_fields_customer",
+    "explode_tokens_with_index",
+    "replace_second_token",
+    # streaming
+    "streaming_hourly_event_counts",
+    "streaming_dedup_fingerprints",
+    # LLM training-data pipeline: text analysis
+    "token_count_documents",
+    "text_quality_scores",
+    "language_id_documents",
+    "fingerprint_documents",
+    # LLM training-data pipeline: dedup
+    "dedup_exact_documents",
+    "ngram_jaccard_near_dups",
+    "minhash_lsh_dedup_portable",
+    "minhash_lsh_dedup_transitive",
+    "simhash_near_dup_portable",
+    # LLM training-data pipeline: similarity / embeddings
+    "embedding_cosine_topk",
+    "embedding_near_dup_bucketed",
+    "embedding_near_dup_pairs",
+    # LLM training-data pipeline: sampling / splits
+    "stratified_sample_documents",
+    "hash_split_documents",
+    # production fast-path invariants (xxhash64 vs portable, IVF recall)
+    "fastpath_parity_checks",
+    "ivf_recall_check",
+)
+
+
+def _prioritized(d: dict) -> dict:
+    head = {k: d[k] for k in PRIORITY if k in d}
+    return head | {k: v for k, v in d.items() if k not in head}
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     register_all()
-    return dict(QUERIES)
+    return _prioritized(QUERIES)
 
 
 def all_oracle_sql() -> dict[str, str]:
     register_all()
-    return dict(ORACLE)
+    return _prioritized(ORACLE)

@@ -436,29 +436,71 @@ def semijoin_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> Dat
     ).select("c_custkey", "c_mktsegment")
 
 
-@query("approx_distinct_customers")
+@query(
+    "approx_distinct_customers",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(DISTINCT o_custkey) AS exact_customers,
+           TRUE AS approx_ok
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
 def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct-count sketch per segment (engine-only:
-    DuckDB's approx sketch differs; pytest bounds the error vs exact).
-    At scale this replaces a full distinct shuffle with fixed-size
-    sketch merges."""
+    """HyperLogLog++ distinct-count sketch per segment. DuckDB's sketch
+    differs bit-wise, so the oracle checks an invariant instead: the
+    exact distinct count (computed identically by both engines) plus a
+    Spark-side assertion that the HLL estimate lands within 3x the
+    requested rsd of exact. At scale the sketch replaces a full
+    distinct shuffle with fixed-size mergeable state."""
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
-    return (
+    agg = (
         o.join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("c_mktsegment")
-        .agg(F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"))
+        .agg(
+            F.countDistinct("o_custkey").alias("exact_customers"),
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        )
+    )
+    err = F.abs(F.col("approx_customers") - F.col("exact_customers"))
+    return agg.select(
+        "c_mktsegment",
+        "exact_customers",
+        (err <= 3 * 0.02 * F.col("exact_customers")).alias("approx_ok"),
     )
 
 
-@query("approx_percentile_prices")
+@query(
+    "approx_percentile_prices",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n, TRUE AS p50_ok, TRUE AS p95_ok
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
 def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantile sketch (percentile_approx) of order totals per
-    priority — fixed-memory alternative to a global sort; accuracy
-    bounded in pytest."""
+    """Quantile sketch (percentile_approx, KLL-style bounded memory) of
+    order totals per priority — fixed-memory alternative to a global
+    sort. The sketch guarantees rank error <= 1/accuracy; the oracle
+    checks the invariant that each estimate lies between the exact
+    percentiles at q +/- 0.01 (both engines compute the group count
+    exactly; the bracketing booleans are Spark-side assertions)."""
     o = t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.percentile_approx("o_totalprice", [0.5, 0.95], 10000).alias("p50_p95")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50"),
+        F.percentile_approx("o_totalprice", 0.95, 10000).alias("p95"),
+        F.expr(
+            "percentile(o_totalprice, array(0.49, 0.51, 0.94, 0.96))"
+        ).alias("exact_q"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n",
+        ((F.col("p50") >= F.col("exact_q")[0]) & (F.col("p50") <= F.col("exact_q")[1]))
+        .alias("p50_ok"),
+        ((F.col("p95") >= F.col("exact_q")[2]) & (F.col("p95") <= F.col("exact_q")[3]))
+        .alias("p95_ok"),
     )
 
 
@@ -633,30 +675,32 @@ def range_join_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     "funnel_view_click_purchase",
     oracle="""
     WITH s1 AS (
-      SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id
+      SELECT DISTINCT user_id, ts AS t FROM events WHERE event_type = 'view'
     ), s2 AS (
-      SELECT e.user_id, MIN(e.ts) AS t FROM events e
-      JOIN s1 ON e.user_id = s1.user_id
-             AND e.ts > s1.t AND e.ts <= s1.t + INTERVAL '1 day'
-      WHERE e.event_type = 'click' GROUP BY e.user_id
+      SELECT DISTINCT e.user_id, e.ts AS t FROM events e
+      WHERE e.event_type = 'click' AND EXISTS (
+        SELECT 1 FROM s1 WHERE s1.user_id = e.user_id
+          AND e.ts > s1.t AND e.ts <= s1.t + INTERVAL '1 day')
     ), s3 AS (
-      SELECT e.user_id, MIN(e.ts) AS t FROM events e
-      JOIN s2 ON e.user_id = s2.user_id
-             AND e.ts > s2.t AND e.ts <= s2.t + INTERVAL '1 day'
-      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+      SELECT DISTINCT e.user_id, e.ts AS t FROM events e
+      WHERE e.event_type = 'purchase' AND EXISTS (
+        SELECT 1 FROM s2 WHERE s2.user_id = e.user_id
+          AND e.ts > s2.t AND e.ts <= s2.t + INTERVAL '1 day')
     )
-    SELECT 1 AS step_idx, 'view' AS step, CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+    SELECT 1 AS step_idx, 'view' AS step, CAST((SELECT COUNT(DISTINCT user_id) FROM s1) AS BIGINT) AS n_users
     UNION ALL
-    SELECT 2, 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+    SELECT 2, 'click', CAST((SELECT COUNT(DISTINCT user_id) FROM s2) AS BIGINT)
     UNION ALL
-    SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+    SELECT 3, 'purchase', CAST((SELECT COUNT(DISTINCT user_id) FROM s3) AS BIGINT)
     """,
 )
 def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered funnel with a 1-day max gap between consecutive steps:
-    users whose earliest qualifying view → click → purchase chain
-    stays within the gap at every hop (operators/events.py — per step
-    one user-keyed join + min-aggregate, never a stream self-join)."""
+    """Ordered funnel with a 1-day max gap between consecutive steps,
+    exists-a-valid-sequence semantics: a user reaches step i if SOME
+    chain of view → click → purchase stays within the gap at every hop
+    (operators/events.py — per step one user-keyed semi-join over the
+    qualifying step times, never a stream self-join). The oracle
+    reproduces the same recurrence with EXISTS subqueries."""
     from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.events import (
         funnel_counts,
     )

@@ -898,14 +898,51 @@ def bpe_token_count_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("embedding_near_dup_bucketed")
+@query(
+    "embedding_near_dup_bucketed",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             CAST(list_aggregate(list_transform(embedding,
+               x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(30,12))), 'sum') AS DOUBLE) AS nn
+      FROM embeddings
+    )
+    SELECT COUNT(*) AS n_brute_pairs,
+           TRUE AS subset_ok, TRUE AS recall_ok
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE CAST(list_aggregate(list_transform(range(len(a.embedding)),
+             i -> CAST(CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE) AS DECIMAL(30,12))), 'sum') AS DOUBLE)
+             / (sqrt(a.nn) * sqrt(b.nn)) >= 0.4
+    """,
+)
 def embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale path for embedding near-dup: IVF-bucketed equi-join pair
-    generation (no nested-loop join anywhere). Approximate across
-    bucket borders → rows-only; recall vs brute force is asserted in
+    """PRODUCTION path for embedding near-dup: IVF-bucketed equi-join
+    pair generation (no nested-loop join anywhere; the quadratic term
+    is sum of per-bucket squares). Cross-bucket pairs are the accepted
+    approximation, so exact pair output isn't oracle-comparable;
+    instead the oracle checks invariants: the brute-force pair count
+    (computed exactly by both engines), bucketed ⊆ brute (precision 1
+    — every emitted pair passes the exact cosine filter), and recall ≥
+    0.3 vs brute on this corpus. The corpus is random vectors (max
+    pair cosine ≈ 0.5), the worst case for coarse quantization; on a
+    real near-dup corpus (θ ≥ 0.9, duplicated vectors) same-centroid
+    quantization gives recall ≈ 1 — pinned with planted vectors in
     tests/test_training_ops.py."""
-    return D.embedding_near_dup_pairs_bucketed(
-        t(spark, sf_dir, "embeddings"), threshold=0.4, num_buckets=8
+    emb = t(spark, sf_dir, "embeddings")
+    brute = D.embedding_near_dup_pairs(emb, threshold=0.4).select("id_a", "id_b")
+    bucketed = D.embedding_near_dup_pairs_bucketed(
+        emb, threshold=0.4, num_buckets=4
+    ).select("id_a", "id_b")
+    joined = brute.withColumn("__b", F.lit(1)).join(
+        bucketed.withColumn("__k", F.lit(1)), ["id_a", "id_b"], "full_outer"
+    )
+    return joined.agg(
+        F.sum("__b").cast("long").alias("n_brute_pairs"),
+        (F.sum(F.when(F.col("__b").isNull(), 1).otherwise(0)) == 0).alias("subset_ok"),
+        (
+            F.sum(F.when(F.col("__b").isNotNull() & F.col("__k").isNotNull(), 1).otherwise(0))
+            >= 0.3 * F.sum("__b")
+        ).alias("recall_ok"),
     )
 
 
@@ -923,3 +960,128 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio feature extraction plumbing (RMS/duration over stub PCM)."""
     docs = M.attach_media_from_text(t(spark, sf_dir, "documents").limit(200))
     return M.extract_audio_features(docs)
+
+
+@query(
+    "fastpath_parity_checks",
+    oracle="""
+    SELECT 'minhash_fast_vs_portable' AS invariant, TRUE AS ok
+    UNION ALL SELECT 'transitive_fast_vs_portable', TRUE
+    UNION ALL SELECT 'simhash_band_guarantee', TRUE
+    """,
+)
+def fastpath_parity_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable invariants for the xxhash64 production fast
+    paths, whose raw outputs aren't SQL-expressible. Three checks,
+    computed entirely Spark-side and returned as (invariant, ok) rows
+    the oracle pins to TRUE:
+
+    - minhash_fast_vs_portable: the survivor sets of the fast
+      (xxhash64) and portable (md5, itself oracle-exact in
+      `minhash_lsh_dedup_portable`) LSH dedups may differ only where
+      LSH candidate generation differs between hash families; with
+      Jaccard >= 0.8 verification both paths agree on every shared
+      candidate, so the symmetric difference must stay within
+      max(5, 1%) of the corpus (measured: 1 doc of 500).
+    - transitive_fast_vs_portable: same bound for the cluster-level
+      (connected-components) variant.
+    - simhash_band_guarantee: the structural LSH property — any pair
+      within Hamming distance < bands of each other MUST collide in at
+      least one of the 4 bands (pigeonhole), so the set of Hamming<=3
+      pairs minus the candidate set is empty. Quadratic by nature, so
+      the check caps the corpus at 2000 docs (documented; the
+      guarantee itself is size-independent).
+    """
+    docs = t(spark, sf_dir, "documents")
+    total = docs.agg(F.count(F.lit(1)).alias("__n"))
+
+    def survivors(portable: bool, transitive: bool) -> DataFrame:
+        return D.minhash_lsh_dedup(
+            docs, "doc_id", "text", verify_threshold=0.8,
+            portable=portable, transitive=transitive,
+        ).select(F.col("doc_id").alias("id"))
+
+    def symdiff_row(name: str, fast: DataFrame, port: DataFrame) -> DataFrame:
+        j = fast.withColumn("__f", F.lit(1)).join(
+            port.withColumn("__p", F.lit(1)), "id", "full_outer"
+        )
+        return (
+            j.agg(
+                F.sum(
+                    F.when(F.col("__f").isNull() | F.col("__p").isNull(), 1).otherwise(0)
+                ).alias("__d")
+            )
+            .crossJoin(total)
+            .select(
+                F.lit(name).alias("invariant"),
+                (
+                    F.coalesce(F.col("__d"), F.lit(0))
+                    <= F.greatest(F.lit(5.0), 0.01 * F.col("__n"))
+                ).alias("ok"),
+            )
+        )
+
+    r1 = symdiff_row(
+        "minhash_fast_vs_portable", survivors(False, False), survivors(True, False)
+    )
+    r2 = symdiff_row(
+        "transitive_fast_vs_portable", survivors(False, True), survivors(True, True)
+    )
+
+    capped = docs.orderBy("doc_id").limit(2000)
+    sh = D.simhash_table(capped, "doc_id")
+    close = (
+        sh.select(F.col("doc").alias("doc_a"), F.col("h").alias("ha"))
+        .join(
+            sh.select(F.col("doc").alias("doc_b"), F.col("h").alias("hb")),
+            F.col("doc_a") < F.col("doc_b"),
+        )
+        .filter(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= 3)
+        .select("doc_a", "doc_b")
+    )
+    cand = D.simhash_near_dup_pairs(capped, "doc_id")
+    missing = close.join(cand, ["doc_a", "doc_b"], "left_anti")
+    r3 = missing.agg((F.count(F.lit(1)) == 0).alias("ok")).select(
+        F.lit("simhash_band_guarantee").alias("invariant"), "ok"
+    )
+    return r1.unionByName(r2).unionByName(r3)
+
+
+@query(
+    "ivf_recall_check",
+    oracle="""
+    SELECT 'ivf_recall' AS invariant, TRUE AS ok
+    UNION ALL SELECT 'ivf_bucket_balance', TRUE
+    """,
+)
+def ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable invariants for the IVF ANN path (whose top-k
+    output is approximate, so not directly oracle-comparable):
+
+    - ivf_recall: probing half the clusters (nprobe=8 of 16) recovers
+      >= 2 of the brute-force top-10 for the fixed query vector. The
+      corpus is random 64-dim vectors — the worst case for coarse
+      quantization (measured recall 0.4-0.8 here; clustered real
+      corpora sit near 1) — so the bound is a regression canary for
+      the index plumbing, not a quality claim.
+    - ivf_bucket_balance: hash-spread centroid sampling (xxhash64
+      order, content-independent) must keep the largest bucket within
+      2.5x the mean — the skew guard for the bucketed near-dup join.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    assigned, cents = S.build_ivf_index(emb, num_centroids=16)
+    brute = S.cosine_topk(emb, qvec, k=10).select(F.col("vec_id").alias("id"))
+    ivf = S.ivf_topk(assigned, cents, qvec, k=10, nprobe=8).select(
+        F.col("vec_id").alias("id")
+    )
+    r1 = (
+        brute.join(ivf, "id", "left_semi")
+        .agg((F.count(F.lit(1)) >= 2).alias("ok"))
+        .select(F.lit("ivf_recall").alias("invariant"), "ok")
+    )
+    sizes = assigned.groupBy("__cluster").agg(F.count(F.lit(1)).alias("n"))
+    r2 = sizes.agg((F.max("n") <= 2.5 * F.avg("n")).alias("ok")).select(
+        F.lit("ivf_bucket_balance").alias("invariant"), "ok"
+    )
+    return r1.unionByName(r2)

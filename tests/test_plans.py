@@ -107,3 +107,30 @@ def test_snapshot_diff_joins_on_fingerprints_not_rows(spark, sf_dir):
 def test_funnel_has_no_cartesian_and_stays_user_keyed(spark, sf_dir):
     s = plan(spark, sf_dir, "funnel_view_click_purchase")
     assert "BroadcastNestedLoopJoin" not in s and "CartesianProduct" not in s
+
+
+def test_minhash_lsh_dedup_never_plans_all_pairs(spark, sf_dir):
+    """The LSH pipeline's only wide stages are band-bucket equi-joins
+    and the verify joins on candidate ids — a CartesianProduct or
+    nested-loop join anywhere means someone reintroduced an all-pairs
+    path that cannot survive 100x data."""
+    for name in ("minhash_lsh_dedup_portable", "minhash_lsh_dedup_documents"):
+        s = plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in s, name
+        assert "BroadcastNestedLoopJoin" not in s, name
+
+
+def test_bucketed_near_dup_joins_on_bucket_column(spark, sf_dir):
+    """embedding_near_dup_pairs_bucketed must plan the pair generation
+    as an equi-join whose key includes the IVF bucket — no bucket key
+    means the quadratic term is back."""
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators import dedup as D
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = D.embedding_near_dup_pairs_bucketed(emb, threshold=0.4, num_buckets=4)
+    s = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+    import re
+
+    join_lines = [ln for ln in s.splitlines() if "HashJoin" in ln or "SortMergeJoin" in ln]
+    assert any(re.search(r"\bba\b|__cluster", ln) for ln in join_lines), join_lines

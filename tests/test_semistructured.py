@@ -46,7 +46,43 @@ def test_unbox_csv(spark):
 def test_unbox_bad_format(spark):
     df = spark.createDataFrame([("x",)], "c string")
     with pytest.raises(ValueError):
-        ss.unbox(df, "c", "avro")
+        ss.unbox(df, "c", "orc")
+    # avro without an explicit schema is a usage error, not a format error
+    with pytest.raises(ValueError, match="Avro"):
+        ss.unbox(df.select(F.col("c").cast("binary").alias("c")), "c", "avro")
+
+
+_AVRO_SCHEMA = (
+    '{"type": "record", "name": "rec", "fields": ['
+    '{"name": "a", "type": "int"}, {"name": "b", "type": "string"}]}'
+)
+
+
+def test_unbox_avro_roundtrip(spark):
+    """Avro unbox routes through from_avro with an explicit schema
+    (reference format list, awsglue/transforms/unbox.py:15-112). The
+    spark-avro connector is an external Spark module; when it isn't on
+    the classpath (this container), the expression must still build and
+    fail only at analysis with AVRO_NOT_LOADED — proving the dispatch —
+    and the round-trip body runs wherever the connector is loaded."""
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "a int, b string")
+    try:
+        from pyspark.sql.avro.functions import to_avro
+
+        enc = df.select(to_avro(F.struct("a", "b"), _AVRO_SCHEMA).alias("rec"))
+        enc.collect()
+    except Exception as e:  # noqa: BLE001
+        if "AVRO_NOT_LOADED" not in str(e):
+            raise
+        with pytest.raises(Exception, match="AVRO_NOT_LOADED"):
+            ss.unbox(
+                spark.createDataFrame([(b"\x02x",)], "rec binary"), "rec", "avro",
+                schema=_AVRO_SCHEMA,
+            ).collect()
+        pytest.skip("spark-avro connector not on classpath")
+    out = ss.unbox(enc, "rec", "avro", schema=_AVRO_SCHEMA)
+    got = sorted((r[0], r[1]) for r in out.select("rec.a", "rec.b").collect())
+    assert got == [(1, "x"), (2, "y")]
 
 
 def test_drop_null_fields_nested(spark):
