@@ -80,3 +80,23 @@ class Job:
         for source, df, col in self._pending:
             self.catalog.commit_bookmark(source, df, col)
         self._pending.clear()
+
+
+def get_logger(name: str = "glue_job") -> "logging.Logger":
+    """Job-scoped logger (GlueContext.get_logger parity,
+    /root/reference/awsglue/context.py — the reference returns a
+    py4j-backed JVM logger; stdlib logging is the Spark-idiomatic
+    equivalent and survives driver/executor log aggregation). Idempotent:
+    repeated calls return the same configured logger."""
+    import logging
+
+    logger = logging.getLogger(name)
+    if not logger.handlers:
+        handler = logging.StreamHandler()
+        handler.setFormatter(
+            logging.Formatter("%(asctime)s %(levelname)s %(name)s: %(message)s")
+        )
+        logger.addHandler(handler)
+        logger.setLevel(logging.INFO)
+        logger.propagate = False
+    return logger

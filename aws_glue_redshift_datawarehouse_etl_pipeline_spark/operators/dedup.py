@@ -489,6 +489,8 @@ def embedding_near_dup_pairs_bucketed(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     num_buckets: int = 16,
+    probe: int = 1,
+    refine_rounds: int = 0,
 ) -> DataFrame:
     """Scale path for embedding near-dup: assign each vector to its
     nearest coarse centroid (narrow map over a broadcast centroid set)
@@ -496,15 +498,26 @@ def embedding_near_dup_pairs_bucketed(
     becomes sum of per-bucket squares, ~1/num_buckets of the full
     cross join for balanced buckets. Near-identical vectors (the
     near-dup regime) quantize to the same centroid, so recall at high
-    thresholds is near-1; cross-bucket borderline pairs are the
-    accepted approximation (probe-2 assignment recovers them at 2×
-    cost if needed)."""
+    thresholds is near-1. ``probe`` > 1 assigns each vector to its
+    ``probe`` nearest centroids (explode), recovering cross-bucket
+    borderline pairs at ~probe² join cost (pairs sharing several
+    buckets are deduplicated before the exact-decimal cosine).
+    ``refine_rounds`` runs that many Lloyd rounds on the seed
+    centroids at index-build time (similarity.refine_centroids)."""
     from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.similarity import (
         build_ivf_index,
+        topk_clusters,
     )
 
-    assigned, _ = build_ivf_index(_ensure_parallelism(df, id_col), num_buckets, id_col, vec_col)
+    spread = _ensure_parallelism(df, id_col)
+    assigned, cents = build_ivf_index(
+        spread, num_buckets, id_col, vec_col, refine_rounds=refine_rounds
+    )
     vec = F.col(vec_col)
+    if probe > 1:
+        assigned = spread.withColumn(
+            "__cluster", F.explode(topk_clusters(vec, cents, probe))
+        )
     normed = assigned.select(
         F.col(id_col).alias("id"),
         vec.alias("v"),
@@ -524,9 +537,16 @@ def embedding_near_dup_pairs_bucketed(
         F.lit(0.0),
         lambda acc, v: acc + v,
     ) / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb")))
+    cand = a.join(
+        bb, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b"))
+    )
+    if probe > 1:
+        # a pair sharing several probed buckets surfaces once per
+        # shared bucket — collapse before the exact-decimal cosine (the
+        # duplicate rows are identical apart from the bucket columns)
+        cand = cand.dropDuplicates(["id_a", "id_b"])
     return (
-        a.join(bb, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
-        .withColumn("__fast", fast)
+        cand.withColumn("__fast", fast)
         .filter(F.col("__fast") >= threshold - 1e-6)
         .withColumn(
             "cosine",

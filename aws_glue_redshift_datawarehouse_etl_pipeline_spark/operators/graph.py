@@ -10,10 +10,11 @@ equi-join of the edge list against current labels + one groupBy(min) —
 both shuffles keyed on the node id, map-side combinable. Converges in
 O(component diameter) iterations; near-dup clusters are dense and
 shallow (duplicates of one source document), so 3-5 iterations is
-typical. For adversarial long-chain graphs, the large-star/small-star
-scheme (Kiveris et al., "Connected Components in MapReduce and
-Beyond", SoCC'14) drops this to O(log n) rounds — same per-round
-join+min shape, so it slots in here if ever needed.
+typical. For adversarial long-chain graphs, pass ``algorithm="star"``:
+the alternating large-star/small-star scheme (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) converges in
+O(log n) rounds regardless of diameter — two join+min+distinct stages
+per round, all keyed on node ids.
 
 The per-iteration driver loop holds only a changed-row COUNT on the
 driver (no collect of data rows); each iteration's labels are
@@ -64,6 +65,101 @@ def _driver_union_find(
     )
 
 
+def _canon_edges(df: DataFrame, a: str, b: str) -> DataFrame:
+    """Canonical undirected edge list (u = max, v = min endpoint), no
+    self-loops, deduplicated — the representation the star rounds
+    rewrite in place."""
+    return (
+        df.filter(F.col(a) != F.col(b))
+        .select(
+            F.greatest(F.col(a), F.col(b)).alias("u"),
+            F.least(F.col(a), F.col(b)).alias("v"),
+        )
+        .distinct()
+    )
+
+
+def _edge_fingerprint(E: DataFrame) -> tuple[int, int]:
+    """(edge count, order-independent hash-sum) in ONE action; equal
+    fingerprints across star rounds mean the edge set hit fixpoint.
+    The hash-sum accumulates as DECIMAL(38,0) — summing raw xxhash64
+    longs overflows under ANSI mode."""
+    from pyspark.sql import types as T
+
+    r = E.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("u", "v").cast(T.DecimalType(38, 0))).alias("h"),
+    ).first()
+    return (r["n"] or 0, int(r["h"] or 0))
+
+
+def _star_components(
+    nodes: DataFrame, edges: DataFrame, id_col: str, max_iter: int
+) -> DataFrame:
+    """Alternating large-star/small-star rounds (Kiveris et al., SoCC'14
+    §3): large-star links every node's LARGER neighbors to the minimum
+    of its closed neighborhood; small-star links its smaller-or-equal
+    neighbors (and itself) there. The edge set contracts toward a
+    forest of stars rooted at each component's minimum id in O(log n)
+    rounds on ANY graph — including long chains, where min-label
+    propagation needs O(diameter) rounds. Per round: two
+    join+min+distinct stages keyed on node ids, one fingerprint action.
+    Each round's edge set is eagerly local-checkpointed rather than
+    merely persisted: a round references the previous edge set several
+    times (adjacency union + two min-joins), so carrying raw lineage
+    grows the logical plan geometrically and stalls Catalyst analysis
+    after ~10 rounds even on tiny data — the checkpoint keeps planning
+    cost linear in the round count."""
+    E = _canon_edges(edges, "src", "dst").localCheckpoint(eager=True)
+    fp = _edge_fingerprint(E)
+    converged = False
+    for _ in range(max_iter):
+        adj = E.select("u", "v").union(
+            E.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = (
+            adj.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+        large = (
+            adj.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        E1 = _canon_edges(large, "a", "b")
+        # small-star input is already (u = larger, v = smaller), so the
+        # min over smaller-or-equal neighbors is just min(v) (< u).
+        m2 = E1.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            E1.join(m2, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(m2.select(F.col("u").alias("a"), F.col("m").alias("b")))
+        )
+        E2 = _canon_edges(small, "a", "b").localCheckpoint(eager=True)
+        fp2 = _edge_fingerprint(E2)
+        E = E2
+        if fp2 == fp:
+            converged = True
+            break
+        fp = fp2
+    if not converged:
+        raise RuntimeError(
+            f"star connected_components did not converge in {max_iter} rounds"
+        )
+    # At fixpoint every edge is (node, component-min); roots and
+    # isolated nodes fall back to their own id.
+    labels = E.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    return (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(labels, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("component", "id").alias("component"),
+        )
+    )
+
+
 def connected_components(
     nodes: DataFrame,
     pairs: DataFrame,
@@ -72,6 +168,7 @@ def connected_components(
     dst_col: str = "doc_b",
     max_iter: int = 25,
     driver_threshold: int = 1_000_000,
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """Label every node with the minimum node id reachable through the
     undirected ``pairs`` graph. Returns (id_col, component) — nodes
@@ -81,10 +178,16 @@ def connected_components(
     fast path: after LSH, the candidate graph is a vanishing fraction
     of the corpus (thousands of edges from millions of docs), and a
     single collect beats 3-5 rounds of tiny distributed jobs by an
-    order of magnitude. Larger graphs run distributed min-label
-    propagation; ``max_iter`` bounds it, and if the fixpoint isn't
-    reached (component diameter exceeds the bound) a RuntimeError is
-    raised rather than silently returning partial clusters."""
+    order of magnitude. Larger graphs run the distributed algorithm:
+    ``"propagation"`` (default — min-label propagation, 1 shuffle per
+    round, O(diameter) rounds; right for dense shallow LSH candidate
+    graphs) or ``"star"`` (large-star/small-star, ~4 shuffles per round
+    but O(log n) rounds on any graph; right when components can be long
+    chains). ``max_iter`` bounds either; if the fixpoint isn't reached
+    a RuntimeError is raised rather than silently returning partial
+    clusters."""
+    if algorithm not in ("propagation", "star"):
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
     edges = (
         pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .union(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
@@ -98,6 +201,11 @@ def connected_components(
         try:
             edge_rows = [(r.src, r.dst) for r in edges.collect()]
             return _driver_union_find(nodes, edge_rows, id_col)
+        finally:
+            edges.unpersist()
+    if algorithm == "star":
+        try:
+            return _star_components(nodes, edges, id_col, max_iter)
         finally:
             edges.unpersist()
     labels = nodes.select(
@@ -149,13 +257,16 @@ def dedup_by_components(
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_iter: int = 25,
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """Transitive near-dup removal: collapse the candidate-pair graph
     to components and keep only the minimum-id row of each — so a
     chain A≈B≈C keeps exactly A even when (A, C) was never a direct
-    candidate pair."""
+    candidate pair. ``algorithm`` passes through to
+    ``connected_components`` (``"star"`` for long-chain graphs)."""
     comp = connected_components(
-        df.select(F.col(id_col).alias("id")), pairs, "id", src_col, dst_col, max_iter
+        df.select(F.col(id_col).alias("id")), pairs, "id", src_col, dst_col,
+        max_iter, algorithm=algorithm,
     )
     losers = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)

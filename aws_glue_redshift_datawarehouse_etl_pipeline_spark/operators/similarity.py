@@ -74,11 +74,45 @@ def cosine_topk_per_query(
     )
 
 
+def refine_centroids(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    rounds: int = 2,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd refinement of seed centroids (the documented k-means
+    upgrade, run at index-build time): assign → per-cluster elementwise
+    mean → repeat. Each round is one narrow assignment pass plus one
+    aggregation shuffled on (cluster, dim) — C×D cells, map-side
+    combined — and a C×D-float collect (tiny). Clusters that lose all
+    members keep their previous centroid. Refined centroids tighten
+    bucket balance and probe recall vs the raw hash-spread sample at
+    the cost of ``rounds`` extra passes over the corpus."""
+    for _ in range(rounds):
+        assigned = df.withColumn("__c", _nearest_centroid(F.col(vec_col), cents))
+        means = (
+            assigned.select("__c", F.posexplode(vec_col).alias("i", "x"))
+            .groupBy("__c", "i")
+            .agg(F.avg("x").alias("m"))
+        )
+        bydim: dict[int, dict[int, float]] = {}
+        for r in means.collect():
+            bydim.setdefault(r["__c"], {})[r["i"]] = float(r["m"])
+        cents = [
+            (cid, [bydim[cid][i] for i in sorted(bydim[cid])])
+            if cid in bydim
+            else (cid, vec)
+            for cid, vec in cents
+        ]
+    return cents
+
+
 def build_ivf_index(
     df: DataFrame,
     num_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_rounds: int = 0,
 ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
     """One-pass IVF index: centroids are a deterministic hash-spread
     sample — ordered by ``xxhash64(id)`` rather than raw id, so the
@@ -94,6 +128,8 @@ def build_ivf_index(
         .limit(num_centroids)
         .collect()
     ]
+    if refine_rounds:
+        cents = refine_centroids(df, cents, vec_col, refine_rounds)
     assigned = df.withColumn(
         "__cluster",
         _nearest_centroid(F.col(vec_col), cents),
@@ -125,6 +161,33 @@ def _nearest_centroid(vec: Column, cents: list[tuple[int, list[float]]]) -> Colu
     return F.element_at(
         ids, F.array_position(sim_arr, F.array_max(sim_arr)).cast("int")
     )
+
+
+def topk_clusters(
+    vec: Column, cents: list[tuple[int, list[float]]], probe: int
+) -> Column:
+    """The ``probe`` nearest centroid ids for a vector, as an array —
+    multi-probe assignment for the bucketed near-dup join (a vector
+    sitting near a bucket border joins in its runner-up bucket too).
+    Flat expression: one dot product per centroid, one codegen
+    array_sort on (negated-sim, id) structs (ties break to the lower
+    centroid id), slice + project. Linear plan size in #centroids."""
+    import math
+
+    entries = []
+    for cid, cvec in cents:
+        norm = math.sqrt(sum(x * x for x in cvec))
+        inv = 1.0 / norm if norm else 0.0
+        dot = F.aggregate(
+            F.zip_with(vec, _lit_vec(cvec), lambda p, q: p.cast("double") * q),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        entries.append(
+            F.struct((-dot * F.lit(inv)).alias("negs"), F.lit(cid).alias("c"))
+        )
+    arr = F.array_sort(F.array(*entries))
+    return F.transform(F.slice(arr, 1, probe), lambda s: s["c"])
 
 
 def ivf_topk(

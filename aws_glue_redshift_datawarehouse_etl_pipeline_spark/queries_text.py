@@ -759,10 +759,11 @@ def minhash_lsh_dedup_transitive_fast(spark: SparkSession, sf_dir: str) -> DataF
 
 @query("ivf_ann_topk")
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k: probe the 4 nearest of 16 clusters."""
+    """IVF approximate top-k: probe the 4 nearest of 16 clusters
+    (hash-spread seeds + 2 Lloyd refinement rounds)."""
     emb = t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
-    assigned, cents = S.build_ivf_index(emb, num_centroids=16)
+    assigned, cents = S.build_ivf_index(emb, num_centroids=16, refine_rounds=2)
     return S.ivf_topk(assigned, cents, qvec, k=10, nprobe=4)
 
 
@@ -923,15 +924,15 @@ def embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead the oracle checks invariants: the brute-force pair count
     (computed exactly by both engines), bucketed ⊆ brute (precision 1
     — every emitted pair passes the exact cosine filter), and recall ≥
-    0.3 vs brute on this corpus. The corpus is random vectors (max
-    pair cosine ≈ 0.5), the worst case for coarse quantization; on a
-    real near-dup corpus (θ ≥ 0.9, duplicated vectors) same-centroid
-    quantization gives recall ≈ 1 — pinned with planted vectors in
-    tests/test_training_ops.py."""
+    0.8 vs brute with probe-2 assignment (measured 0.92-0.95). The
+    corpus is random vectors (max pair cosine ≈ 0.5), the worst case
+    for coarse quantization; on a real near-dup corpus (θ ≥ 0.9,
+    duplicated vectors) same-centroid quantization gives recall ≈ 1 —
+    pinned with planted vectors in tests/test_training_ops.py."""
     emb = t(spark, sf_dir, "embeddings")
     brute = D.embedding_near_dup_pairs(emb, threshold=0.4).select("id_a", "id_b")
     bucketed = D.embedding_near_dup_pairs_bucketed(
-        emb, threshold=0.4, num_buckets=4
+        emb, threshold=0.4, num_buckets=4, probe=2
     ).select("id_a", "id_b")
     joined = brute.withColumn("__b", F.lit(1)).join(
         bucketed.withColumn("__k", F.lit(1)), ["id_a", "id_b"], "full_outer"
@@ -941,7 +942,7 @@ def embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.when(F.col("__b").isNull(), 1).otherwise(0)) == 0).alias("subset_ok"),
         (
             F.sum(F.when(F.col("__b").isNotNull() & F.col("__k").isNotNull(), 1).otherwise(0))
-            >= 0.3 * F.sum("__b")
+            >= 0.8 * F.sum("__b")
         ).alias("recall_ok"),
     )
 
@@ -1058,26 +1059,27 @@ def ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable invariants for the IVF ANN path (whose top-k
     output is approximate, so not directly oracle-comparable):
 
-    - ivf_recall: probing half the clusters (nprobe=8 of 16) recovers
-      >= 2 of the brute-force top-10 for the fixed query vector. The
-      corpus is random 64-dim vectors — the worst case for coarse
-      quantization (measured recall 0.4-0.8 here; clustered real
-      corpora sit near 1) — so the bound is a regression canary for
-      the index plumbing, not a quality claim.
-    - ivf_bucket_balance: hash-spread centroid sampling (xxhash64
-      order, content-independent) must keep the largest bucket within
-      2.5x the mean — the skew guard for the bucketed near-dup join.
+    - ivf_recall: probing half the clusters (nprobe=8 of 16, two Lloyd
+      refinement rounds on the hash-spread seeds) recovers >= half of
+      the brute-force top-10 for the fixed query vector. The corpus is
+      random 64-dim vectors — the worst case for coarse quantization
+      (measured recall 0.8 here; clustered real corpora sit near 1) —
+      so the bound is a regression canary for the index plumbing, not
+      a quality claim.
+    - ivf_bucket_balance: hash-spread + refined centroids must keep
+      the largest bucket within 2.5x the mean — the skew guard for the
+      bucketed near-dup join.
     """
     emb = t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
-    assigned, cents = S.build_ivf_index(emb, num_centroids=16)
+    assigned, cents = S.build_ivf_index(emb, num_centroids=16, refine_rounds=2)
     brute = S.cosine_topk(emb, qvec, k=10).select(F.col("vec_id").alias("id"))
     ivf = S.ivf_topk(assigned, cents, qvec, k=10, nprobe=8).select(
         F.col("vec_id").alias("id")
     )
     r1 = (
         brute.join(ivf, "id", "left_semi")
-        .agg((F.count(F.lit(1)) >= 2).alias("ok"))
+        .agg((F.count(F.lit(1)) >= 5).alias("ok"))
         .select(F.lit("ivf_recall").alias("invariant"), "ok")
     )
     sizes = assigned.groupBy("__cluster").agg(F.count(F.lit(1)).alias("n"))

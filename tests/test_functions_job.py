@@ -103,3 +103,13 @@ def test_job_commit_before_init_raises(spark, tmp_path):
     job = Job(WarehouseCatalog(spark, str(tmp_path)))
     with pytest.raises(RuntimeError):
         job.commit()
+
+
+def test_get_logger_idempotent_and_configured():
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.job import get_logger
+
+    l1 = get_logger()
+    l2 = get_logger()
+    assert l1 is l2
+    assert len(l1.handlers) == 1  # repeated calls never stack handlers
+    assert not l1.propagate

@@ -282,6 +282,43 @@ def test_bucketed_near_dup_recall_on_corpus(spark):
     assert exact, "corpus must contain pairs at the working threshold"
     assert approx <= exact  # never invents pairs
     assert len(approx) / len(exact) >= 0.3
+    # probe-2 assignment recovers cross-bucket borderline pairs
+    probed = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_near_dup_pairs_bucketed(
+            emb, threshold=0.4, num_buckets=4, probe=2
+        ).collect()
+    }
+    assert approx <= probed <= exact
+    assert len(probed) / len(exact) >= 0.8
+
+
+def test_refined_centroids_improve_or_keep_balance(spark):
+    """Two Lloyd rounds must keep centroid count, dimensionality, and
+    bucket balance, and must not hurt probe recall on the corpus."""
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators import similarity as S
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    brute = {r.vec_id for r in S.cosine_topk(emb, qvec, k=10).collect()}
+
+    def recall(refine_rounds):
+        assigned, cents = S.build_ivf_index(
+            emb, num_centroids=16, refine_rounds=refine_rounds
+        )
+        assert len(cents) == 16 and all(len(v) == 64 for _, v in cents)
+        got = {
+            r.vec_id
+            for r in S.ivf_topk(assigned, cents, qvec, k=10, nprobe=8).collect()
+        }
+        sizes = [
+            r["count"] for r in assigned.groupBy("__cluster").count().collect()
+        ]
+        assert max(sizes) <= 2.5 * (sum(sizes) / len(sizes))
+        return len(got & brute) / 10
+
+    assert recall(2) >= recall(0)
 
 
 def test_brute_force_near_dup_refuses_oversized_corpus(spark, vectors):
@@ -427,13 +464,44 @@ def test_connected_components_chain_and_isolates(spark):
     nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 20]], "id long")
     pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long")
     expected = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
-    # union-find fast path and distributed propagation must agree
+    # union-find fast path, distributed propagation, and star rounds
+    # must all agree
     fast = {r.id: r.component for r in G.connected_components(nodes, pairs).collect()}
     dist = {
         r.id: r.component
         for r in G.connected_components(nodes, pairs, driver_threshold=0).collect()
     }
-    assert fast == expected and dist == expected
+    star = {
+        r.id: r.component
+        for r in G.connected_components(
+            nodes, pairs, driver_threshold=0, algorithm="star"
+        ).collect()
+    }
+    assert fast == expected and dist == expected and star == expected
+
+
+def test_star_components_converge_logarithmically_on_long_path(spark):
+    """A 10k-node path graph has diameter 10k — min-label propagation
+    would need ~10k rounds, far past max_iter. The large-star/
+    small-star rounds must finish within ~log2(n) rounds (Kiveris et
+    al. SoCC'14), so max_iter=20 must be enough and every node must
+    land in component 0."""
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators import graph as G
+
+    n = 10_000
+    nodes = spark.range(n).select(F.col("id"))
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    out = G.connected_components(
+        nodes, chain, driver_threshold=0, algorithm="star", max_iter=20
+    )
+    comps = out.agg(
+        F.countDistinct("component").alias("k"),
+        F.max("component").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    assert (comps.k, comps.mx, comps.n) == (1, 0, n)
 
 
 def test_connected_components_raises_when_iteration_bound_hit(spark):
