@@ -556,3 +556,70 @@ def embedding_near_dup_pairs_bucketed(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def cross_ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    stop_shingle_cap: int = 1000,
+) -> DataFrame:
+    """Benchmark-contamination check: for every eval document, the
+    largest shingle-overlap fraction against any training document
+    (|common distinct n-gram shingles| / |eval shingles|) plus the
+    offending train doc id. The canonical pre-training hygiene step —
+    an eval doc whose content leaked into the training corpus shows up
+    with overlap near 1.
+
+    Shape: inverted-index join on the shingle (the n-gram Jaccard
+    machinery pointed across two corpora instead of at itself) — never
+    an all-pairs join; the shuffle key is the shingle. Shingles
+    occurring in more than ``stop_shingle_cap`` training docs are
+    excluded on BOTH sides (boilerplate n-grams would otherwise give
+    one reducer a quadratic bucket and inflate overlap with
+    meaningless matches)."""
+    tr = train.select(
+        F.col(id_col).alias("train_id"), word_ngrams(text_col, n).alias("s")
+    ).filter(F.col("s").isNotNull())
+    ev = eval_df.select(
+        F.col(id_col).alias("eval_id"), word_ngrams(text_col, n).alias("s")
+    ).filter(F.col("s").isNotNull())
+    tr_ex = tr.select("train_id", F.explode("s").alias("g"))
+    ev_ex = ev.select("eval_id", F.explode("s").alias("g"))
+    allowed = (
+        tr_ex.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= stop_shingle_cap)
+        .select("g")
+    )
+    common = (
+        ev_ex.join(allowed, "g", "left_semi")
+        .join(tr_ex, "g")
+        .groupBy("eval_id", "train_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ev_sizes = ev.select("eval_id", F.size("s").alias("n_eval_shingles"))
+    scored = common.join(ev_sizes, "eval_id").withColumn(
+        "overlap",
+        F.col("n_common").cast("double") / F.col("n_eval_shingles").cast("double"),
+    )
+    return scored.groupBy("eval_id").agg(
+        F.max_by(
+            F.struct(
+                F.col("overlap"),
+                F.col("train_id"),
+                F.col("n_common"),
+            ),
+            # deterministic argmax: highest overlap, ties to LOWEST
+            # train id (max_by keeps the max struct; negate the id so
+            # struct comparison breaks ties toward the smaller id)
+            F.struct(F.col("overlap"), (-F.col("train_id")).alias("neg")),
+        ).alias("best"),
+    ).select(
+        "eval_id",
+        F.col("best.overlap").alias("max_overlap"),
+        F.col("best.train_id").alias("train_id"),
+        F.col("best.n_common").alias("n_common"),
+    )

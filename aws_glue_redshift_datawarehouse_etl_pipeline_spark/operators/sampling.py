@@ -18,7 +18,7 @@ and prunes at the row level on every executor independently.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.dedup import (
@@ -121,3 +121,57 @@ def stratified_sample(
             F.col(strata_col) == F.lit(k), F.lit(int(round(v * _DENOM)))
         ).otherwise(thresh)
     return df.filter(_gate(key_col, seed) < thresh)
+
+
+def order_key(key_col: str, seed: int = 0) -> Column:
+    """The deterministic global training-order key: the portable
+    content hash of the row key. Sorting by it is a reproducible,
+    engine-independent shuffle of the corpus (same md5 construction as
+    the sampling gate, so any engine derives the identical order)."""
+    return _portable_hash(seed, F.col(key_col).cast("string"))
+
+
+def deterministic_order(df: DataFrame, key_col: str, seed: int = 0) -> DataFrame:
+    """Materialize the corpus in deterministic shuffled order — the
+    training-data 'global shuffle' that decorrelates source/ingestion
+    order from training position, reproducibly across runs, cluster
+    shapes, and engines. Plans as ONE range-partition exchange (a
+    parallel sort on the 60-bit key), never a single-partition window;
+    write the result with sortWithinPartitions preserved and readers
+    stream it in order."""
+    return df.orderBy(order_key(key_col, seed), F.col(key_col))
+
+
+def cap_tokens_per_group(
+    df: DataFrame,
+    group_col: str,
+    token_col: str,
+    budget: int,
+    order_by: list[Column] | None = None,
+    key_col: str | None = None,
+) -> DataFrame:
+    """Per-group token-budget capping — the quota step of a data mix
+    ('at most N tokens per source/language/domain'): rows are ranked
+    inside each group (default: by the deterministic hash of
+    ``key_col``, i.e. a reproducible shuffle; pass ``order_by`` to
+    keep best-first by quality instead) and kept while the group's
+    running token total stays within ``budget``. The row that crosses
+    the budget line and everything after it is dropped, so the kept
+    total never exceeds ``budget``. One window shuffle keyed on the
+    group — map-side combinable nowhere (running sum), but the
+    partition key is the group, so skew follows group size, not corpus
+    size."""
+    if order_by is None:
+        if key_col is None:
+            raise ValueError("pass order_by or key_col")
+        order_by = [order_key(key_col), F.col(key_col)]
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("__cum_tokens", F.sum(F.col(token_col)).over(w))
+        .filter(F.col("__cum_tokens") <= budget)
+        .drop("__cum_tokens")
+    )

@@ -1,9 +1,11 @@
 """Oracle-checked queries for the training-data operator families:
-text analysis, deduplication, similarity search, multimodal columns
-(documents/embeddings tables). Non-SQL-expressible variants (xxhash64
-SimHash, LSH dedup, IVF) are registered without oracles — the driver
-records rows-only checks; their correctness tests live in
-tests/test_training_ops.py with planted duplicates.
+text analysis, deduplication, similarity search, sampling/curation,
+multimodal columns (documents/embeddings tables). Non-SQL-expressible
+variants (xxhash64 SimHash, LSH dedup, IVF) register their raw outputs
+rows-only, but are still oracle-GATED through invariant queries —
+`fastpath_parity_checks` (fast-vs-portable survivor parity, SimHash
+band guarantee) and `ivf_recall_check` (recall + bucket balance) —
+plus planted-duplicate tests in tests/test_training_ops.py.
 """
 
 from __future__ import annotations
@@ -1087,3 +1089,116 @@ def ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ivf_bucket_balance").alias("invariant"), "ok"
     )
     return r1.unionByName(r2)
+
+
+_DUCK_PHASH = (
+    "CAST(('0x' || substr(md5('{seed}|' || CAST({v} AS VARCHAR)), 1, 15)) AS BIGINT)"
+)
+
+
+@query(
+    "training_order_documents",
+    oracle=f"""
+    SELECT doc_id,
+           {_DUCK_PHASH.format(seed=0, v='doc_id')} AS train_order_key
+    FROM documents
+    ORDER BY train_order_key, doc_id
+    LIMIT 100
+    """,
+)
+def training_order_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle
+    (sampling.deterministic_order): the corpus sorted by a portable
+    content hash of the key — reproducible across runs, cluster shapes,
+    and engines, decorrelating training position from ingestion order.
+    Plans as TakeOrderedAndProject here (first 100 positions); the full
+    materialization is one range-partition exchange. The order KEY is
+    emitted so the oracle checks the order derivation itself, not just
+    set membership."""
+    docs = X.spread_small_scan(t(spark, sf_dir, "documents"), "doc_id")
+    return (
+        docs.select("doc_id", P.order_key("doc_id").alias("train_order_key"))
+        .orderBy("train_order_key", "doc_id")
+        .limit(100)
+    )
+
+
+@query(
+    "token_budget_per_source",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len({{toks}}) AS INTEGER) AS n_tokens,
+             {_DUCK_PHASH.format(seed=0, v='doc_id')} AS ok
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY ok, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens FROM c WHERE cum <= 800
+    """.replace("{toks}", _DUCK_TOKS),
+)
+def token_budget_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget capping (sampling.cap_tokens_per_group):
+    keep a deterministic-shuffle prefix of each source worth at most
+    800 tokens — the quota step of a data mix. One window shuffle keyed
+    on the source."""
+    docs = X.spread_small_scan(t(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", "source", X.token_count("text").alias("n_tokens")
+    )
+    return P.cap_tokens_per_group(
+        docs, "source", "n_tokens", budget=800, key_col="doc_id"
+    )
+
+
+@query(
+    "contamination_check_documents",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS s FROM toks WHERE len(t) >= 3
+    ), gate AS (
+      SELECT doc_id,
+             {_DUCK_PHASH.format(seed=7, v='doc_id')} % 1000000 AS g
+      FROM documents
+    ), ev AS (
+      SELECT sh.doc_id, sh.s FROM sh JOIN gate USING (doc_id) WHERE gate.g < 100000
+    ), tr AS (
+      SELECT sh.doc_id, sh.s FROM sh JOIN gate USING (doc_id) WHERE gate.g >= 100000
+    ), trex AS (
+      SELECT doc_id AS train_id, unnest(s) AS g FROM tr
+    ), allowed AS (
+      SELECT g FROM trex GROUP BY g HAVING COUNT(*) <= 1000
+    ), evex AS (
+      SELECT doc_id AS eval_id, unnest(s) AS g FROM ev
+    ), common AS (
+      SELECT e.eval_id, t.train_id, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM evex e JOIN allowed USING (g) JOIN trex t USING (g)
+      GROUP BY e.eval_id, t.train_id
+    ), scored AS (
+      SELECT c.eval_id, c.train_id, c.n_common,
+             CAST(c.n_common AS DOUBLE) / CAST(len(ev.s) AS DOUBLE) AS overlap,
+             ROW_NUMBER() OVER (PARTITION BY c.eval_id
+                                ORDER BY CAST(c.n_common AS DOUBLE) / CAST(len(ev.s) AS DOUBLE) DESC,
+                                         c.train_id ASC) AS rk
+      FROM common c JOIN ev ON ev.doc_id = c.eval_id
+    )
+    SELECT eval_id, overlap AS max_overlap, train_id, n_common
+    FROM scored WHERE rk = 1
+    """,
+)
+def contamination_check_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan (dedup.cross_ngram_contamination):
+    a deterministic 10% hash split of the corpus plays the eval set,
+    the rest the training set; for every eval doc the query reports
+    the best-matching train doc by shingle-overlap fraction. Shape:
+    inverted-index join on the shingle — the shuffle key is the
+    n-gram, never an all-pairs join."""
+    docs = X.spread_small_scan(t(spark, sf_dir, "documents"), "doc_id")
+    gate = P._gate("doc_id", seed=7)
+    ev = docs.filter(gate < 100_000)
+    tr = docs.filter(gate >= 100_000)
+    return D.cross_ngram_contamination(tr, ev)

@@ -642,3 +642,57 @@ def test_winnow_shared_run_guarantee(spark):
     assert by_doc[1] & by_doc[2]            # overlap detected
     assert not (by_doc[1] & by_doc[3])      # unrelated: disjoint
     assert 4 not in by_doc                  # too short to fingerprint
+
+
+def test_cap_tokens_per_group_budget_semantics(spark):
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators import sampling as P
+
+    df = spark.createDataFrame(
+        [(1, "a", 300), (2, "a", 300), (3, "a", 300), (4, "b", 900), (5, "b", 100)],
+        "doc_id long, source string, n_tokens int",
+    )
+    # explicit best-first order: ascending doc_id
+    out = P.cap_tokens_per_group(
+        df, "source", "n_tokens", budget=700, order_by=[F.col("doc_id").asc()]
+    )
+    got = {r.source: sorted([x.doc_id for x in g]) for r, g in []} or {
+        s: sorted(r.doc_id for r in out.filter(F.col("source") == s).collect())
+        for s in ("a", "b")
+    }
+    # a: 300+300=600 <= 700, third row crosses -> dropped; b: 900 > 700 drops all after? first row 900 > 700 -> dropped, 900+100 also
+    assert got["a"] == [1, 2]
+    assert got["b"] == []
+    totals = (
+        out.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
+    )
+    assert all(r.t <= 700 for r in totals)
+    # key_col default ordering is deterministic across repartition
+    o1 = sorted(r.doc_id for r in P.cap_tokens_per_group(df, "source", "n_tokens", 700, key_col="doc_id").collect())
+    o2 = sorted(r.doc_id for r in P.cap_tokens_per_group(df.repartition(7), "source", "n_tokens", 700, key_col="doc_id").collect())
+    assert o1 == o2
+
+
+def test_deterministic_order_stable_across_partitioning(spark):
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators import sampling as P
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    a = [r.doc_id for r in P.deterministic_order(df, "doc_id").collect()]
+    b = [r.doc_id for r in P.deterministic_order(df.repartition(13), "doc_id").collect()]
+    assert a == b
+    assert a != sorted(a)  # genuinely shuffled, not id order
+
+
+def test_cross_ngram_contamination_finds_planted_leak(spark):
+    train = spark.createDataFrame(
+        [(10, BASE), (11, OTHER), (12, "unrelated words entirely here today")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, BASE), (101, "totally disjoint vocabulary sentence structure")],
+        "doc_id long, text string",
+    )
+    rows = {r.eval_id: r for r in D.cross_ngram_contamination(train, ev).collect()}
+    # the leaked doc matches its source exactly
+    assert rows[100].train_id == 10 and rows[100].max_overlap == 1.0
+    # the clean doc shares no 3-gram shingle with any train doc
+    assert 101 not in rows or rows[101].max_overlap < 0.2
