@@ -175,3 +175,86 @@ def cap_tokens_per_group(
         .filter(F.col("__cum_tokens") <= budget)
         .drop("__cum_tokens")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    capacity: int,
+    num_shards: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """Greedy sequence packing: assign each document to a
+    fixed-capacity context window ('bin') so training batches waste
+    minimal padding — the step between curation and tokenized shards.
+
+    Distribution scheme: documents hash-shard deterministically
+    (content hash of the id, so the packing is identical on any
+    cluster shape or partitioning), each shard packs independently
+    with next-fit over the deterministic shuffle order — an inherently
+    sequential fold, so it runs as an Arrow-batched ``applyInPandas``
+    per shard (the documented Pandas-UDF escape hatch for semantics a
+    window cannot express: bin boundaries depend on the running
+    remainder, not a prefix aggregate). Bin ids are globally unique as
+    (shard << 32) | local index. Oversized documents (> capacity) get
+    a bin of their own and ``oversize=true`` — callers decide whether
+    to truncate or drop.
+
+    Scale: one shuffle on the shard key; per-shard state is one
+    running remainder. ``num_shards`` bounds parallelism of the
+    packing stage itself — set it to ~4x your executor-core count at
+    real scale (it changes WHICH bin a doc lands in, never the
+    capacity/coverage invariants)."""
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    base = df.select(
+        F.col(id_col),
+        F.col(token_col).cast("long").alias("__n_tokens"),
+        F.pmod(
+            _portable_hash(seed + 1, F.col(id_col).cast("string")), F.lit(num_shards)
+        ).alias("__shard"),
+        _portable_hash(seed, F.col(id_col).cast("string")).alias("__ok"),
+    )
+    out_schema = (
+        f"{id_col} long, bin_id long, bin_offset long, "
+        "n_tokens long, oversize boolean"
+    )
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["__ok", id_col], kind="mergesort")
+        shard = int(pdf["__shard"].iloc[0]) if len(pdf) else 0
+        bins, offs, overs = [], [], []
+        local_bin, fill = 0, 0
+        for n in pdf["__n_tokens"]:
+            n = int(n)
+            if n > capacity:
+                # oversized: own bin, then continue packing fresh
+                if fill > 0:
+                    local_bin += 1
+                bins.append(local_bin)
+                offs.append(0)
+                overs.append(True)
+                local_bin += 1
+                fill = 0
+                continue
+            if fill + n > capacity:
+                local_bin += 1
+                fill = 0
+            bins.append(local_bin)
+            offs.append(fill)
+            overs.append(False)
+            fill += n
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(),
+                "bin_id": [(shard << 32) | b for b in bins],
+                "bin_offset": offs,
+                "n_tokens": pdf["__n_tokens"].to_numpy(),
+                "oversize": overs,
+            }
+        )
+
+    return base.groupBy("__shard").applyInPandas(pack, out_schema)

@@ -296,3 +296,32 @@ def fingerprint_xxhash(col: Column | str) -> Column:
     """Fast 64-bit fingerprint (xxhash64, JVM intrinsic) — the engine's
     internal dedup key when cross-engine portability isn't needed."""
     return F.xxhash64(normalized(col))
+
+
+# RE2-safe patterns (no backrefs/lookaround) so Java regex (Spark) and
+# RE2 (DuckDB, the oracle) match identically.
+_PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "phone": r"\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}",
+}
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing for training corpora: count and redact emails,
+    IPv4 addresses, and phone numbers (RE2-safe patterns — identical
+    matches under Java regex and RE2, so the pass is oracle-checkable).
+    Adds ``n_<kind>`` count columns and replaces ``text_col`` with the
+    redacted text (matches become ``<KIND>`` placeholders, applied
+    email → ipv4 → phone so a later pattern never re-matches inside an
+    earlier placeholder). Pure Column expressions — narrow,
+    whole-stage-codegen, scan-bound at any scale."""
+    out = df
+    redacted = F.col(text_col)
+    for kind, pat in _PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{kind}",
+            F.size(F.regexp_extract_all(text_col, F.lit(pat), F.lit(0))),
+        )
+        redacted = F.regexp_replace(redacted, pat, f"<{kind.upper()}>")
+    return out.withColumn(text_col, redacted)

@@ -1202,3 +1202,112 @@ def contamination_check_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     ev = docs.filter(gate < 100_000)
     tr = docs.filter(gate >= 100_000)
     return D.cross_ngram_contamination(tr, ev)
+
+
+@query(
+    "pack_sequences_documents",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len({_DUCK_TOKS})) AS BIGINT) AS total_tokens,
+           TRUE AS bins_within_capacity,
+           TRUE AS packing_efficient
+    FROM documents
+    """,
+)
+def pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing (sampling.pack_sequences) of the corpus
+    into 256-token context windows — Arrow-batched applyInPandas per
+    deterministic hash shard (next-fit over the reproducible shuffle
+    order; bin boundaries depend on a running remainder no window
+    function can express). The oracle pins the exact doc/token totals
+    (every doc packed exactly once, token mass preserved) plus two
+    Spark-side invariants: no non-oversize bin exceeds capacity, and
+    bin count stays within the next-fit bound of 2x optimal plus one
+    tail bin per shard."""
+    capacity, shards = 256, 8
+    docs = X.spread_small_scan(t(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", X.token_count("text").alias("n_tokens")
+    )
+    packed = P.pack_sequences(docs, "doc_id", "n_tokens", capacity, num_shards=shards)
+    per_bin = packed.groupBy("bin_id").agg(
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.max(F.col("oversize").cast("int")).alias("has_oversize"),
+    )
+    bin_stats = per_bin.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum(
+            F.when(
+                (F.col("has_oversize") == 0) & (F.col("bin_tokens") > capacity), 1
+            ).otherwise(0)
+        ).alias("over_cap"),
+    )
+    return (
+        packed.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .crossJoin(bin_stats)
+        .select(
+            "n_docs",
+            "total_tokens",
+            (F.col("over_cap") == 0).alias("bins_within_capacity"),
+            (
+                F.col("n_bins")
+                <= 2 * F.ceil(F.col("total_tokens") / capacity) + shards
+            ).alias("packing_efficient"),
+        )
+    )
+
+
+@query(
+    "pii_scrub_documents",
+    oracle=r"""
+    WITH injected AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com at 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                       || '.7 or +1 555-123-4567'
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+           CAST(len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS INTEGER) AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}')) AS INTEGER) AS n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IPV4>', 'g'),
+               '\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+    FROM injected
+    """,
+)
+def pii_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (text.pii_scrub): emails/IPv4s/phone numbers
+    counted and redacted with RE2-safe patterns that Java regex and
+    RE2 match identically — verified to the md5 of the redacted text.
+    The corpus carries no natural PII, so every 10th doc gets a
+    synthetic contact line (same expression in both engines) to keep
+    the check non-vacuous."""
+    docs = X.spread_small_scan(t(spark, sf_dir, "documents"), "doc_id").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com at 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7 or +1 555-123-4567"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    scrubbed = X.pii_scrub(docs)
+    return scrubbed.select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+        F.md5("text").alias("redacted_md5"),
+    )

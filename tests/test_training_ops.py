@@ -696,3 +696,58 @@ def test_cross_ngram_contamination_finds_planted_leak(spark):
     assert rows[100].train_id == 10 and rows[100].max_overlap == 1.0
     # the clean doc shares no 3-gram shingle with any train doc
     assert 101 not in rows or rows[101].max_overlap < 0.2
+
+
+def test_pack_sequences_semantics(spark):
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators import sampling as P
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate([100, 200, 150, 60, 500, 90])],
+        "doc_id long, n_tokens int",
+    )
+    out = P.pack_sequences(df, "doc_id", "n_tokens", capacity=256, num_shards=2)
+    rows = out.collect()
+    assert len(rows) == 6  # every doc packed exactly once
+    assert sum(r.n_tokens for r in rows) == 1100  # token mass preserved
+    by_bin: dict = {}
+    for r in rows:
+        by_bin.setdefault(r.bin_id, []).append(r)
+    for rs in by_bin.values():
+        if any(r.oversize for r in rs):
+            assert len(rs) == 1  # oversized doc is alone in its bin
+        else:
+            assert sum(r.n_tokens for r in rs) <= 256
+            # offsets are a proper prefix layout inside the bin
+            assert sorted(r.bin_offset for r in rs) == [
+                o for o in __import__("itertools").accumulate(
+                    [0] + [r.n_tokens for r in sorted(rs, key=lambda x: x.bin_offset)][:-1]
+                )
+            ]
+    assert [r.oversize for r in rows if r.n_tokens == 500] == [True]
+    # deterministic under repartitioning
+    again = sorted(
+        (r.doc_id, r.bin_id, r.bin_offset)
+        for r in P.pack_sequences(
+            df.repartition(5), "doc_id", "n_tokens", capacity=256, num_shards=2
+        ).collect()
+    )
+    assert again == sorted((r.doc_id, r.bin_id, r.bin_offset) for r in rows)
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+spam@corp.example.org today"),
+            (2, "server 192.168.1.77 and backup 10.0.0.1 are up"),
+            (3, "call +1 555-123-4567 now"),
+            (4, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in X.pii_scrub(df).collect()}
+    assert rows[1].n_email == 1 and "<EMAIL>" in rows[1].text
+    assert "jane.doe" not in rows[1].text
+    assert rows[2].n_ipv4 == 2 and rows[2].text.count("<IPV4>") == 2
+    assert rows[3].n_phone == 1 and "<PHONE>" in rows[3].text
+    assert rows[4].text == "nothing sensitive here"
+    assert (rows[4].n_email, rows[4].n_ipv4, rows[4].n_phone) == (0, 0, 0)
