@@ -580,23 +580,33 @@ def cross_ngram_contamination(
     excluded on BOTH sides (boilerplate n-grams would otherwise give
     one reducer a quadratic bucket and inflate overlap with
     meaningless matches)."""
-    tr = train.select(
-        F.col(id_col).alias("train_id"), word_ngrams(text_col, n).alias("s")
-    ).filter(F.col("s").isNotNull())
-    ev = eval_df.select(
-        F.col(id_col).alias("eval_id"), word_ngrams(text_col, n).alias("s")
-    ).filter(F.col("s").isNotNull())
+    tr = _ensure_parallelism(
+        train.select(F.col(id_col).alias("train_id"), F.col(text_col).alias("__t")),
+        "train_id",
+    ).select("train_id", word_ngrams("__t", n).alias("s")).filter(
+        F.col("s").isNotNull()
+    )
+    ev = _ensure_parallelism(
+        eval_df.select(F.col(id_col).alias("eval_id"), F.col(text_col).alias("__t")),
+        "eval_id",
+    ).select("eval_id", word_ngrams("__t", n).alias("s")).filter(
+        F.col("s").isNotNull()
+    )
     tr_ex = tr.select("train_id", F.explode("s").alias("g"))
     ev_ex = ev.select("eval_id", F.explode("s").alias("g"))
-    allowed = (
-        tr_ex.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("__df"))
+    # stop-shingle cap fused into ONE pass over the exploded train side:
+    # shingle doc-frequency via a window on the shingle key (shingles
+    # are distinct per doc, so the partition count IS the df), filter,
+    # and the subsequent join on the same key reuses the partitioning —
+    # the train corpus shingles once instead of twice.
+    w = Window.partitionBy("g")
+    tr_allowed = (
+        tr_ex.withColumn("__df", F.count(F.lit(1)).over(w))
         .filter(F.col("__df") <= stop_shingle_cap)
-        .select("g")
+        .drop("__df")
     )
     common = (
-        ev_ex.join(allowed, "g", "left_semi")
-        .join(tr_ex, "g")
+        ev_ex.join(tr_allowed, "g")
         .groupBy("eval_id", "train_id")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )

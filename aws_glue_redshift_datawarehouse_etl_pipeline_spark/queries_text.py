@@ -1171,7 +1171,7 @@ def token_budget_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), trex AS (
       SELECT doc_id AS train_id, unnest(s) AS g FROM tr
     ), allowed AS (
-      SELECT g FROM trex GROUP BY g HAVING COUNT(*) <= 1000
+      SELECT g FROM trex GROUP BY g HAVING COUNT(*) <= 100
     ), evex AS (
       SELECT doc_id AS eval_id, unnest(s) AS g FROM ev
     ), common AS (
@@ -1201,7 +1201,7 @@ def contamination_check_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     gate = P._gate("doc_id", seed=7)
     ev = docs.filter(gate < 100_000)
     tr = docs.filter(gate >= 100_000)
-    return D.cross_ngram_contamination(tr, ev)
+    return D.cross_ngram_contamination(tr, ev, stop_shingle_cap=100)
 
 
 @query(
@@ -1310,4 +1310,24 @@ def pii_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_ipv4",
         "n_phone",
         F.md5("text").alias("redacted_md5"),
+    )
+
+
+@query("embedding_near_dup_bucketed_pairs")
+def embedding_near_dup_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION bucketed near-dup pair output alone (probe-2,
+    IVF buckets) — the benchmark surface for the scale path. Its
+    correctness is pinned by `embedding_near_dup_bucketed` (the
+    invariant query that compares it against the size-guarded brute
+    baseline) and the planted/plan tests; this entry exists so the
+    bench measures the production join without paying the baseline's
+    O(n²) cost. Bucket count scales with corpus size (~125 vectors per
+    bucket, one cheap count to size it): per-bucket pair cost is
+    (n/B)²·B, so a fixed B tuned at one scale quadratically overpays
+    at the next — exactly the knob a 100 TB deployment sets from the
+    corpus stats."""
+    emb = t(spark, sf_dir, "embeddings")
+    nb = max(4, emb.count() // 125)
+    return D.embedding_near_dup_pairs_bucketed(
+        emb, threshold=0.4, num_buckets=nb, probe=2
     )

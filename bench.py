@@ -40,6 +40,11 @@ BENCH_QUERIES = [
     "minhash_lsh_dedup_transitive_fast",
     "stratified_sample_documents",
     "embedding_cosine_topk",
+    # curation extensions (round 2)
+    "embedding_near_dup_bucketed_pairs",
+    "contamination_check_documents",
+    "token_budget_per_source",
+    "pack_sequences_documents",
     # streaming engine (availableNow over staged events)
     "streaming_hourly_event_counts",
 ]

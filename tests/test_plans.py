@@ -134,3 +134,36 @@ def test_bucketed_near_dup_joins_on_bucket_column(spark, sf_dir):
 
     join_lines = [ln for ln in s.splitlines() if "HashJoin" in ln or "SortMergeJoin" in ln]
     assert any(re.search(r"\bba\b|__cluster", ln) for ln in join_lines), join_lines
+
+
+def test_contamination_check_is_inverted_index_join(spark, sf_dir):
+    """The cross-corpus overlap must plan as shingle-keyed equi-joins —
+    an all-pairs plan here would be quadratic in corpus size."""
+    s = plan(spark, sf_dir, "contamination_check_documents")
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+
+
+def test_training_order_avoids_global_sort_and_single_partition_window(spark, sf_dir):
+    """First-k of the deterministic order must plan as per-partition
+    heaps (TakeOrderedAndProject), not a full range-exchange sort or a
+    single-partition window."""
+    s = plan(spark, sf_dir, "training_order_documents")
+    assert "TakeOrderedAndProject" in s
+    assert "Window" not in s
+
+
+def test_token_budget_single_group_keyed_window(spark, sf_dir):
+    """The running-sum cap is one window stage partitioned by the
+    group column — partition-by-nothing would serialize the corpus."""
+    s = plan(spark, sf_dir, "token_budget_per_source")
+    assert s.count("Window") == 1
+    wline = next(ln for ln in s.splitlines() if "Window" in ln)
+    assert "source" in wline
+
+
+def test_pack_sequences_is_arrow_grouped_map(spark, sf_dir):
+    """Packing must reach Python exactly once, as a grouped-map Arrow
+    stage keyed on the shard — everything upstream stays JVM-side."""
+    s = plan(spark, sf_dir, "pack_sequences_documents")
+    assert "FlatMapGroupsInPandas" in s or "FlatMapGroupsInArrow" in s
+    assert "BatchEvalPython" not in s  # no row-at-a-time Python
