@@ -120,3 +120,50 @@ def streaming_dedup_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sq.awaitTermination()
     return spark.table(sink).select("fp")
+
+
+@query(
+    "streaming_running_source_counts",
+    oracle="""
+    SELECT source AS key, COUNT(*) AS n
+    FROM documents
+    GROUP BY source
+    """,
+)
+def streaming_running_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful running counts (applyInPandasWithState, update
+    mode) over a multi-micro-batch documents feed: each batch emits the
+    per-source running total, so the memory sink holds one snapshot per
+    (source, batch); the LAST snapshot — the max, counts being monotone
+    — must equal the batch GROUP BY count exactly. Checks the custom
+    stateful operator end to end: state persistence across batches,
+    update-mode emission, and final convergence to the batch answer."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.streaming.stateful import (
+        stream_running_counts,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    stage = os.path.join(tempfile.gettempdir(), f"engine_docs_src_stage_{tag}")
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        docs.repartition(4).write.mode("overwrite").parquet(stage)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    sink = f"stream_counts_{_uuid.uuid4().hex[:8]}"
+    sq = (
+        stream_running_counts(stream, "source")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    return spark.table(sink).groupBy("key").agg(F.max("n").alias("n"))
