@@ -594,17 +594,20 @@ def cross_ngram_contamination(
     )
     tr_ex = tr.select("train_id", F.explode("s").alias("g"))
     ev_ex = ev.select("eval_id", F.explode("s").alias("g"))
-    # stop-shingle cap fused into ONE pass over the exploded train side:
-    # shingle doc-frequency via a window on the shingle key (shingles
-    # are distinct per doc, so the partition count IS the df), filter,
-    # and the subsequent join on the same key reuses the partitioning —
-    # the train corpus shingles once instead of twice.
-    w = Window.partitionBy("g")
-    tr_allowed = (
-        tr_ex.withColumn("__df", F.count(F.lit(1)).over(w))
+    # stop-shingle cap via groupBy + left-semi (the ngram_jaccard_pairs
+    # shape), NOT a Window over the shingle key: a window puts a hot
+    # shingle's ENTIRE postings list ("all rights reserved ...") in one
+    # partition before the filter can drop it — exactly the skew the cap
+    # exists to prevent. groupBy counts partially aggregate map-side, so
+    # no reducer ever holds a hot shingle's full postings; the semi-join
+    # then drops banned shingles with a broadcast-able allowed set.
+    allowed = (
+        tr_ex.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("__df"))
         .filter(F.col("__df") <= stop_shingle_cap)
-        .drop("__df")
+        .select("g")
     )
+    tr_allowed = tr_ex.join(allowed, "g", "left_semi")
     common = (
         ev_ex.join(tr_allowed, "g")
         .groupBy("eval_id", "train_id")

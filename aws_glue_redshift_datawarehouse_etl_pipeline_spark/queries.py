@@ -65,15 +65,23 @@ def query(name: str, oracle: str | None = None):
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # The events table stores TIMESTAMP(NANOS) which the vectorized
-        # parquet reader rejects; read nanos as long and rebuild a
-        # microsecond timestamp with integer arithmetic (a double
-        # division would lose precision above 2^53 ns). Queries must not
-        # emit raw ts: DuckDB keeps ns, Spark truncates to µs.
+        # The events table's physical ts layout has varied across testdata
+        # generations; normalize every variant to a session-tz TIMESTAMP
+        # here so no query or test re-rolls the conversion.
+        #   - TIMESTAMP(NANOS): the vectorized reader rejects it; read
+        #     nanos as long and rebuild a microsecond timestamp with
+        #     integer arithmetic (double division loses precision > 2^53).
+        #   - timestamp[us] (no tz): Spark 4 infers TIMESTAMP_NTZ, which
+        #     unix_millis/unix_micros reject; cast to TIMESTAMP — the
+        #     session tz is UTC (session.py) so wall-clock values are
+        #     unchanged and the DuckDB oracle sees identical instants.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

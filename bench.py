@@ -62,24 +62,32 @@ def main() -> None:
     names = [n for n in BENCH_QUERIES if n in q.QUERIES]
     # warm the JVM + parquet footers once so per-query numbers measure the
     # query, not session startup
-    q.QUERIES[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    try:
+        q.QUERIES[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass
+    # one broken query must not lose the other 21 measurements: isolate
+    # each run and record the error string instead of the timing
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         start = time.perf_counter()
-        q.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 4)
+        try:
+            q.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - start, 4)
+        except Exception as exc:  # noqa: BLE001 — bench must always emit JSON
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -11,6 +11,8 @@ only these tests catch the plan degrading.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from aws_glue_redshift_datawarehouse_etl_pipeline_spark import queries as q
@@ -141,6 +143,13 @@ def test_contamination_check_is_inverted_index_join(spark, sf_dir):
     an all-pairs plan here would be quadratic in corpus size."""
     s = plan(spark, sf_dir, "contamination_check_documents")
     assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+    # the stop-shingle cap must be a map-side-combinable groupBy count
+    # plus a semi-join, never a Window over the shingle key — a window
+    # hands one reducer a hot shingle's entire postings list before the
+    # filter can drop it. Window.partitionBy appears in plans as a
+    # `Window [...]` node with the shingle in its partition spec.
+    assert not re.search(r"Window \[.*\bg\b", s), "shingle-keyed Window in plan"
+    assert "LeftSemi" in s, "stop-shingle cap should be a left-semi join"
 
 
 def test_training_order_avoids_global_sort_and_single_partition_window(spark, sf_dir):

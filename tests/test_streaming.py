@@ -3,6 +3,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from aws_glue_redshift_datawarehouse_etl_pipeline_spark.queries import t
 from aws_glue_redshift_datawarehouse_etl_pipeline_spark.streaming import (
     for_each_batch,
     parse_window_size,
@@ -14,13 +15,10 @@ from aws_glue_redshift_datawarehouse_etl_pipeline_spark.streaming import (
 
 @pytest.fixture()
 def events_stream(spark, sf_dir, tmp_path):
-    # stage a small slice of events as a file-stream source
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        .limit(500)
-    )
+    # stage a small slice of events as a file-stream source; t() is the
+    # single choke point that normalizes the events ts column across
+    # testdata layout generations (nanos-as-long, TIMESTAMP_NTZ, ...)
+    src = t(spark, sf_dir, "events").limit(500)
     path = str(tmp_path / "events_src")
     src.write.mode("overwrite").parquet(path)
     schema = src.schema
