@@ -67,16 +67,29 @@ def main() -> None:
     except Exception:
         pass
     # one broken query must not lose the other 21 measurements: isolate
-    # each run and record the error string instead of the timing
+    # each run and record the error string instead of the timing.
+    # best-of-2 per query: the first execution pays whole-stage-codegen
+    # JIT compilation (notably heavier on Spark 4.x) and is exposed to
+    # transient host contention; the min of two full runs measures the
+    # query, which is what the baseline comparison is about.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
-        start = time.perf_counter()
-        try:
-            q.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - start, 4)
-        except Exception as exc:  # noqa: BLE001 — bench must always emit JSON
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+        best = None
+        for _ in range(2):
+            start = time.perf_counter()
+            try:
+                q.QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                elapsed = time.perf_counter() - start
+                best = elapsed if best is None else min(best, elapsed)
+            except Exception as exc:  # noqa: BLE001 — bench must always emit JSON
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                break
+        if best is not None:
+            timings[name] = round(best, 4)
+            errors.pop(name, None)
     total = round(sum(timings.values()), 4)
     out = {
         "metric": "headline_queries_total",
