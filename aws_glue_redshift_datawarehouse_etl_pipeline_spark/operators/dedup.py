@@ -565,6 +565,7 @@ def cross_ngram_contamination(
     text_col: str = "text",
     n: int = 3,
     stop_shingle_cap: int = 1000,
+    broadcast_eval_shingles: int = 4_000_000,
 ) -> DataFrame:
     """Benchmark-contamination check: for every eval document, the
     largest shingle-overlap fraction against any training document
@@ -575,11 +576,20 @@ def cross_ngram_contamination(
 
     Shape: inverted-index join on the shingle (the n-gram Jaccard
     machinery pointed across two corpora instead of at itself) — never
-    an all-pairs join; the shuffle key is the shingle. Shingles
-    occurring in more than ``stop_shingle_cap`` training docs are
-    excluded on BOTH sides (boilerplate n-grams would otherwise give
-    one reducer a quadratic bucket and inflate overlap with
-    meaningless matches)."""
+    an all-pairs join. The asymmetry is the whole design: the train
+    corpus is the 100 TB side, the eval side is benchmark suites —
+    typically thousands of docs. When the distinct eval shingle set is
+    at most ``broadcast_eval_shingles`` (8-byte hashed keys, so 4M ≈
+    32 MB), it is broadcast and the train corpus is filtered map-side:
+    the full train shingle inventory is NEVER shuffled — only postings
+    that hit an eval shingle (a vanishing fraction) reach a reducer.
+    Above the threshold it degrades to the symmetric shuffle join.
+    Shingles occurring in more than ``stop_shingle_cap`` training docs
+    are excluded on BOTH sides (boilerplate n-grams would otherwise
+    give one reducer a quadratic bucket and inflate overlap with
+    meaningless matches); their doc frequency is counted on the
+    eval-filtered postings, which preserves each surviving shingle's
+    exact full-corpus df."""
     tr = _ensure_parallelism(
         train.select(F.col(id_col).alias("train_id"), F.col(text_col).alias("__t")),
         "train_id",
@@ -592,8 +602,25 @@ def cross_ngram_contamination(
     ).select("eval_id", word_ngrams("__t", n).alias("s")).filter(
         F.col("s").isNotNull()
     )
-    tr_ex = tr.select("train_id", F.explode("s").alias("g"))
-    ev_ex = ev.select("eval_id", F.explode("s").alias("g"))
+    # hash each shingle to a 64-bit key before anything wide: the join,
+    # the doc-frequency count, and the semi-join all move 8-byte longs
+    # instead of ~n-word strings (~4-8x less shuffle IO at corpus
+    # scale). Overlap counts are unaffected short of an xxhash64
+    # collision *within one (eval, train) doc pair's* shingle set —
+    # negligible at any corpus size that fits a cluster.
+    tr_ex = tr.select("train_id", F.explode("s").alias("__g")).select(
+        "train_id", F.xxhash64("__g").alias("g")
+    )
+    ev_ex = ev.select("eval_id", F.explode("s").alias("__g")).select(
+        "eval_id", F.xxhash64("__g").alias("g")
+    )
+    ev_g = ev_ex.select("g").distinct()
+    if ev_g.limit(broadcast_eval_shingles + 1).count() <= broadcast_eval_shingles:
+        # eval side broadcasts: drop every train posting that can't
+        # match BEFORE any shuffle — the broadcast semi-join runs
+        # map-side inside the train scan stage, so the only rows that
+        # ever move are eval-intersecting postings.
+        tr_ex = tr_ex.join(F.broadcast(ev_g), "g", "left_semi")
     # stop-shingle cap via groupBy + left-semi (the ngram_jaccard_pairs
     # shape), NOT a Window over the shingle key: a window puts a hot
     # shingle's ENTIRE postings list ("all rights reserved ...") in one

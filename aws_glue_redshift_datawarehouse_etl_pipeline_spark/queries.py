@@ -578,7 +578,6 @@ PRIORITY: tuple[str, ...] = (
     "window_running_supplier",
     "semijoin_customers_with_open_orders",
     "approx_distinct_customers",
-    "approx_percentile_prices",
     # temporal / event custom operators
     "sessionize_events",
     "events_hourly_tumbling",
@@ -593,7 +592,6 @@ PRIORITY: tuple[str, ...] = (
     "resolve_choice_mixed",
     "drop_null_fields_customer",
     "explode_tokens_with_index",
-    "replace_second_token",
     # streaming
     "streaming_hourly_event_counts",
     "streaming_dedup_fingerprints",
@@ -602,19 +600,21 @@ PRIORITY: tuple[str, ...] = (
     "text_quality_scores",
     "language_id_documents",
     "fingerprint_documents",
-    # LLM training-data pipeline: dedup
+    "pii_scrub_documents",
+    # LLM training-data pipeline: dedup + contamination
     "dedup_exact_documents",
     "ngram_jaccard_near_dups",
-    "minhash_lsh_dedup_portable",
     "minhash_lsh_dedup_transitive",
     "simhash_near_dup_portable",
+    "contamination_check_documents",
     # LLM training-data pipeline: similarity / embeddings
     "embedding_cosine_topk",
     "embedding_near_dup_bucketed",
-    "embedding_near_dup_pairs",
-    # LLM training-data pipeline: sampling / splits
+    # LLM training-data pipeline: sampling / splits / packing
     "stratified_sample_documents",
     "hash_split_documents",
+    "pack_sequences_documents",
+    "training_order_documents",
     # production fast-path invariants (xxhash64 vs portable, IVF recall)
     "fastpath_parity_checks",
     "ivf_recall_check",
