@@ -1,0 +1,411 @@
+"""Pure-Python Avro binary codec — the connector-less fallback for
+``unbox(..., fmt="avro")``.
+
+The JVM path (``pyspark.sql.avro.functions.from_avro``) is the
+production route: spark-avro is an external Spark module, vectorized
+and codegen'd. When that jar is not on the session classpath the
+engine would otherwise have a dead code path, so this module
+implements the Avro *binary encoding* (a public, stable spec:
+https://avro.apache.org/docs/current/specification/ — zigzag varint
+longs, length-prefixed bytes/strings, block-encoded arrays/maps,
+index-prefixed unions, field-concatenated records) and exposes it as
+an Arrow-batched ``mapInPandas`` decode. Per-value Python decode is
+the slow path by design — the fallback exists for completeness and
+small side-channel columns, not the 100 TB scan path; the operator
+docstrings say which route they take.
+
+Scope: all Avro types except logical-type reinterpretation (decimal /
+timestamp annotations decode as their underlying primitive). Schema
+resolution (reader != writer schema) is out of scope — the column was
+written with the schema the caller passes, same contract as
+``from_avro``.
+
+Reference parity: the reference treats avro as a first-class unbox
+format (/root/reference/awsglue/transforms/unbox.py:15-112) but
+delegates decoding to Spark; this module keeps that surface alive in
+jar-less environments.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+__all__ = [
+    "parse_avro_schema",
+    "avro_decode",
+    "avro_encode",
+    "avro_schema_to_spark_type",
+    "unbox_avro_python",
+]
+
+_PRIMITIVES = {"null", "boolean", "int", "long", "float", "double", "bytes", "string"}
+
+
+def parse_avro_schema(schema: str | dict | list) -> dict | list | str:
+    """Parse an Avro JSON schema string into its dict/list/str form and
+    validate the type names used. Named-type references are resolved
+    against a registry built on the way down."""
+    if isinstance(schema, str):
+        # a bare primitive name ("long") is a valid Avro schema but not
+        # valid JSON; accept it directly
+        node = schema if schema in _PRIMITIVES else json.loads(schema)
+    else:
+        node = schema
+    names: dict[str, dict] = {}
+
+    def walk(n: Any) -> Any:
+        if isinstance(n, str):
+            if n in _PRIMITIVES:
+                return n
+            if n in names:
+                return names[n]
+            raise ValueError(f"unknown Avro type name: {n!r}")
+        if isinstance(n, list):  # union
+            return [walk(b) for b in n]
+        if not isinstance(n, dict):
+            raise ValueError(f"malformed Avro schema node: {n!r}")
+        t = n.get("type")
+        if t in _PRIMITIVES:
+            return t
+        if t == "record":
+            names[n["name"]] = n
+            n["fields"] = [
+                {**f, "type": walk(f["type"])} for f in n.get("fields", [])
+            ]
+            return n
+        if t == "enum":
+            names[n["name"]] = n
+            if not n.get("symbols"):
+                raise ValueError("enum schema requires symbols")
+            return n
+        if t == "fixed":
+            names[n["name"]] = n
+            if "size" not in n:
+                raise ValueError("fixed schema requires size")
+            return n
+        if t == "array":
+            n["items"] = walk(n["items"])
+            return n
+        if t == "map":
+            n["values"] = walk(n["values"])
+            return n
+        if isinstance(t, (dict, list)):  # {"type": {...nested...}}
+            return walk(t)
+        raise ValueError(f"unsupported Avro type: {t!r}")
+
+    return walk(node)
+
+
+def _type_tag(schema: dict | list | str) -> str:
+    if isinstance(schema, str):
+        return schema
+    if isinstance(schema, list):
+        return "union"
+    return schema["type"]
+
+
+# ---------------------------------------------------------------- decode
+
+def _read_long(buf: bytes, pos: int) -> tuple[int, int]:
+    """Zigzag varint (Avro int and long share this encoding)."""
+    shift = 0
+    acc = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1), pos
+
+
+def _decode(buf: bytes, pos: int, schema: dict | list | str) -> tuple[Any, int]:
+    tag = _type_tag(schema)
+    if tag == "null":
+        return None, pos
+    if tag == "boolean":
+        return buf[pos] != 0, pos + 1
+    if tag in ("int", "long"):
+        return _read_long(buf, pos)
+    if tag == "float":
+        return struct.unpack_from("<f", buf, pos)[0], pos + 4
+    if tag == "double":
+        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if tag in ("bytes", "string"):
+        n, pos = _read_long(buf, pos)
+        raw = bytes(buf[pos : pos + n])
+        return (raw.decode("utf-8") if tag == "string" else raw), pos + n
+    if tag == "fixed":
+        n = schema["size"]
+        return bytes(buf[pos : pos + n]), pos + n
+    if tag == "enum":
+        idx, pos = _read_long(buf, pos)
+        return schema["symbols"][idx], pos
+    if tag == "union":
+        idx, pos = _read_long(buf, pos)
+        return _decode(buf, pos, schema[idx])
+    if tag == "array":
+        out = []
+        while True:
+            count, pos = _read_long(buf, pos)
+            if count == 0:
+                return out, pos
+            if count < 0:  # block with byte-size prefix (skippable form)
+                count = -count
+                _, pos = _read_long(buf, pos)
+            for _ in range(count):
+                v, pos = _decode(buf, pos, schema["items"])
+                out.append(v)
+    if tag == "map":
+        m: dict[str, Any] = {}
+        while True:
+            count, pos = _read_long(buf, pos)
+            if count == 0:
+                return m, pos
+            if count < 0:
+                count = -count
+                _, pos = _read_long(buf, pos)
+            for _ in range(count):
+                k, pos = _decode(buf, pos, "string")
+                v, pos = _decode(buf, pos, schema["values"])
+                m[k] = v
+    if tag == "record":
+        rec = {}
+        for f in schema["fields"]:
+            rec[f["name"]], pos = _decode(buf, pos, f["type"])
+        return rec, pos
+    raise ValueError(f"cannot decode Avro type {tag!r}")
+
+
+def avro_decode(buf: bytes, schema: dict | list | str) -> Any:
+    """Decode one Avro-binary value; raises on trailing garbage."""
+    val, pos = _decode(buf, 0, schema)
+    if pos != len(buf):
+        raise ValueError(f"{len(buf) - pos} trailing bytes after Avro value")
+    return val
+
+
+# ---------------------------------------------------------------- encode
+
+def _zigzag(v: int) -> int:
+    return (v << 1) if v >= 0 else (((-v) << 1) - 1)
+
+
+def _encode(out: bytearray, val: Any, schema: dict | list | str) -> None:
+    tag = _type_tag(schema)
+    if tag == "null":
+        if val is not None:
+            raise ValueError("non-null value for null schema")
+        return
+    if tag == "boolean":
+        out.append(1 if val else 0)
+        return
+    if tag in ("int", "long"):
+        v = _zigzag(int(val))
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return
+    if tag == "float":
+        out += struct.pack("<f", float(val))
+        return
+    if tag == "double":
+        out += struct.pack("<d", float(val))
+        return
+    if tag in ("bytes", "string"):
+        raw = val.encode("utf-8") if tag == "string" else bytes(val)
+        _encode(out, len(raw), "long")
+        out += raw
+        return
+    if tag == "fixed":
+        raw = bytes(val)
+        if len(raw) != schema["size"]:
+            raise ValueError("fixed value has wrong size")
+        out += raw
+        return
+    if tag == "enum":
+        _encode(out, schema["symbols"].index(val), "long")
+        return
+    if tag == "union":
+        for i, branch in enumerate(schema):
+            if _matches(val, branch):
+                _encode(out, i, "long")
+                _encode(out, val, branch)
+                return
+        raise ValueError(f"value {val!r} matches no union branch")
+    if tag == "array":
+        if val:
+            _encode(out, len(val), "long")
+            for item in val:
+                _encode(out, item, schema["items"])
+        _encode(out, 0, "long")
+        return
+    if tag == "map":
+        if val:
+            _encode(out, len(val), "long")
+            for k, v in val.items():
+                _encode(out, k, "string")
+                _encode(out, v, schema["values"])
+        _encode(out, 0, "long")
+        return
+    if tag == "record":
+        for f in schema["fields"]:
+            _encode(out, val[f["name"]], f["type"])
+        return
+    raise ValueError(f"cannot encode Avro type {tag!r}")
+
+
+def _matches(val: Any, schema: dict | list | str) -> bool:
+    tag = _type_tag(schema)
+    if tag == "null":
+        return val is None
+    if tag == "boolean":
+        return isinstance(val, bool)
+    if tag in ("int", "long"):
+        return isinstance(val, int) and not isinstance(val, bool)
+    if tag in ("float", "double"):
+        return isinstance(val, float)
+    if tag == "string":
+        return isinstance(val, str)
+    if tag in ("bytes", "fixed"):
+        return isinstance(val, (bytes, bytearray))
+    if tag == "enum":
+        return isinstance(val, str) and val in schema["symbols"]
+    if tag == "array":
+        return isinstance(val, list)
+    if tag == "map":
+        return isinstance(val, dict)
+    if tag == "record":
+        return isinstance(val, dict)
+    return False
+
+
+def avro_encode(val: Any, schema: dict | list | str) -> bytes:
+    out = bytearray()
+    _encode(out, val, schema)
+    return bytes(out)
+
+
+# ------------------------------------------------- Spark type mapping
+
+def avro_schema_to_spark_type(schema: dict | list | str) -> T.DataType:
+    """Map an Avro schema to the Spark SQL type ``from_avro`` would
+    produce: records→structs, unions with null→nullable branch type,
+    enums→string, fixed→binary, int→int, long→long."""
+    tag = _type_tag(schema)
+    simple = {
+        "null": T.NullType(),
+        "boolean": T.BooleanType(),
+        "int": T.IntegerType(),
+        "long": T.LongType(),
+        "float": T.FloatType(),
+        "double": T.DoubleType(),
+        "bytes": T.BinaryType(),
+        "string": T.StringType(),
+    }
+    if tag in simple:
+        return simple[tag]
+    if tag == "fixed":
+        return T.BinaryType()
+    if tag == "enum":
+        return T.StringType()
+    if tag == "union":
+        non_null = [b for b in schema if _type_tag(b) != "null"]
+        if len(non_null) == 1:
+            return avro_schema_to_spark_type(non_null[0])
+        # general unions surface as a struct of optional member fields
+        # (the same shape spark-avro produces for non-nullable unions)
+        return T.StructType(
+            [
+                T.StructField(f"member{i}", avro_schema_to_spark_type(b), True)
+                for i, b in enumerate(non_null)
+            ]
+        )
+    if tag == "array":
+        return T.ArrayType(avro_schema_to_spark_type(schema["items"]))
+    if tag == "map":
+        return T.MapType(T.StringType(), avro_schema_to_spark_type(schema["values"]))
+    if tag == "record":
+        return T.StructType(
+            [
+                T.StructField(f["name"], avro_schema_to_spark_type(f["type"]), True)
+                for f in schema["fields"]
+            ]
+        )
+    raise ValueError(f"cannot map Avro type {tag!r}")
+
+
+def _to_union_struct(val: Any, schema: list) -> dict:
+    non_null = [b for b in schema if _type_tag(b) != "null"]
+    out = {f"member{i}": None for i in range(len(non_null))}
+    for i, b in enumerate(non_null):
+        if _matches(val, b):
+            out[f"member{i}"] = _to_spark_value(val, b)
+            break
+    return out
+
+
+def _to_spark_value(val: Any, schema: dict | list | str) -> Any:
+    """Reshape a decoded Avro value to the Spark row shape of
+    ``avro_schema_to_spark_type`` (general unions become structs)."""
+    if val is None:
+        return None
+    tag = _type_tag(schema)
+    if tag == "union":
+        non_null = [b for b in schema if _type_tag(b) != "null"]
+        if len(non_null) == 1:
+            return _to_spark_value(val, non_null[0])
+        return _to_union_struct(val, schema)
+    if tag == "array":
+        return [_to_spark_value(v, schema["items"]) for v in val]
+    if tag == "map":
+        return {k: _to_spark_value(v, schema["values"]) for k, v in val.items()}
+    if tag == "record":
+        return {
+            f["name"]: _to_spark_value(val.get(f["name"]), f["type"])
+            for f in schema["fields"]
+        }
+    if tag == "fixed":
+        return bytes(val)
+    return val
+
+
+def unbox_avro_python(df: DataFrame, path: str, schema_json: str) -> DataFrame:
+    """Arrow-batched Python decode of an Avro-binary column — the
+    jar-less fallback behind ``unbox(..., fmt="avro")``. One
+    ``mapInPandas`` pass; every other column passes through untouched.
+    Plan shape: narrow map, no shuffle; throughput is bounded by the
+    Python decode loop, so prefer the JVM ``from_avro`` whenever the
+    spark-avro module is deployable."""
+    schema = parse_avro_schema(schema_json)
+    spark_type = avro_schema_to_spark_type(schema)
+    out_fields = [
+        T.StructField(path, spark_type, True)
+        if f.name == path
+        else f
+        for f in df.schema.fields
+    ]
+    out_schema = T.StructType(out_fields)
+    names = [f.name for f in out_fields]
+
+    def decode_batches(batches) -> Iterator:
+        for pdf in batches:
+            decoded = [
+                None if raw is None else _to_spark_value(avro_decode(raw, schema), schema)
+                for raw in pdf[path]
+            ]
+            pdf = pdf.copy()
+            pdf[path] = decoded
+            yield pdf[names]
+
+    return df.mapInPandas(decode_batches, schema=out_schema)

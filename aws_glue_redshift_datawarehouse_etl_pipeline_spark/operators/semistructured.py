@@ -109,12 +109,33 @@ def unbox(
                 "Avro unbox requires an explicit Avro JSON schema string "
                 "(there is no in-band schema in a bare Avro-encoded column)"
             )
-        from pyspark.sql.avro.functions import from_avro
-
-        parsed = from_avro(F.col(path), schema, dict(options))
+        return _unbox_avro(df, path, schema, dict(options))
     else:
         raise ValueError(f"unsupported unbox format: {fmt!r}")
     return df.withColumn(path, parsed)
+
+
+def _unbox_avro(df: DataFrame, path: str, schema: str, options: dict) -> DataFrame:
+    """Avro unbox: JVM ``from_avro`` (vectorized, codegen'd) when the
+    external spark-avro module is on the classpath, else the pure-Python
+    Arrow-batched fallback codec (operators/avro_codec.py). The JVM
+    probe is plan-time (AVRO_NOT_LOADED surfaces at expression
+    resolution), so the fallback decision costs no job."""
+    from pyspark.sql.avro.functions import from_avro
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        out = df.withColumn(path, from_avro(F.col(path), schema, options))
+        out.schema  # force resolution: raises AVRO_NOT_LOADED without the jar
+        return out
+    except AnalysisException as exc:
+        if "AVRO" not in str(exc).upper():
+            raise
+        from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.avro_codec import (
+            unbox_avro_python,
+        )
+
+        return unbox_avro_python(df, path, schema)
 
 
 def spark_schema_of_json_samples(df: DataFrame, path: str, sample: list[str]) -> T.StructType:

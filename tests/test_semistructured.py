@@ -60,29 +60,30 @@ _AVRO_SCHEMA = (
 
 def test_unbox_avro_roundtrip(spark):
     """Avro unbox routes through from_avro with an explicit schema
-    (reference format list, awsglue/transforms/unbox.py:15-112). The
-    spark-avro connector is an external Spark module; when it isn't on
-    the classpath (this container), the expression must still build and
-    fail only at analysis with AVRO_NOT_LOADED — proving the dispatch —
-    and the round-trip body runs wherever the connector is loaded."""
-    df = spark.createDataFrame([(1, "x"), (2, "y")], "a int, b string")
-    try:
-        from pyspark.sql.avro.functions import to_avro
+    (reference format list, awsglue/transforms/unbox.py:15-112) when
+    the external spark-avro module is on the classpath, and through the
+    pure-Python Arrow-batched codec (operators/avro_codec.py) when it
+    isn't — either way the round trip must execute here. The encode
+    side uses the portable codec (to_avro needs the jar too)."""
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.avro_codec import (
+        avro_encode,
+        parse_avro_schema,
+    )
 
-        enc = df.select(to_avro(F.struct("a", "b"), _AVRO_SCHEMA).alias("rec"))
-        enc.collect()
-    except Exception as e:  # noqa: BLE001
-        if "AVRO_NOT_LOADED" not in str(e):
-            raise
-        with pytest.raises(Exception, match="AVRO_NOT_LOADED"):
-            ss.unbox(
-                spark.createDataFrame([(b"\x02x",)], "rec binary"), "rec", "avro",
-                schema=_AVRO_SCHEMA,
-            ).collect()
-        pytest.skip("spark-avro connector not on classpath")
+    sch = parse_avro_schema(_AVRO_SCHEMA)
+    rows = [
+        (avro_encode({"a": 1, "b": "x"}, sch),),
+        (avro_encode({"a": 2, "b": "y"}, sch),),
+        (None,),
+    ]
+    enc = spark.createDataFrame(rows, "rec binary")
     out = ss.unbox(enc, "rec", "avro", schema=_AVRO_SCHEMA)
-    got = sorted((r[0], r[1]) for r in out.select("rec.a", "rec.b").collect())
+    assert out.schema["rec"].dataType.simpleString() == "struct<a:int,b:string>"
+    got = sorted(
+        (r[0], r[1]) for r in out.select("rec.a", "rec.b").collect() if r[0] is not None
+    )
     assert got == [(1, "x"), (2, "y")]
+    assert out.filter(F.col("rec").isNull()).count() == 1
 
 
 def test_drop_null_fields_nested(spark):
