@@ -19,6 +19,7 @@ from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.joins import (
     incremental_new_rows,
     left_anti_via_left_join,
     merge_upsert,
+    merge_upsert_into_path,
     snapshot_diff,
 )
 from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.setops import (
@@ -36,6 +37,7 @@ __all__ = [
     "incremental_new_rows",
     "left_anti_via_left_join",
     "merge_upsert",
+    "merge_upsert_into_path",
     "snapshot_diff",
     "union_by_name",
 ]

@@ -98,9 +98,11 @@ def merge_upsert(
     replace source rows with matching PKs; unmatched source rows are
     retained; duplicate records within either side are NOT deduplicated.
 
-    One shuffle on the PK for the anti-join; the union adds none. At
-    warehouse scale the same semantics map to Delta ``MERGE INTO``
-    (whenMatched update / whenNotMatched insert).
+    One shuffle on the PK for the anti-join; the union adds none. This
+    is the DataFrame-level semantic; for the write side at warehouse
+    scale use ``merge_upsert_into_path`` (partition-pruned dynamic
+    overwrite — O(batch), not O(table)) or a transactional format's
+    ``MERGE INTO`` where deployed.
     """
     keep = source.join(
         stage.select(*primary_keys).dropDuplicates(list(primary_keys)),
@@ -108,6 +110,64 @@ def merge_upsert(
         how="left_anti",
     )
     return keep.unionByName(stage)
+
+
+def merge_upsert_into_path(
+    spark,
+    table_path: str,
+    stage: DataFrame,
+    primary_keys: Sequence[str],
+    partition_cols: Sequence[str],
+    fmt: str = "parquet",
+) -> list[dict]:
+    """Warehouse-scale MERGE seam: apply ``merge_upsert`` semantics to a
+    partitioned table on disk, rewriting ONLY the partitions the staged
+    batch touches (dynamic partition overwrite) instead of the whole
+    table — the difference between an O(batch) and an O(table) write at
+    100 TB. Where a transactional format (Delta/Iceberg ``MERGE INTO``)
+    is available it supersedes this; on plain parquet this is the
+    standard partition-pruned merge.
+
+    CONTRACT: every ``partition_cols`` value must be a pure function of
+    the primary key (a date that is part of the key, a key-derived hash
+    bucket, ...). If a key could change partitions between the table
+    and the stage, its old row would live in a partition this merge
+    never reads or rewrites, leaving a duplicate. The affected-
+    partition list is computed from the stage alone under this
+    contract.
+
+    Plan shape: one distinct over the stage's partition columns (tiny —
+    bounded by partitions-touched, collected to build the pruning
+    predicate), a partition-PRUNED read of the table (only affected
+    partitions are scanned; verify `PartitionFilters` in the plan), the
+    merge's single PK shuffle, and a dynamic-overwrite write that
+    replaces exactly the affected partition directories. Returns the
+    list of affected partition-value dicts for observability."""
+    pcols = list(partition_cols)
+    parts = [r.asDict() for r in stage.select(*pcols).distinct().collect()]
+    if not parts:
+        return []
+    pred = None
+    for p in parts:
+        clause = None
+        for c in pcols:
+            eq = F.col(c).eqNullSafe(F.lit(p[c]))
+            clause = eq if clause is None else clause & eq
+        pred = clause if pred is None else pred | clause
+    affected = spark.read.format(fmt).load(table_path).filter(pred)
+    merged = merge_upsert(affected, stage, primary_keys)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.write.format(fmt)
+            .mode("overwrite")
+            .partitionBy(*pcols)
+            .save(table_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return parts
 
 
 def snapshot_diff(

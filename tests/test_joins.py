@@ -168,3 +168,55 @@ def test_snapshot_diff_labels_and_null_safety(spark):
     assert got == {2: "changed", 3: "removed", 5: "added", 4: "changed"}
     full = snapshot_diff(old, new, ["id"], include_unchanged=True)
     assert {r.id: r.change_type for r in full.collect()}[1] == "unchanged"
+
+
+def test_merge_upsert_into_path_rewrites_only_affected_partitions(spark, tmp_path):
+    """The warehouse MERGE seam must (a) produce merge_upsert semantics
+    on disk and (b) leave untouched partition directories' files
+    physically alone — the O(batch)-not-O(table) write is the point."""
+    import os
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "b1", "a"), (2, "b1", "b"), (3, "b2", "c")],
+        "k int, dt string, v string",
+    )
+    base.write.partitionBy("dt").parquet(path)
+
+    def files(part):
+        d = os.path.join(path, f"dt={part}")
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before_untouched = files("b2")
+    # stage touches only b1: update k=2, insert k=4 (dt is part
+    # of the logical key: partition value is a function of the pk)
+    stage = spark.createDataFrame(
+        [(2, "b1", "B"), (4, "b1", "D")], "k int, dt string, v string"
+    )
+    parts = J.merge_upsert_into_path(spark, path, stage, ["k", "dt"], ["dt"])
+    assert parts == [{"dt": "b1"}]
+    got = sorted(
+        (r.k, r.dt, r.v) for r in spark.read.parquet(path).collect()
+    )
+    assert got == [
+        (1, "b1", "a"),
+        (2, "b1", "B"),
+        (3, "b2", "c"),
+        (4, "b1", "D"),
+    ]
+    # the untouched partition's data files were not rewritten
+    assert files("b2") == before_untouched
+
+
+def test_merge_upsert_into_path_empty_stage_is_noop(spark, tmp_path):
+    path = str(tmp_path / "tbl2")
+    spark.createDataFrame([(1, "d1", "a")], "k int, dt string, v string").write.partitionBy(
+        "dt"
+    ).parquet(path)
+    empty = spark.createDataFrame([], "k int, dt string, v string")
+    assert J.merge_upsert_into_path(spark, path, empty, ["k", "dt"], ["dt"]) == []
+    assert spark.read.parquet(path).count() == 1
