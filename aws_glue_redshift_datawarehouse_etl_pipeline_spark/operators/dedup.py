@@ -191,9 +191,14 @@ def minhash_signatures(
     interpreted HOF mode — ~num_hashes× slower), and the one shuffle
     is map-side combined down to a row per doc.
     """
+    # portable shingles stay strings (the md5 path is the cross-engine
+    # oracle); the production path shingles straight to 64-bit hashes
+    # (word_ngram_hashes) so the num_hashes per-row hash computations
+    # chew 8-byte longs, not gram strings
+    shingle = word_ngrams if portable else word_ngram_hashes
     ex = _ensure_parallelism(
         df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t")), "doc"
-    ).select("doc", F.explode(word_ngrams("__t", n)).alias("s"))
+    ).select("doc", F.explode(shingle("__t", n)).alias("s"))
     if portable:
         aggs = [
             F.min(_portable_hash(i, F.col("s"))).alias(f"__h{i}")
@@ -320,11 +325,14 @@ def minhash_lsh_dedup(
             .union(pairs.select(F.col("doc_b").alias("doc")))
             .distinct()
         )
+        # true-Jaccard verification only needs shingle EQUALITY; the
+        # fast path intersects 64-bit hash arrays instead of strings
+        shingle = word_ngrams if portable else word_ngram_hashes
         sh = (
             df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t"))
             .join(F.broadcast(cand_ids), "doc", "left_semi")
             .repartition(df.sparkSession.sparkContext.defaultParallelism, "doc")
-            .select("doc", word_ngrams("__t", n).alias("s"))
+            .select("doc", shingle("__t", n).alias("s"))
         )
         verified = (
             pairs.join(
@@ -542,12 +550,17 @@ def embedding_near_dup_pairs_bucketed(
         assigned = spread.withColumn(
             "__cluster", F.explode(topk_clusters(vec, cents, probe))
         )
+    # both sides of the within-bucket self-join consume this frame; the
+    # centroid assignment (C x D distance per row) and the exact-decimal
+    # self-norm are the expensive narrow work, so persist one
+    # materialization instead of computing them twice (the self-join
+    # does not canonicalize to a reused exchange)
     normed = assigned.select(
         F.col(id_col).alias("id"),
         vec.alias("v"),
         dot_exact(vec, vec).alias("nn"),
         F.col("__cluster").alias("b"),
-    )
+    ).persist()
     a = normed.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"),
         F.col("nn").alias("na"), F.col("b").alias("ba"),
