@@ -523,6 +523,7 @@ def embedding_near_dup_pairs_bucketed(
     num_buckets: int = 16,
     probe: int = 1,
     refine_rounds: int = 0,
+    cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Scale path for embedding near-dup: assign each vector to its
     nearest coarse centroid (narrow map over a broadcast centroid set)
@@ -561,6 +562,8 @@ def embedding_near_dup_pairs_bucketed(
         dot_exact(vec, vec).alias("nn"),
         F.col("__cluster").alias("b"),
     ).persist()
+    if cache_registry is not None:
+        cache_registry.append(normed)
     a = normed.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"),
         F.col("nn").alias("na"), F.col("b").alias("ba"),
@@ -603,6 +606,7 @@ def cross_ngram_contamination(
     n: int = 3,
     stop_shingle_cap: int = 1000,
     broadcast_eval_shingles: int = 4_000_000,
+    cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Benchmark-contamination check: for every eval document, the
     largest shingle-overlap fraction against any training document
@@ -650,6 +654,8 @@ def cross_ngram_contamination(
     ).select("eval_id", word_ngram_hashes("__t", n).alias("s")).filter(
         F.col("s").isNotNull()
     ).persist()
+    if cache_registry is not None:
+        cache_registry.append(ev)
     tr_ex = tr.select("train_id", F.explode("s").alias("g"))
     ev_ex = ev.select("eval_id", F.explode("s").alias("g"))
     ev_g = ev_ex.select("g").distinct()
@@ -663,6 +669,8 @@ def cross_ngram_contamination(
         # twice. What's cached is only the eval-intersecting postings —
         # a vanishing fraction of the corpus.
         tr_ex = tr_ex.join(F.broadcast(ev_g), "g", "left_semi").persist()
+        if cache_registry is not None:
+            cache_registry.append(tr_ex)
     # stop-shingle cap via groupBy + left-semi (the ngram_jaccard_pairs
     # shape), NOT a Window over the shingle key: a window puts a hot
     # shingle's ENTIRE postings list ("all rights reserved ...") in one
