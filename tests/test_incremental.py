@@ -1,0 +1,95 @@
+"""Incremental MinHash-index dedup: new batches dedup against the
+persisted index without re-shingling the corpus, and survivors extend
+the index for the next batch."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.incremental import (
+    build_minhash_index,
+    incremental_minhash_dedup,
+    write_minhash_index,
+)
+
+_BASE = [
+    (1, "the quick brown fox jumps over the lazy dog and runs far away home"),
+    (2, "completely different text about spark partitions and shuffle behavior today"),
+    (3, "a third document describing parquet row groups and min max statistics"),
+]
+
+
+@pytest.fixture()
+def corpus_index(spark, tmp_path):
+    corpus = spark.createDataFrame(_BASE, "doc_id long, text string")
+    path = str(tmp_path / "mh_index")
+    write_minhash_index(build_minhash_index(corpus, "doc_id"), path)
+    return corpus, path
+
+
+def test_index_schema_and_one_row_per_doc(spark, corpus_index):
+    _, path = corpus_index
+    idx = spark.read.parquet(path)
+    assert set(idx.columns) == {"doc", "sig", "shingles", "n_sh"}
+    assert idx.count() == 3
+    r = idx.filter(F.col("doc") == 1).first()
+    assert len(r["sig"]) == 16 and r["n_sh"] == len(set(r["shingles"]))
+
+
+def test_batch_dups_of_corpus_are_dropped(spark, corpus_index, tmp_path):
+    _, path = corpus_index
+    batch = spark.createDataFrame(
+        [
+            # near-exact copy of doc 1 (one word changed at the end)
+            (10, "the quick brown fox jumps over the lazy dog and runs far away now"),
+            # genuinely new
+            (11, "brand new content mentioning streaming watermarks and state stores"),
+        ],
+        "doc_id long, text string",
+    )
+    surv = incremental_minhash_dedup(spark, batch, path, "doc_id")
+    assert [r.doc_id for r in surv.collect()] == [11]
+    # survivor was appended: next identical batch row is now a dup
+    again = spark.createDataFrame(
+        [(20, "brand new content mentioning streaming watermarks and state stores")],
+        "doc_id long, text string",
+    )
+    surv2 = incremental_minhash_dedup(spark, again, path, "doc_id")
+    assert surv2.count() == 0
+
+
+def test_intra_batch_dups_keep_smallest_id(spark, corpus_index):
+    _, path = corpus_index
+    batch = spark.createDataFrame(
+        [
+            (31, "two copies of this fresh sentence about adaptive query execution plans"),
+            (30, "two copies of this fresh sentence about adaptive query execution plans"),
+            (32, "an unrelated survivor row describing broadcast hash join thresholds"),
+        ],
+        "doc_id long, text string",
+    )
+    surv = incremental_minhash_dedup(
+        spark, batch, path, "doc_id", append_survivors=False
+    )
+    assert sorted(r.doc_id for r in surv.collect()) == [30, 32]
+
+
+def test_no_append_leaves_index_unchanged(spark, corpus_index):
+    _, path = corpus_index
+    before = spark.read.parquet(path).count()
+    batch = spark.createDataFrame(
+        [(40, "yet another totally novel document about executor memory overheads")],
+        "doc_id long, text string",
+    )
+    surv = incremental_minhash_dedup(
+        spark, batch, path, "doc_id", append_survivors=False
+    )
+    assert surv.count() == 1
+    assert spark.read.parquet(path).count() == before
+
+
+def test_rejects_bad_band_split(spark, corpus_index):
+    corpus, path = corpus_index
+    with pytest.raises(ValueError):
+        incremental_minhash_dedup(spark, corpus, path, "doc_id", num_hashes=16, bands=5)
