@@ -736,3 +736,90 @@ def retention_weekly_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return retention_counts(t(spark, sf_dir, "events"), step_type="purchase")
+
+
+_ZBITS = 8
+# DuckDB spelling of the floor-quantize + Morton interleave the Spark
+# side builds below — generated once so both engines run the SAME
+# arithmetic (floor, clamp, shift) term for term.
+_DUCK_ZQ = (
+    "LEAST(GREATEST(CAST(floor((CAST({c} AS DOUBLE) - {{lo}}) / ({{hi}} - {{lo}}) "
+    f"* {(1 << _ZBITS) - 1}) AS BIGINT), 0), {(1 << _ZBITS) - 1})"
+)
+_DUCK_Z = " | ".join(
+    f"(((q{c} >> {b}) & 1) << {b * 2 + c})" for b in range(_ZBITS) for c in (0, 1)
+)
+
+
+@query(
+    "heavy_hitters_event_types",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) AS DOUBLE)
+             / (SELECT COUNT(*) FROM events) AS share
+    FROM events GROUP BY event_type
+    ORDER BY n DESC, event_type LIMIT 5
+    """,
+)
+def heavy_hitters_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters over a prospective shuffle key
+    (operators/diagnostics.py): one map-side-combined groupBy count and
+    a per-partition-heap top-k — the hot key's rows never congregate
+    anywhere just to be measured."""
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.diagnostics import (
+        heavy_hitters,
+    )
+
+    return heavy_hitters(t(spark, sf_dir, "events"), "event_type", k=5)
+
+
+@query(
+    "zorder_keys_orders",
+    oracle=f"""
+    WITH b AS (
+      SELECT MIN(o_custkey) AS lo0, MAX(o_custkey) AS hi0,
+             MIN(o_totalprice) AS lo1, MAX(o_totalprice) AS hi1
+      FROM orders
+    ), q AS (
+      SELECT o_orderkey,
+             {_DUCK_ZQ.format(c="o_custkey").replace("{{lo}}", "{lo}").replace("{{hi}}", "{hi}").format(lo="b.lo0", hi="b.hi0")} AS q0,
+             {_DUCK_ZQ.format(c="o_totalprice").replace("{{lo}}", "{lo}").replace("{{hi}}", "{hi}").format(lo="b.lo1", hi="b.hi1")} AS q1
+      FROM orders, b
+    )
+    SELECT o_orderkey, CAST({_DUCK_Z.replace("q0", "q.q0").replace("q1", "q.q1")} AS BIGINT) AS z
+    FROM q ORDER BY z, o_orderkey LIMIT 1000
+    """,
+)
+def zorder_keys_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine check of the Z-order clustering math
+    (operators/layout.py): floor-quantize (o_custkey, o_totalprice)
+    into 8-bit cells and Morton-interleave the bits — DuckDB runs the
+    identical floor/clamp/shift arithmetic, so the interleave is pinned
+    bit-for-bit, not just statistically. First 1000 curve positions
+    (deterministic tie-break on the key)."""
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.layout import (
+        zorder_value,
+    )
+
+    orders = t(spark, sf_dir, "orders")
+    lo0, hi0, lo1, hi1 = orders.agg(
+        F.min("o_custkey").cast("double"), F.max("o_custkey").cast("double"),
+        F.min("o_totalprice").cast("double"), F.max("o_totalprice").cast("double"),
+    ).first()
+    n = (1 << _ZBITS) - 1
+
+    def quant(c: str, lo: float, hi: float) -> Column:
+        scaled = (F.col(c).cast("double") - F.lit(lo)) / F.lit(hi - lo) * F.lit(n)
+        return F.least(
+            F.greatest(F.floor(scaled).cast("long"), F.lit(0)), F.lit(n)
+        )
+
+    z = zorder_value(
+        [quant("o_custkey", lo0, hi0), quant("o_totalprice", lo1, hi1)], _ZBITS
+    )
+    return (
+        orders.select("o_orderkey", z.alias("z"))
+        .orderBy("z", "o_orderkey")
+        .limit(1000)
+    )
