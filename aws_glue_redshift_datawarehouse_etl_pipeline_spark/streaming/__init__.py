@@ -1,3 +1,6 @@
+from aws_glue_redshift_datawarehouse_etl_pipeline_spark.streaming.ingest import (
+    stream_ingest_dedup,
+)
 from aws_glue_redshift_datawarehouse_etl_pipeline_spark.streaming.microbatch import (
     for_each_batch,
     parse_window_size,
@@ -15,6 +18,7 @@ from aws_glue_redshift_datawarehouse_etl_pipeline_spark.streaming.windows import
 
 __all__ = [
     "for_each_batch",
+    "stream_ingest_dedup",
     "parse_window_size",
     "sample_streaming_frame",
     "stream_dedup",

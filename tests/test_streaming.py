@@ -149,3 +149,56 @@ def test_hash_sample_identical_in_batch_and_streaming(spark, sf_dir, tmp_path):
     streamed = {r.doc_id for r in spark.sql(f"SELECT doc_id FROM {name}").collect()}
     batch = {r.doc_id for r in P.hash_sample(docs, 0.3, "doc_id").select("doc_id").collect()}
     assert streamed == batch and len(batch) > 0
+
+
+def test_stream_ingest_dedup_suppresses_cross_batch_dups(spark, tmp_path):
+    """The streaming ingest loop must drop near-dups of previously
+    accepted rows across micro-batches (durable index, not stream
+    state) and converge to zero on a replayed batch."""
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.incremental import (
+        build_minhash_index,
+        write_minhash_index,
+    )
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.streaming import (
+        stream_ingest_dedup,
+    )
+
+    index_path = str(tmp_path / "mh_index")
+    schema = "doc_id long, text string"
+    write_minhash_index(
+        build_minhash_index(spark.createDataFrame([], schema), "doc_id"), index_path
+    )
+    src = str(tmp_path / "stream_src")
+    batch1 = spark.createDataFrame(
+        [
+            (1, "the first unique document about catalyst optimizer rule batches and their fixed point semantics"),
+            (2, "a second unique document describing tungsten row format layouts for off heap memory pages"),
+        ],
+        schema,
+    )
+    batch1.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(batch1.schema).parquet(src)
+    got: list[tuple[int, list[int]]] = []
+    q = stream_ingest_dedup(
+        stream,
+        index_path,
+        lambda df, bid: got.append((bid, sorted(r.doc_id for r in df.collect()))),
+        "doc_id",
+        options={"checkpointLocation": str(tmp_path / "ckpt")},
+    )
+    try:
+        q.processAllAvailable()
+        # second file: one near-dup of doc 1 (last word changed: 1 of
+        # 13 shingles differs, Jaccard 12/14 ≈ 0.86 ≥ 0.8), one new
+        spark.createDataFrame(
+            [
+                (10, "the first unique document about catalyst optimizer rule batches and their fixed point semantic"),
+                (11, "an entirely different text mentioning shuffle service fetch failures"),
+            ],
+            schema,
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    accepted = [ids for _, ids in got if ids]
+    assert accepted == [[1, 2], [11]]
