@@ -176,3 +176,21 @@ def test_pack_sequences_is_arrow_grouped_map(spark, sf_dir):
     s = plan(spark, sf_dir, "pack_sequences_documents")
     assert "FlatMapGroupsInPandas" in s or "FlatMapGroupsInArrow" in s
     assert "BatchEvalPython" not in s  # no row-at-a-time Python
+
+
+def test_shipping_priority_broadcasts_customer_and_heaps_topk(spark, sf_dir):
+    """Q3 shape: filtered customer side broadcasts, top-10 plans as
+    per-partition heaps, never a global sort."""
+    s = plan(spark, sf_dir, "shipping_priority_top10")
+    assert "BroadcastHashJoin" in s
+    assert "TakeOrderedAndProject" in s
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+
+
+def test_returned_revenue_filter_reaches_lineitem_scan(spark, sf_dir):
+    """Q10 shape: the returnflag predicate must push to the parquet
+    scan; top-20 via partition heaps."""
+    s = plan(spark, sf_dir, "returned_revenue_by_customer")
+    assert "TakeOrderedAndProject" in s
+    scan_lines = [ln for ln in s.splitlines() if "lineitem" in ln and "PushedFilters" in ln]
+    assert any("l_returnflag" in ln for ln in scan_lines), scan_lines or s
