@@ -100,15 +100,30 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+_CJK_CLASS = "[一-鿿]"
+
+
 def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
-    """Heuristic language ID: stopword-hit argmax with fixed priority
-    tie-break (n-gram/function-word heuristic — deterministic, no
-    model). Unknown when no list scores a hit."""
+    """Heuristic language ID, two tiers (deterministic, no model):
+
+    1. script detection — ≥5% CJK-ideograph characters → ``zh``
+       (whitespace-token stopwords can never see unsegmented Chinese);
+       the integer comparison ``20·cjk ≥ n_chars`` keeps the gate
+       exact across engines;
+    2. stopword-hit argmax over the Latin-script lists with fixed
+       priority tie-break. ``und`` when no list scores a hit.
+
+    Still a heuristic stand-in for a real classifier (fastText-style),
+    but honest about its coverage: scripts first, function words
+    second."""
+    c = F.col(text_col)
     hits = {lang: stopword_hits(text_col, lang) for lang in LANG_PRIORITY}
     best = F.greatest(*hits.values())
     expr = F.lit("und")
     for lang in reversed(LANG_PRIORITY):
         expr = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    cjk = F.regexp_count(c, F.lit(_CJK_CLASS))
+    expr = F.when(cjk * 20 >= F.length(c), F.lit("zh")).otherwise(expr)
     return df.withColumn(out_col, expr)
 
 

@@ -88,10 +88,11 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH toks AS (
       SELECT doc_id, lang,
-             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk,
+             20 * len(regexp_extract_all(text, '[一-鿿]')) >= length(text) AS is_zh
       FROM documents
     ), hits AS (
-      SELECT doc_id, lang,
+      SELECT doc_id, lang, is_zh,
              len(list_filter(tk, w -> list_contains(['the','and','of','to','a','in','is','it','you','that'], w))) AS h_en,
              len(list_filter(tk, w -> list_contains(['der','die','das','und','ist','ich','nicht','mit','ein','zu'], w))) AS h_de,
              len(list_filter(tk, w -> list_contains(['le','la','les','et','un','une','est','que','pour','dans'], w))) AS h_fr,
@@ -100,7 +101,8 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang, lang_pred, COUNT(*) AS n_docs FROM (
       SELECT lang,
-             CASE WHEN h_en = greatest(h_en, h_de, h_fr, h_es) AND greatest(h_en, h_de, h_fr, h_es) > 0 THEN 'en'
+             CASE WHEN is_zh THEN 'zh'
+                  WHEN h_en = greatest(h_en, h_de, h_fr, h_es) AND greatest(h_en, h_de, h_fr, h_es) > 0 THEN 'en'
                   WHEN h_de = greatest(h_en, h_de, h_fr, h_es) AND greatest(h_en, h_de, h_fr, h_es) > 0 THEN 'de'
                   WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) AND greatest(h_en, h_de, h_fr, h_es) > 0 THEN 'fr'
                   WHEN h_es = greatest(h_en, h_de, h_fr, h_es) AND greatest(h_en, h_de, h_fr, h_es) > 0 THEN 'es'
@@ -110,8 +112,8 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def language_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-argmax language ID, summarized as a (true lang ×
-    predicted lang) confusion table."""
+    """Two-tier language ID (CJK script gate, then stopword argmax),
+    summarized as a (true lang × predicted lang) confusion table."""
     docs = X.language_id(X.spread_small_scan(t(spark, sf_dir, "documents"), "doc_id"))
     return docs.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n_docs"))
 

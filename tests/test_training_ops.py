@@ -175,10 +175,15 @@ def test_language_id_on_clear_samples(spark):
         (3, "le chat et la maison est dans les arbres"),
         (4, "el perro y el gato en la casa es por"),
         (5, "xyzzy plugh qwerty"),
+        # CJK script gate: unsegmented Chinese has no whitespace tokens
+        # for the stopword tier, the ideograph ratio must catch it
+        (6, "今天天气很好我们去公园散步吧"),
+        # mostly-Latin text with one stray ideograph stays on tier 2
+        (7, "the spark engine reads the 表 table files"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     pred = {r.doc_id: r.lang_pred for r in X.language_id(df).collect()}
-    assert pred == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
+    assert pred == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und", 6: "zh", 7: "en"}
 
 
 def test_quality_features_ranges(docs):
