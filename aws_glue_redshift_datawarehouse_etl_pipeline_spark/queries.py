@@ -575,12 +575,11 @@ PRIORITY: tuple[str, ...] = (
     # analytics representatives (full family continues below the window)
     "rollup_pricing",
     "pivot_linestatus",
-    "window_running_supplier",
     "semijoin_customers_with_open_orders",
-    "approx_distinct_customers",
+    "shipping_priority_top10",
+    "returned_revenue_by_customer",
     # temporal / event custom operators
     "sessionize_events",
-    "events_hourly_tumbling",
     "asof_purchase_last_click",
     "range_join_error_context",
     "funnel_view_click_purchase",
@@ -590,7 +589,6 @@ PRIORITY: tuple[str, ...] = (
     "unnest_nested_struct",
     "relationalize_name_tokens",
     "resolve_choice_mixed",
-    "drop_null_fields_customer",
     "explode_tokens_with_index",
     # streaming
     "streaming_hourly_event_counts",
@@ -618,6 +616,9 @@ PRIORITY: tuple[str, ...] = (
     # production fast-path invariants (xxhash64 vs portable, IVF recall)
     "fastpath_parity_checks",
     "ivf_recall_check",
+    # layout + diagnostics (round 5)
+    "heavy_hitters_event_types",
+    "zorder_keys_orders",
 )
 
 
