@@ -1,0 +1,79 @@
+"""Purge maintenance: retention filtering, dry-run rehearsal, manifest
+accounting — against real files through the Hadoop FS API."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from aws_glue_redshift_datawarehouse_etl_pipeline_spark.sources.maintenance import (
+    purge_path,
+    purge_table,
+    transition_path,
+)
+
+
+@pytest.fixture()
+def aged_dir(spark, tmp_path):
+    d = tmp_path / "data"
+    (d / "sub").mkdir(parents=True)
+    old1 = d / "old1.parquet"
+    old2 = d / "sub" / "old2.parquet"
+    new = d / "new.parquet"
+    for f in (old1, old2, new):
+        f.write_bytes(b"x")
+    # age two files to ~10 days old
+    ten_days_ago = time.time() - 10 * 24 * 3600
+    os.utime(old1, (ten_days_ago, ten_days_ago))
+    os.utime(old2, (ten_days_ago, ten_days_ago))
+    return d, {str(old1), str(old2)}, str(new)
+
+
+def test_dry_run_lists_without_deleting(spark, aged_dir):
+    d, old, _ = aged_dir
+    listed = purge_path(spark, str(d), retention_hours=168, dry_run=True)
+    assert {p.replace("file:", "") for p in listed} == old
+    assert all(os.path.exists(p) for p in old)
+
+
+def test_purge_deletes_only_aged_files(spark, aged_dir):
+    d, old, new = aged_dir
+    purged = purge_path(spark, str(d), retention_hours=168)
+    assert {p.replace("file:", "") for p in purged} == old
+    assert not any(os.path.exists(p) for p in old)
+    assert os.path.exists(new)
+
+
+def test_purge_writes_success_manifest(spark, aged_dir, tmp_path):
+    d, old, _ = aged_dir
+    manifest = tmp_path / "manifest"
+    purge_path(spark, str(d), retention_hours=168, manifest_file_path=str(manifest))
+    success = (manifest / "Success.csv").read_text().strip().splitlines()
+    assert {p.replace("file:", "") for p in success} == old
+    assert (manifest / "Failed.csv").read_text() == ""
+
+
+def test_purge_table_resolves_catalog_location(spark, tmp_path):
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.sources.catalog import (
+        WarehouseCatalog,
+    )
+
+    cat = WarehouseCatalog(spark, str(tmp_path / "wh"))
+    spark.range(3).write.parquet(cat._path("t1"))
+    # nothing old enough: purge keeps everything
+    assert purge_table(cat, "t1", retention_hours=1) == []
+    assert cat.read_table("t1").count() == 3
+    # retention 0: every data file is past retention
+    purged = purge_table(cat, "t1", retention_hours=0)
+    assert purged and all("t1" in p for p in purged)
+
+
+def test_missing_path_is_noop(spark, tmp_path):
+    assert purge_path(spark, str(tmp_path / "absent"), dry_run=True) == []
+
+
+def test_transition_declared_not_supported(spark):
+    with pytest.raises(NotImplementedError, match="lifecycle"):
+        transition_path(spark, "s3://bucket/prefix")
