@@ -26,7 +26,13 @@ from typing import Iterable
 
 from pyspark.sql import SparkSession
 
-__all__ = ["purge_path", "purge_table", "transition_path", "transition_table"]
+__all__ = [
+    "purge_path",
+    "purge_table",
+    "compact_path",
+    "transition_path",
+    "transition_table",
+]
 
 _DEFAULT_RETENTION_HOURS = 168  # reference default: 7 days
 
@@ -130,3 +136,47 @@ def transition_table(*args, **kwargs):
         "storage-class transition is S3-service-specific; use S3 lifecycle "
         "policies (no generic-filesystem analog)"
     )
+
+
+def compact_path(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 256,
+    fmt: str = "parquet",
+) -> dict:
+    """Small-file compaction — the other half of table maintenance:
+    micro-batch sinks and partition-pruned merges accrete files far
+    below the scan-efficient size, and every downstream query pays the
+    per-file open/footer cost. Rewrites ``path`` into
+    ``ceil(bytes / target_file_mb)`` files (coalesce — no shuffle;
+    the data is already partitioned, only the file count changes).
+
+    The rewrite goes through a sibling temp directory then an atomic-
+    as-the-filesystem-allows swap (rename old → trash, temp → path,
+    delete trash), so a reader never observes a half-written table;
+    on object stores without atomic rename, run during a maintenance
+    window. Returns {files_before, files_after, bytes}."""
+    import math
+
+    fs, jpath = _fs_and_path(spark, path)
+    jvm = spark._jvm
+    summary = fs.getContentSummary(jpath)
+    total_bytes = summary.getLength()
+    files_before = summary.getFileCount()
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.format(fmt).load(path)
+    tmp = jvm.org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    trash = jvm.org.apache.hadoop.fs.Path(path + "__compact_old")
+    df.coalesce(n_files).write.format(fmt).mode("overwrite").save(tmp.toString())
+    if not fs.rename(jpath, trash):
+        raise IOError(f"compact_path: could not stage old data aside for {path}")
+    if not fs.rename(tmp, jpath):
+        fs.rename(trash, jpath)  # roll back
+        raise IOError(f"compact_path: could not swap compacted data into {path}")
+    fs.delete(trash, True)
+    after = fs.getContentSummary(jpath).getFileCount()
+    return {
+        "files_before": int(files_before),
+        "files_after": int(after),
+        "bytes": int(total_bytes),
+    }

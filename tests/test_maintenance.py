@@ -77,3 +77,27 @@ def test_missing_path_is_noop(spark, tmp_path):
 def test_transition_declared_not_supported(spark):
     with pytest.raises(NotImplementedError, match="lifecycle"):
         transition_path(spark, "s3://bucket/prefix")
+
+
+def test_compact_path_reduces_files_preserving_rows(spark, tmp_path):
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.sources.maintenance import (
+        compact_path,
+    )
+
+    path = str(tmp_path / "frag")
+    # 16 tiny files
+    spark.range(1000).repartition(16).write.parquet(path)
+    import os
+
+    before_files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(before_files) == 16
+    stats = compact_path(spark, path, target_file_mb=256)
+    assert stats["files_before"] >= 16  # + _SUCCESS
+    after_files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(after_files) == 1
+    got = spark.read.parquet(path)
+    assert got.count() == 1000
+    assert got.agg({"id": "sum"}).first()[0] == 999 * 1000 // 2
+    # no leftover temp/trash directories
+    assert not os.path.exists(path + "__compact_tmp")
+    assert not os.path.exists(path + "__compact_old")
