@@ -39,6 +39,7 @@ __all__ = [
     "build_minhash_index",
     "write_minhash_index",
     "incremental_minhash_dedup",
+    "incremental_minhash_dedup_plan",
 ]
 
 
@@ -48,10 +49,20 @@ def _sig_and_shingles(
     """(doc, sig, shingles, n_sh) in ONE pass over the text: signatures
     are min-aggregates over the exploded shingle hashes, and the
     shingle array itself rides along via collect_set (same exploded
-    rows, same single shuffle)."""
+    rows, same single shuffle).
+
+    Documents with fewer than ``n`` tokens have no n-gram shingles and
+    would otherwise be invisible to the index — never matched, never
+    indexed, re-admitted on every replay. They fall back to a single
+    whole-text hash: exact re-submissions then match with Jaccard 1
+    and are deduplicated like everything else."""
+    grams = word_ngram_hashes(F.col(text_col), n)
+    shingle_set = F.when(F.size(grams) > 0, grams).otherwise(
+        F.array(F.xxhash64(F.col(text_col)))
+    )
     ex = df.select(
         F.col(id_col).alias("doc"),
-        F.explode(word_ngram_hashes(F.col(text_col), n)).alias("s"),
+        F.explode(shingle_set).alias("s"),
     )
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"__h{i}")
@@ -106,7 +117,7 @@ def _banded(sig_df: DataFrame, bands: int, rows: int) -> DataFrame:
     )
 
 
-def incremental_minhash_dedup(
+def incremental_minhash_dedup_plan(
     spark: SparkSession,
     batch: DataFrame,
     index_path: str,
@@ -116,18 +127,26 @@ def incremental_minhash_dedup(
     bands: int = 4,
     n: int = 3,
     verify_threshold: float = 0.8,
-    append_survivors: bool = True,
     cache_registry: list[DataFrame] | None = None,
-) -> DataFrame:
-    """Return the rows of ``batch`` that are near-duplicates of neither
-    the indexed corpus nor an earlier-id row of the batch itself; by
-    default the survivors' index rows are appended to ``index_path`` so
-    the next batch sees them.
+) -> tuple[DataFrame, DataFrame]:
+    """Build the incremental-dedup plan WITHOUT writing anything:
+    returns ``(survivors, survivor_index_rows)``. Callers that must
+    order the index append relative to another effect (a sink write, a
+    transactional commit) run their effect FIRST and then append
+    ``survivor_index_rows`` — appending before the effect means a
+    failed-and-retried effect re-reads an index that already contains
+    this batch, every survivor self-matches, and the retry silently
+    delivers nothing (streaming/ingest.py relies on this ordering).
 
     Intra-batch policy matches ``minhash_lsh_dedup`` (drop the larger
     id of each verified pair); batch-vs-index always drops the batch
     side (the corpus is immutable — re-curating it is a batch job, not
     an ingest step).
+
+    The batch feature frame is persisted (it feeds candidate
+    generation, both verifications, and the index append); pass
+    ``cache_registry`` and call ``release_caches`` after the final
+    action on the returned frames.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
@@ -136,6 +155,17 @@ def incremental_minhash_dedup(
     if cache_registry is not None:
         cache_registry.append(feats)
     index = spark.read.parquet(index_path)
+    # config drift turns into silent recall loss: a stored sig shorter
+    # than num_hashes makes the trailing bands hash an empty slice on
+    # the index side only, so those bands can never collide. Check one
+    # stored row (cheap) and fail loudly instead.
+    first = index.select(F.size("sig").alias("k")).limit(1).collect()
+    if first and first[0]["k"] != num_hashes:
+        raise ValueError(
+            f"index at {index_path} stores signatures of length "
+            f"{first[0]['k']} but num_hashes={num_hashes} was requested; "
+            "rebuild the index or match its configuration"
+        )
 
     b_band = _banded(feats, bands, rows)
     i_band = _banded(index, bands, rows)
@@ -209,16 +239,49 @@ def incremental_minhash_dedup(
     survivors = batch.join(
         losers.withColumnRenamed("doc", id_col), id_col, "left_anti"
     )
+    surv_index = feats.join(losers, feats.doc == losers.doc, "left_anti")
+    return survivors, surv_index
+
+
+def incremental_minhash_dedup(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_path: str,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    verify_threshold: float = 0.8,
+    append_survivors: bool = True,
+    cache_registry: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Return the rows of ``batch`` that are near-duplicates of neither
+    the indexed corpus nor an earlier-id row of the batch itself; by
+    default the survivors' index rows are appended to ``index_path`` so
+    the next batch sees them. When another effect must land between
+    dedup and append (a sink write), use
+    ``incremental_minhash_dedup_plan`` and append afterwards.
+
+    The append writes into the directory the plan reads, but every
+    plan hangs off one ``spark.read.parquet`` whose file listing was
+    snapshot eagerly — later actions on the returned frame keep seeing
+    the pre-append index. (Do NOT persist the loser set to "freeze" it
+    instead: the append's refreshByPath invalidates caches over
+    index_path and the recompute would re-list, seeing the batch's own
+    rows.)"""
+    survivors, surv_index = incremental_minhash_dedup_plan(
+        spark,
+        batch,
+        index_path,
+        id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        n=n,
+        verify_threshold=verify_threshold,
+        cache_registry=cache_registry,
+    )
     if append_survivors:
-        # the append writes into the directory `index` reads, but every
-        # plan above hangs off THIS `index` DataFrame, whose file
-        # listing was snapshot eagerly at spark.read.parquet() — later
-        # actions on the returned frame keep seeing the pre-append
-        # index. (Do NOT persist `losers` to "freeze" it instead: the
-        # append's refreshByPath invalidates caches over index_path and
-        # the recompute would re-list, seeing the batch's own rows.)
-        surv_index = feats.join(
-            losers, feats.doc == losers.doc, "left_anti"
-        )
         surv_index.write.mode("append").parquet(index_path)
     return survivors

@@ -32,7 +32,8 @@ def _quantize(col: Column, lo: float, hi: float, bits: int) -> Column:
     heavy skew costs pruning selectivity, never correctness. NULLs map
     to bucket 0 so they cluster together at the curve's origin."""
     n = (1 << bits) - 1
-    if hi <= lo:  # constant column: every row in bucket 0
+    if lo is None or hi is None or hi <= lo:
+        # empty input / all-NULL / constant column: every row bucket 0
         return F.lit(0).cast("long")
     scaled = (col.cast("double") - F.lit(lo)) / F.lit(hi - lo) * F.lit(n)
     return F.coalesce(

@@ -123,7 +123,11 @@ def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred
     for lang in reversed(LANG_PRIORITY):
         expr = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
     cjk = F.regexp_count(c, F.lit(_CJK_CLASS))
-    expr = F.when(cjk * 20 >= F.length(c), F.lit("zh")).otherwise(expr)
+    # length > 0 guard: an empty document satisfies 0*20 >= 0 and would
+    # otherwise be labeled zh instead of und
+    expr = F.when(
+        (cjk * 20 >= F.length(c)) & (F.length(c) > 0), F.lit("zh")
+    ).otherwise(expr)
     return df.withColumn(out_col, expr)
 
 

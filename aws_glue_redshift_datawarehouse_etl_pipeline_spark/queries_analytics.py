@@ -792,12 +792,15 @@ def heavy_hitters_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def zorder_keys_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-engine check of the Z-order clustering math
-    (operators/layout.py): floor-quantize (o_custkey, o_totalprice)
+    """Cross-engine check of the Z-order bit interleave
+    (layout.zorder_value): floor-quantize (o_custkey, o_totalprice)
     into 8-bit cells and Morton-interleave the bits — DuckDB runs the
-    identical floor/clamp/shift arithmetic, so the interleave is pinned
-    bit-for-bit, not just statistically. First 1000 curve positions
-    (deterministic tie-break on the key)."""
+    identical floor/clamp/shift arithmetic, so the INTERLEAVE is
+    pinned bit-for-bit. The production quantizer (layout._quantize)
+    uses round + NULL-coalesce rather than this floor spelling; its
+    clamp/monotonicity/NULL behavior is pinned by unit tests in
+    tests/test_layout.py, not by this oracle. First 1000 curve
+    positions (deterministic tie-break on the key)."""
     from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.layout import (
         zorder_value,
     )

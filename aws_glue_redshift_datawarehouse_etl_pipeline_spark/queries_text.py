@@ -89,7 +89,8 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
       SELECT doc_id, lang,
              list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk,
-             20 * len(regexp_extract_all(text, '[一-鿿]')) >= length(text) AS is_zh
+             20 * len(regexp_extract_all(text, '[一-鿿]')) >= length(text)
+               AND length(text) > 0 AS is_zh
       FROM documents
     ), hits AS (
       SELECT doc_id, lang, is_zh,

@@ -138,6 +138,24 @@ def transition_table(*args, **kwargs):
     )
 
 
+def _partition_columns(fs, jvm, jpath) -> list[str]:
+    """Hive-style partition column names under ``jpath``, outermost
+    first, read from the ``col=value`` directory names (the same
+    convention Spark's own partition discovery uses)."""
+    cols: list[str] = []
+    current = jpath
+    while True:
+        sub = [
+            st.getPath()
+            for st in fs.listStatus(current)
+            if st.isDirectory() and "=" in st.getPath().getName()
+        ]
+        if not sub:
+            return cols
+        cols.append(sub[0].getName().split("=", 1)[0])
+        current = sub[0]
+
+
 def compact_path(
     spark: SparkSession,
     path: str,
@@ -150,6 +168,15 @@ def compact_path(
     per-file open/footer cost. Rewrites ``path`` into
     ``ceil(bytes / target_file_mb)`` files (coalesce — no shuffle;
     the data is already partitioned, only the file count changes).
+
+    Hive-style partition layout (``col=value`` directories) is
+    detected from the directory names and PRESERVED: the rewrite goes
+    through ``partitionBy`` on the same columns, so partition pruning
+    keeps working and a later partition-pruned merge
+    (``merge_upsert_into_path``) still sees the layout it expects. A
+    partitioned rewrite repartitions on the partition columns (one
+    shuffle) so each partition lands in few files; the unpartitioned
+    path stays a shuffle-free coalesce.
 
     The rewrite goes through a sibling temp directory then an atomic-
     as-the-filesystem-allows swap (rename old → trash, temp → path,
@@ -164,10 +191,20 @@ def compact_path(
     total_bytes = summary.getLength()
     files_before = summary.getFileCount()
     n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    pcols = _partition_columns(fs, jvm, jpath)
     df = spark.read.format(fmt).load(path)
     tmp = jvm.org.apache.hadoop.fs.Path(path + "__compact_tmp")
     trash = jvm.org.apache.hadoop.fs.Path(path + "__compact_old")
-    df.coalesce(n_files).write.format(fmt).mode("overwrite").save(tmp.toString())
+    if pcols:
+        (
+            df.repartition(n_files, *pcols)
+            .write.format(fmt)
+            .mode("overwrite")
+            .partitionBy(*pcols)
+            .save(tmp.toString())
+        )
+    else:
+        df.coalesce(n_files).write.format(fmt).mode("overwrite").save(tmp.toString())
     if not fs.rename(jpath, trash):
         raise IOError(f"compact_path: could not stage old data aside for {path}")
     if not fs.rename(tmp, jpath):

@@ -11,11 +11,15 @@ Each micro-batch pays exactly the incremental-dedup cost: shingle the
 batch once, broadcast its band buckets against the index, verify by
 hash intersection, append survivors.
 
-The index append and the sink write are NOT atomic across a crash
-between them: a batch may be re-processed after its survivors were
-indexed, in which case every row of the retry batch self-matches the
-index and is dropped — the idempotent outcome a replayed ingest wants
-(exactly the semantics tests/test_incremental.py pins for re-runs).
+Effect ordering is load-bearing: the SINK write runs first, the index
+append second. Appending first would mean a failed-and-retried sink
+(for_each_batch retries on exception) re-runs the dedup against an
+index that already contains this batch — every survivor self-matches
+and the retry "succeeds" delivering an EMPTY frame: rows recorded as
+accepted but never delivered. With sink-first the crash window between
+sink and append instead yields at-least-once delivery (a replayed
+batch re-delivers survivors, then the append lands), which downstream
+idempotent sinks absorb.
 """
 
 from __future__ import annotations
@@ -25,8 +29,11 @@ from typing import Callable, Mapping
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
+from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.dedup import (
+    release_caches,
+)
 from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.incremental import (
-    incremental_minhash_dedup,
+    incremental_minhash_dedup_plan,
 )
 from aws_glue_redshift_datawarehouse_etl_pipeline_spark.streaming.microbatch import (
     for_each_batch,
@@ -53,22 +60,30 @@ def stream_ingest_dedup(
     and append their index rows for every later batch and stream.
 
     ``options`` pass through to ``for_each_batch`` (windowSize,
-    checkpointLocation, batchMaxRetries, ...). On a retried batch the
-    already-appended survivors self-match the index, so the retry
-    converges to zero new rows instead of double-writing."""
+    checkpointLocation, batchMaxRetries, ...). The sink runs BEFORE
+    the index append (see module docstring), so a retried batch
+    re-delivers its survivors (at-least-once) rather than silently
+    delivering nothing; the per-batch feature cache is released after
+    both effects so a long-running stream pins no storage."""
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        survivors = incremental_minhash_dedup(
-            batch.sparkSession,
-            batch,
-            index_path,
-            id_col,
-            text_col=text_col,
-            num_hashes=num_hashes,
-            bands=bands,
-            n=n,
-            verify_threshold=verify_threshold,
-        )
-        sink(survivors, batch_id)
+        registry: list[DataFrame] = []
+        try:
+            survivors, surv_index = incremental_minhash_dedup_plan(
+                batch.sparkSession,
+                batch,
+                index_path,
+                id_col,
+                text_col=text_col,
+                num_hashes=num_hashes,
+                bands=bands,
+                n=n,
+                verify_threshold=verify_threshold,
+                cache_registry=registry,
+            )
+            sink(survivors, batch_id)
+            surv_index.write.mode("append").parquet(index_path)
+        finally:
+            release_caches(registry)
 
     return for_each_batch(stream, process, options)

@@ -93,3 +93,43 @@ def test_rejects_bad_band_split(spark, corpus_index):
     corpus, path = corpus_index
     with pytest.raises(ValueError):
         incremental_minhash_dedup(spark, corpus, path, "doc_id", num_hashes=16, bands=5)
+
+
+def test_index_config_mismatch_raises(spark, corpus_index):
+    _, path = corpus_index
+    batch = spark.createDataFrame(
+        [(50, "some text that is long enough to have several shingles here")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="signatures of length"):
+        incremental_minhash_dedup(spark, batch, path, "doc_id", num_hashes=32, bands=4)
+
+
+def test_short_docs_are_indexed_and_deduped(spark, corpus_index):
+    """Sub-n-token documents fall back to a whole-text hash: the first
+    submission survives and is indexed, an exact re-submission is
+    dropped — not re-admitted forever."""
+    _, path = corpus_index
+    first = spark.createDataFrame([(60, "ok")], "doc_id long, text string")
+    assert incremental_minhash_dedup(spark, first, path, "doc_id").count() == 1
+    replay = spark.createDataFrame([(61, "ok")], "doc_id long, text string")
+    assert incremental_minhash_dedup(spark, replay, path, "doc_id").count() == 0
+
+
+def test_plan_variant_defers_append(spark, corpus_index):
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.incremental import (
+        incremental_minhash_dedup_plan,
+    )
+
+    _, path = corpus_index
+    before = spark.read.parquet(path).count()
+    batch = spark.createDataFrame(
+        [(70, "a wholly new sentence about vectorized parquet readers and filters")],
+        "doc_id long, text string",
+    )
+    survivors, surv_index = incremental_minhash_dedup_plan(spark, batch, path, "doc_id")
+    assert survivors.count() == 1
+    # nothing written until the caller appends
+    assert spark.read.parquet(path).count() == before
+    surv_index.write.mode("append").parquet(path)
+    assert spark.read.parquet(path).count() == before + 1

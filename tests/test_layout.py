@@ -86,3 +86,35 @@ def test_zorder_layout_constant_and_null_columns(spark):
     out = zorder_layout(df, ["a", "b"], bits=4, num_partitions=2)
     assert out.count() == 3
     assert "__z" not in out.columns
+
+
+def test_quantize_monotone_clamped_and_null_to_zero(spark):
+    """The production quantizer's contract: monotone in the value,
+    clamped to [0, 2^bits), NULL -> bucket 0, constant column -> 0."""
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.layout import (
+        _quantize,
+    )
+
+    df = spark.createDataFrame(
+        [(0.0,), (2.5,), (5.0,), (10.0,), (None,)], "v double"
+    )
+    got = [
+        r["q"]
+        for r in df.select(_quantize(F.col("v"), 0.0, 10.0, 4).alias("q")).collect()
+    ]
+    assert got[0] == 0 and got[3] == 15 and got[4] == 0  # clamp ends + NULL
+    assert got == sorted(got[:4]) + [0]  # monotone over the non-null prefix
+    # constant column: everything lands in bucket 0
+    const = df.select(_quantize(F.col("v"), 5.0, 5.0, 4).alias("q")).collect()
+    assert all(r["q"] == 0 for r in const)
+
+
+def test_zorder_layout_empty_and_all_null_inputs(spark):
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.layout import (
+        zorder_layout,
+    )
+
+    empty = spark.createDataFrame([], "a double, b double")
+    assert zorder_layout(empty, ["a", "b"], num_partitions=2).count() == 0
+    nulls = spark.createDataFrame([(None, None), (None, None)], "a double, b double")
+    assert zorder_layout(nulls, ["a", "b"], num_partitions=2).count() == 2

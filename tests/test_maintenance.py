@@ -7,6 +7,7 @@ import os
 import time
 
 import pytest
+from pyspark.sql import functions as F
 
 from aws_glue_redshift_datawarehouse_etl_pipeline_spark.sources.maintenance import (
     purge_path,
@@ -101,3 +102,32 @@ def test_compact_path_reduces_files_preserving_rows(spark, tmp_path):
     # no leftover temp/trash directories
     assert not os.path.exists(path + "__compact_tmp")
     assert not os.path.exists(path + "__compact_old")
+
+
+def test_compact_path_preserves_partition_layout(spark, tmp_path):
+    """Compacting a Hive-partitioned table must keep the col=value
+    directory layout (partition pruning and partition-pruned merges
+    depend on it), not flatten it into root files."""
+    import os
+
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.sources.maintenance import (
+        compact_path,
+    )
+
+    path = str(tmp_path / "ptable")
+    df = spark.createDataFrame(
+        [(i, "b1" if i % 2 else "b2") for i in range(100)], "k int, dt string"
+    )
+    df.repartition(8).write.partitionBy("dt").parquet(path)
+    compact_path(spark, path, target_file_mb=256)
+    entries = os.listdir(path)
+    assert sorted(e for e in entries if "=" in e) == ["dt=b1", "dt=b2"]
+    assert not any(e.endswith(".parquet") for e in entries), entries
+    got = spark.read.parquet(path)
+    assert got.count() == 100
+    assert got.filter(F.col("dt") == "b1").count() == 50
+    # partition pruning still works on the compacted layout
+    plan = (
+        got.filter(F.col("dt") == "b1")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [isnotnull(dt" in plan

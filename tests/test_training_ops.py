@@ -180,10 +180,14 @@ def test_language_id_on_clear_samples(spark):
         (6, "今天天气很好我们去公园散步吧"),
         # mostly-Latin text with one stray ideograph stays on tier 2
         (7, "the spark engine reads the 表 table files"),
+        # empty text: 0*20 >= 0 must NOT satisfy the CJK gate
+        (8, ""),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     pred = {r.doc_id: r.lang_pred for r in X.language_id(df).collect()}
-    assert pred == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und", 6: "zh", 7: "en"}
+    assert pred == {
+        1: "en", 2: "de", 3: "fr", 4: "es", 5: "und", 6: "zh", 7: "en", 8: "und",
+    }
 
 
 def test_quality_features_ranges(docs):
