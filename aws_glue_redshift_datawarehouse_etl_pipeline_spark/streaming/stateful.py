@@ -72,3 +72,56 @@ def stream_running_counts(df: DataFrame, key_col: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_running_counts_tws(
+    df: DataFrame, key_col: str, state_ttl_ms: int | None = None
+) -> DataFrame:
+    """Running per-key counts on Spark 4's ``transformWithStateInPandas``
+    — the successor API to ``applyInPandasWithState`` and the
+    forward path for custom stateful operators: typed state variables
+    (value/list/map) instead of one tuple, per-state TTL, and timers.
+
+    ``state_ttl_ms`` bounds the store on unbounded key cardinality the
+    declarative way: a key idle longer than the TTL is evicted by the
+    state store itself (no timeout plumbing in the operator body), and
+    a late arrival after eviction simply restarts its count — the
+    documented trade of bounded state for windowed exactness. Output
+    schema: (key string, n long), update semantics per micro-batch.
+
+    Deployment requirements (both raise clearly when absent): the
+    RocksDB state store provider
+    (spark.sql.streaming.stateStore.providerClass) and google.protobuf
+    in the Python workers (the TWS state channel is protobuf-framed).
+    applyInPandasWithState operators above have no such dependencies
+    and remain the portable path."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._count = handle.getValueState("count", "n bigint", state_ttl_ms)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = 0
+            for pdf in rows:
+                n += len(pdf)
+            prev = self._count.get()
+            total = (prev[0] if prev is not None else 0) + n
+            self._count.update((total,))
+            yield pd.DataFrame({"key": [str(key[0])], "n": [total]})
+
+        def close(self) -> None:
+            pass
+
+    return (
+        df.groupBy(key_col)
+        .transformWithStateInPandas(
+            RunningCount(),
+            outputStructType="key string, n bigint",
+            outputMode="update",
+            timeMode="none" if state_ttl_ms is None else "processingTime",
+        )
+    )

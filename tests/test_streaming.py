@@ -202,3 +202,52 @@ def test_stream_ingest_dedup_suppresses_cross_batch_dups(spark, tmp_path):
         q.stop()
     accepted = [ids for _, ids in got if ids]
     assert accepted == [[1, 2], [11]]
+
+
+def test_transform_with_state_running_counts(spark, tmp_path):
+    """The Spark-4 transformWithStateInPandas path must produce the
+    same final per-key totals as a batch GROUP BY over the stream.
+    The TWS Python worker needs google.protobuf (not shipped in this
+    container) — skip cleanly where it is absent, same pattern as the
+    spark-avro connector gate."""
+    pytest.importorskip("google.protobuf")
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.streaming.stateful import (
+        stream_running_counts_tws,
+    )
+
+    # transformWithState requires the RocksDB state store provider
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    src = str(tmp_path / "tws_src")
+    docs = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3]) for i in range(90)], "id long, k string"
+    )
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    name = "tws_out"
+    q = (
+        stream_running_counts_tws(stream, "k")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        # last emitted total per key == batch count
+        got = (
+            spark.sql(f"SELECT * FROM {name}")
+            .groupBy("key")
+            .agg(F.max("n").alias("n"))
+            .collect()
+        )
+        assert {r.key: r.n for r in got} == {"a": 30, "b": 30, "c": 30}
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
