@@ -344,3 +344,46 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         redacted = F.regexp_replace(redacted, pat, f"<{kind.upper()}>")
     return out.withColumn(text_col, redacted)
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap_tokens: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the standard
+    prep for context-bounded embedding / indexing of long documents.
+    Chunk k covers tokens [k·stride, k·stride + chunk_tokens) with
+    stride = chunk_tokens − overlap_tokens, so consecutive chunks share
+    ``overlap_tokens`` tokens and no content is lost at boundaries.
+
+    Output: (id, chunk_id, chunk_text, n_chunk_tokens), one row per
+    chunk; empty documents produce no rows. Shape: tokenize once, one
+    generator (posexplode of the start offsets) — a narrow map, no
+    shuffle; chunk ids are ``start // stride`` (pure arithmetic, no
+    window or ordinality needed), deterministic across partitionings
+    and engines."""
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError("overlap_tokens must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap_tokens
+    toks = tokens(text_col)
+    n = F.size(toks)
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)),
+        lambda s: s < n,
+    )
+    base = df.select(
+        F.col(id_col), toks.alias("__tk"), F.explode(starts).alias("__start")
+    )
+    return base.select(
+        F.col(id_col),
+        (F.col("__start") / stride).cast("int").alias("chunk_id"),
+        F.concat_ws(
+            " ", F.slice("__tk", F.col("__start") + 1, chunk_tokens)
+        ).alias("chunk_text"),
+        F.least(F.lit(chunk_tokens), F.size("__tk") - F.col("__start")).alias(
+            "n_chunk_tokens"
+        ),
+    )

@@ -1334,3 +1334,31 @@ def embedding_near_dup_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataF
     return D.embedding_near_dup_pairs_bucketed(
         emb, threshold=0.4, num_buckets=nb, probe=2
     )
+
+
+@query(
+    "chunk_documents_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), starts AS (
+      SELECT doc_id, t, unnest(range(0, greatest(len(t), 1), 112)) AS s
+      FROM toks WHERE len(t) > 0
+    )
+    SELECT doc_id,
+           CAST(s // 112 AS INTEGER) AS chunk_id,
+           array_to_string(t[s+1 : s+128], ' ') AS chunk_text,
+           CAST(least(128, len(t) - s) AS INTEGER) AS n_chunk_tokens
+    FROM starts WHERE s < len(t)
+    """,
+)
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (operators/text.py) — 128-token
+    chunks, 16-token overlap (stride 112). Chunk ids are start//stride
+    arithmetic, so both engines produce identical rows without any
+    ordinality/window construct."""
+    return X.chunk_documents(
+        X.spread_small_scan(t(spark, sf_dir, "documents"), "doc_id"),
+        chunk_tokens=128,
+        overlap_tokens=16,
+    )
