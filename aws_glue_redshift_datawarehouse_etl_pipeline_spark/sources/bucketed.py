@@ -63,3 +63,25 @@ def cobucketed_join(
     files. This is the operator to reach for when the same big-big
     join runs repeatedly — amortize the shuffle into the layout."""
     return spark.table(left_table).join(spark.table(right_table), list(on), how)
+
+
+def analyze_table(
+    spark: SparkSession, table: str, columns: Sequence[str] | None = None
+) -> dict:
+    """Collect table (and optionally column) statistics for the
+    cost-based optimizer: row count + size drive join-side selection
+    and broadcast decisions; column min/max/ndv/null counts drive
+    selectivity estimates for filter-heavy plans. One scan per ANALYZE
+    — schedule it with table maintenance (compaction), not per query.
+    Returns the recorded statistics line for observability."""
+    spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+    if columns:
+        cols = ", ".join(columns)
+        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {cols}")
+    row = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
+        .filter("col_name = 'Statistics'")
+        .select("data_type")
+        .first()
+    )
+    return {"table": table, "statistics": row["data_type"] if row else None}

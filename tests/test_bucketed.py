@@ -79,3 +79,16 @@ def test_cobucketed_join_helper_matches(spark, bucketed_pair, sf_dir):
         assert got == expect
     finally:
         spark.sql("DROP TABLE IF EXISTS b_lineitem_renamed")
+
+
+def test_analyze_table_records_stats_for_cbo(spark, bucketed_pair):
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.sources.bucketed import (
+        analyze_table,
+    )
+
+    stats = analyze_table(spark, "b_orders", columns=["o_orderkey"])
+    assert stats["statistics"] and "rows" in stats["statistics"]
+    # column-level stats exist (ndv / min / max recorded)
+    desc = spark.sql("DESCRIBE EXTENDED b_orders o_orderkey").collect()
+    info = {r.info_name: r.info_value for r in desc}
+    assert info.get("distinct_count") not in (None, "NULL")
