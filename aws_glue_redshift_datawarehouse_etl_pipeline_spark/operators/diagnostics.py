@@ -85,3 +85,33 @@ def skew_profile(
             "max_n",
         )
     )
+
+
+def observe_metrics(
+    df: DataFrame,
+    name: str = "quality",
+    null_cols: Sequence[str] = (),
+    extra: dict[str, "F.Column"] | None = None,
+):
+    """Attach zero-cost pipeline health counters with Spark's observe
+    API: row count plus per-column null counts (and any caller-supplied
+    aggregate expressions) are accumulated DURING the next action — no
+    second pass, no extra job, unlike a separate ``.count()`` probe.
+
+    Batch: returns ``(df, Observation)``; read ``observation.get``
+    after the first action. Streaming: returns ``(df, None)`` and the
+    metrics surface per micro-batch in ``StreamingQueryProgress
+    .observedMetrics[name]`` — same counters, same expression, both
+    execution modes."""
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    metrics += [
+        F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}") for c in null_cols
+    ]
+    for alias, col in (extra or {}).items():
+        metrics.append(col.alias(alias))
+    if df.isStreaming:
+        return df.observe(name, *metrics), None
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *metrics), obs

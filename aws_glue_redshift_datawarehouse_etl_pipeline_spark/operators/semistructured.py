@@ -198,3 +198,65 @@ def unnest_ddb_json(df: DataFrame) -> DataFrame:
         else:
             cols.append(F.col(f.name))
     return df.select(*cols)
+
+
+def unbox_with_errors(
+    df: DataFrame,
+    path: str,
+    fmt: str,
+    schema: T.StructType | str | None = None,
+    **options: str,
+):
+    """``unbox`` with the reference's error-record side channel
+    (DynamicFrame error semantics, awsglue/dynamicframe.py:187-201)
+    extended to parse failures: rows whose source column is non-null
+    but fails to parse become (stage, error_message, record) rows on
+    the errors frame instead of silently carrying a null struct. NULL
+    sources pass through as NULL structs — absent data is not an
+    error. Returns an ``EngineFrame`` so thresholds
+    (``assert_error_threshold``) and ``errors_frame`` compose.
+
+    Both outputs are projections of ONE parsed plan (the parse
+    expression is not evaluated twice per row within a job thanks to
+    common-subexpression reuse; across the two frames' separate
+    actions the scan re-runs — persist upstream when both sides are
+    consumed and the source is expensive)."""
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.frame import (
+        ERROR_SCHEMA,
+        EngineFrame,
+    )
+
+    fmt = fmt.lower()
+    if fmt not in ("json", "csv"):
+        raise ValueError(
+            "unbox_with_errors supports json and csv (from_json/from_csv "
+            "PERMISSIVE corrupt-record capture); avro's binary decoder "
+            "raises on malformed input instead of nulling"
+        )
+    if schema is None:
+        raise ValueError("unbox_with_errors requires an explicit schema")
+    # the parser's own corrupt-record capture: PERMISSIVE mode routes
+    # every malformed value's raw text into this extra struct field
+    # (an all-null struct is NOT a reliable failure signal — a valid
+    # record of nulls looks identical)
+    corrupt = "_corrupt_record"
+    if isinstance(schema, str):
+        schema2: T.StructType | str = f"{schema}, {corrupt} STRING"
+    else:
+        schema2 = T.StructType(
+            list(schema.fields) + [T.StructField(corrupt, T.StringType(), True)]
+        )
+    opts = {**options, "mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt}
+    parsed = unbox(df, path, fmt, schema=schema2, **opts)
+    failed = F.col(f"{path}.{corrupt}").isNotNull()
+    data = parsed.filter(~failed).withColumn(path, F.col(path).dropFields(corrupt))
+    errors = parsed.filter(failed).select(
+        F.lit(f"unbox_{fmt}").alias("stage"),
+        F.lit("malformed record").alias("error_message"),
+        F.col(f"{path}.{corrupt}").alias("record"),
+    )
+    return EngineFrame(
+        data,
+        errors.select([F.col(f.name) for f in ERROR_SCHEMA.fields]),
+        name=f"unbox_{fmt}",
+    )

@@ -55,3 +55,37 @@ def test_uniform_key_reads_as_unskewed(spark, sf_dir):
     # key holds a meaningful share
     assert row["p99_n"] <= row["p50_n"] * 10
     assert row["max_share"] < 0.01
+
+
+def test_observe_metrics_batch(spark):
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.diagnostics import (
+        observe_metrics,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c")], "id long, v string"
+    )
+    out, obs = observe_metrics(df, "health", null_cols=["v"],
+                               extra={"max_id": F.max("id")})
+    out.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    assert got["n_rows"] == 3 and got["nulls_v"] == 1 and got["max_id"] == 3
+
+
+def test_observe_metrics_streaming(spark, tmp_path):
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.diagnostics import (
+        observe_metrics,
+    )
+
+    src = str(tmp_path / "obs_src")
+    spark.createDataFrame([(i, None if i % 3 == 0 else "x") for i in range(30)],
+                          "id long, v string").write.parquet(src)
+    stream = spark.readStream.schema("id long, v string").parquet(src)
+    out, obs = observe_metrics(stream, "health", null_cols=["v"])
+    assert obs is None
+    q = (out.writeStream.format("noop").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    q.awaitTermination()
+    progresses = [p for p in q.recentProgress if p and p["observedMetrics"]]
+    m = progresses[-1]["observedMetrics"]["health"]
+    assert m["n_rows"] == 30 and m["nulls_v"] == 10

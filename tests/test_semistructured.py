@@ -103,3 +103,27 @@ def test_unnest_ddb_json(spark):
     out = ss.unnest_ddb_json(df)
     row = out.first()
     assert row.n == 5.0 and row.s == "hello"
+
+
+def test_unbox_with_errors_routes_malformed_to_error_channel(spark):
+    df = spark.createDataFrame(
+        [
+            (1, '{"a": 1, "b": "x"}'),
+            (2, "not json at all {{"),
+            (3, None),
+            (4, '{"a": 4, "b": "y"}'),
+        ],
+        "id long, payload string",
+    )
+    ef = ss.unbox_with_errors(df, "payload", "json", schema="a INT, b STRING")
+    rows = {r.id: r for r in ef.df.collect()}
+    # good rows parsed; NULL source passes through as NULL struct
+    assert rows[1].payload.a == 1 and rows[4].payload.b == "y"
+    assert rows[3].payload is None
+    assert 2 not in rows
+    errs = ef.errors_frame().collect()
+    assert len(errs) == 1 and errs[0].stage == "unbox_json"
+    assert "not json" in errs[0].record
+    with pytest.raises(RuntimeError, match="error records"):
+        ef.assert_error_threshold(0)
+    ef.assert_error_threshold(1)
