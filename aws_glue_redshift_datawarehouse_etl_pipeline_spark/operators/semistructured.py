@@ -240,6 +240,22 @@ def unbox_with_errors(
     # (an all-null struct is NOT a reliable failure signal — a valid
     # record of nulls looks identical)
     corrupt = "_corrupt_record"
+    clash = {"mode", "columnNameOfCorruptRecord"} & set(options)
+    if clash:
+        raise ValueError(
+            f"unbox_with_errors owns {sorted(clash)} (it requires PERMISSIVE "
+            "corrupt-record capture); use plain unbox for FAILFAST/DROPMALFORMED"
+        )
+    declared = (
+        [f.name for f in schema.fields]
+        if isinstance(schema, T.StructType)
+        else [p.strip().split()[0] for p in schema.split(",") if p.strip()]
+    )
+    if corrupt in declared:
+        raise ValueError(
+            f"schema already declares {corrupt!r}; rename that field — it is "
+            "reserved for the failure channel here"
+        )
     if isinstance(schema, str):
         schema2: T.StructType | str = f"{schema}, {corrupt} STRING"
     else:

@@ -357,7 +357,13 @@ def chunk_documents(
     prep for context-bounded embedding / indexing of long documents.
     Chunk k covers tokens [k·stride, k·stride + chunk_tokens) with
     stride = chunk_tokens − overlap_tokens, so consecutive chunks share
-    ``overlap_tokens`` tokens and no content is lost at boundaries.
+    ``overlap_tokens`` tokens and every token appears in some chunk.
+    Token TEXT is preserved verbatim (no lowercasing — chunks feed
+    embedding/indexing, not fingerprinting); inter-token whitespace is
+    normalized to single spaces, the inherent trade of token-boundary
+    chunking. A tail window whose tokens are entirely contained in the
+    previous chunk (n_tokens mod stride ≤ overlap) is NOT emitted —
+    it would be a duplicate-content chunk downstream pays to embed.
 
     Output: (id, chunk_id, chunk_text, n_chunk_tokens), one row per
     chunk; empty documents produce no rows. Shape: tokenize once, one
@@ -368,11 +374,15 @@ def chunk_documents(
     if overlap_tokens >= chunk_tokens:
         raise ValueError("overlap_tokens must be smaller than chunk_tokens")
     stride = chunk_tokens - overlap_tokens
-    toks = tokens(text_col)
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.filter(F.split(c, r"\s+"), lambda x: x != "")  # case-preserving
     n = F.size(toks)
     starts = F.filter(
         F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)),
-        lambda s: s < n,
+        # drop start offsets past the end AND the degenerate tail whose
+        # tokens [s, n) are all inside the previous chunk [s-stride,
+        # s+overlap): contained iff n <= s + overlap
+        lambda s: (s < n) & ((s == 0) | (n > s + overlap_tokens)),
     )
     base = df.select(
         F.col(id_col), toks.alias("__tk"), F.explode(starts).alias("__start")

@@ -1338,9 +1338,11 @@ def embedding_near_dup_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataF
 
 @query(
     "chunk_documents_overlap",
-    oracle=f"""
+    oracle="""
     WITH toks AS (
-      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+      FROM documents
     ), starts AS (
       SELECT doc_id, t, unnest(range(0, greatest(len(t), 1), 112)) AS s
       FROM toks WHERE len(t) > 0
@@ -1349,12 +1351,14 @@ def embedding_near_dup_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataF
            CAST(s // 112 AS INTEGER) AS chunk_id,
            array_to_string(t[s+1 : s+128], ' ') AS chunk_text,
            CAST(least(128, len(t) - s) AS INTEGER) AS n_chunk_tokens
-    FROM starts WHERE s < len(t)
+    FROM starts
+    WHERE s < len(t) AND (s = 0 OR len(t) > s + 16)
     """,
 )
 def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (operators/text.py) — 128-token
-    chunks, 16-token overlap (stride 112). Chunk ids are start//stride
+    chunks, 16-token overlap (stride 112), case-preserving tokens,
+    duplicate tail windows suppressed. Chunk ids are start//stride
     arithmetic, so both engines produce identical rows without any
     ordinality/window construct."""
     return X.chunk_documents(

@@ -74,12 +74,19 @@ def analyze_table(
     selectivity estimates for filter-heavy plans. One scan per ANALYZE
     — schedule it with table maintenance (compaction), not per query.
     Returns the recorded statistics line for observability."""
-    spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+
+    def q(ident: str) -> str:
+        # backtick-quote each dotted part; identifiers are data here,
+        # never raw SQL
+        return ".".join("`" + p.replace("`", "``") + "`" for p in ident.split("."))
+
+    tq = q(table)
+    spark.sql(f"ANALYZE TABLE {tq} COMPUTE STATISTICS")
     if columns:
-        cols = ", ".join(columns)
-        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {cols}")
+        cols = ", ".join(q(c) for c in columns)
+        spark.sql(f"ANALYZE TABLE {tq} COMPUTE STATISTICS FOR COLUMNS {cols}")
     row = (
-        spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
+        spark.sql(f"DESCRIBE TABLE EXTENDED {tq}")
         .filter("col_name = 'Statistics'")
         .select("data_type")
         .first()

@@ -111,7 +111,10 @@ def stream_running_counts_tws(
             prev = self._count.get()
             total = (prev[0] if prev is not None else 0) + n
             self._count.update((total,))
-            yield pd.DataFrame({"key": [str(key[0])], "n": [total]})
+            # key passes through unmodified (None stays None; the
+            # output schema declares key string, matching the sibling
+            # stream_running_counts contract of string group keys)
+            yield pd.DataFrame({"key": [key[0]], "n": [total]})
 
         def close(self) -> None:
             pass

@@ -764,21 +764,31 @@ def test_pii_scrub_counts_and_redacts(spark):
 
 def test_chunk_documents_overlap_and_coverage(spark):
     text = " ".join(f"w{i}" for i in range(10))
-    df = spark.createDataFrame([(1, text), (2, ""), (3, "a b")], "doc_id long, text string")
+    df = spark.createDataFrame(
+        [(1, text), (2, ""), (3, "a b"), (4, "Mixed CASE\n tokens Here")],
+        "doc_id long, text string",
+    )
     out = X.chunk_documents(df, chunk_tokens=4, overlap_tokens=1).collect()
     by_doc = {}
     for r in out:
         by_doc.setdefault(r.doc_id, []).append(r)
-    # doc 1: stride 3 -> starts 0,3,6,9 -> 4 chunks; last is partial
+    # doc 1: stride 3 -> starts 0,3,6 (start 9's lone token w9 is
+    # already inside chunk 2 — the degenerate tail is suppressed)
     c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
     assert [r.chunk_text for r in c1] == [
-        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9", "w9",
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9",
     ]
-    assert [r.n_chunk_tokens for r in c1] == [4, 4, 4, 1]
-    # consecutive chunks overlap by exactly one token
+    assert [r.n_chunk_tokens for r in c1] == [4, 4, 4]
+    # consecutive chunks overlap by exactly one token; every token of
+    # the doc appears in some chunk
     assert c1[0].chunk_text.split()[-1] == c1[1].chunk_text.split()[0]
+    covered = {t for r in c1 for t in r.chunk_text.split()}
+    assert covered == {f"w{i}" for i in range(10)}
     # empty doc -> no rows; short doc -> one partial chunk
     assert 2 not in by_doc
     assert [r.chunk_text for r in by_doc[3]] == ["a b"]
+    # token text is preserved verbatim (no lowercasing); whitespace
+    # runs normalize to single spaces
+    assert [r.chunk_text for r in by_doc[4]] == ["Mixed CASE tokens Here"]
     with pytest.raises(ValueError):
         X.chunk_documents(df, chunk_tokens=4, overlap_tokens=4)
