@@ -133,3 +133,22 @@ def test_plan_variant_defers_append(spark, corpus_index):
     assert spark.read.parquet(path).count() == before
     surv_index.write.mode("append").parquet(path)
     assert spark.read.parquet(path).count() == before + 1
+
+
+def test_incremental_plan_prunes_index_with_broadcast_semi_join(spark, corpus_index):
+    """The batch-vs-index candidate join must prune index postings with
+    a broadcast semi-join BEFORE any shuffle — an index-sized exchange
+    here would be O(corpus) per micro-batch."""
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.incremental import (
+        incremental_minhash_dedup_plan,
+    )
+
+    _, path = corpus_index
+    batch = spark.createDataFrame(
+        [(80, "a fresh probe sentence about broadcast pruning of index postings")],
+        "doc_id long, text string",
+    )
+    survivors, _ = incremental_minhash_dedup_plan(spark, batch, path, "doc_id")
+    plan = survivors._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

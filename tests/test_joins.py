@@ -220,3 +220,25 @@ def test_merge_upsert_into_path_empty_stage_is_noop(spark, tmp_path):
     empty = spark.createDataFrame([], "k int, dt string, v string")
     assert J.merge_upsert_into_path(spark, path, empty, ["k", "dt"], ["dt"]) == []
     assert spark.read.parquet(path).count() == 1
+
+
+def test_merge_upsert_into_path_prunes_partitions_at_scan(spark, tmp_path):
+    """The affected-partition read must reach the scan as partition
+    filters — a full-table scan would make the merge O(table)."""
+    path = str(tmp_path / "ptbl")
+    spark.createDataFrame(
+        [(1, "p1", "a"), (2, "p2", "b"), (3, "p3", "c")], "k int, dt string, v string"
+    ).write.partitionBy("dt").parquet(path)
+    stage = spark.createDataFrame([(1, "p1", "A")], "k int, dt string, v string")
+    pcols = ["dt"]
+    parts = [r.asDict() for r in stage.select(*pcols).distinct().collect()]
+    pred = None
+    for p in parts:
+        clause = None
+        for c in pcols:
+            eq = F.col(c).eqNullSafe(F.lit(p[c]))
+            clause = eq if clause is None else clause & eq
+        pred = clause if pred is None else pred | clause
+    affected = spark.read.parquet(path).filter(pred)
+    plan = affected._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "dt" in plan.split("PartitionFilters")[1][:120], plan
