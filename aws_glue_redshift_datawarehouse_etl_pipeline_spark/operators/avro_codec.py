@@ -274,7 +274,11 @@ def _matches(val: Any, schema: dict | list | str) -> bool:
     if tag in ("int", "long"):
         return isinstance(val, int) and not isinstance(val, bool)
     if tag in ("float", "double"):
-        return isinstance(val, float)
+        # accept int too (mirroring the scalar encoder's float(val)
+        # coercion) so unions like ["null","double"] take Python ints
+        return isinstance(val, float) or (
+            isinstance(val, int) and not isinstance(val, bool)
+        )
     if tag == "string":
         return isinstance(val, str)
     if tag in ("bytes", "fixed"):

@@ -16,7 +16,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["skew_profile", "heavy_hitters"]
+__all__ = ["skew_profile", "heavy_hitters", "observe_metrics"]
 
 
 def heavy_hitters(

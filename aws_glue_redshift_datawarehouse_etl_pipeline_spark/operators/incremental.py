@@ -157,14 +157,18 @@ def incremental_minhash_dedup_plan(
     index = spark.read.parquet(index_path)
     # config drift turns into silent recall loss: a stored sig shorter
     # than num_hashes makes the trailing bands hash an empty slice on
-    # the index side only, so those bands can never collide. Check one
-    # stored row (cheap) and fail loudly instead.
-    first = index.select(F.size("sig").alias("k")).limit(1).collect()
-    if first and first[0]["k"] != num_hashes:
+    # the index side only, so those bands can never collide. A single
+    # sampled row would miss MIXED lengths (rows appended under a
+    # different num_hashes), so check min AND max in one aggregate and
+    # fail loudly on any mismatch.
+    rng = index.agg(
+        F.min(F.size("sig")).alias("lo"), F.max(F.size("sig")).alias("hi")
+    ).first()
+    if rng["lo"] is not None and not (rng["lo"] == rng["hi"] == num_hashes):
         raise ValueError(
             f"index at {index_path} stores signatures of length "
-            f"{first[0]['k']} but num_hashes={num_hashes} was requested; "
-            "rebuild the index or match its configuration"
+            f"[{rng['lo']}, {rng['hi']}] but num_hashes={num_hashes} was "
+            "requested; rebuild the index or match its configuration"
         )
 
     b_band = _banded(feats, bands, rows)

@@ -112,6 +112,60 @@ def merge_upsert(
     return keep.unionByName(stage)
 
 
+def _partition_pruning_predicate(
+    pcols: Sequence[str],
+    parts: Sequence[dict],
+    max_partitions: int = 10_000,
+) -> Column:
+    """Pruning predicate over the collected partition tuples. A stage
+    touching thousands of partitions must not become a thousands-deep
+    left-nested OR chain (slow Catalyst analysis, potential codegen
+    blowup): single-column keys compile to ONE ``IN`` set; composite
+    keys get a per-column ``IN`` prefilter (which already prunes the
+    file listing) AND a balanced or-tree of exact tuple matches (depth
+    log n, not n). The partitions-touched bound is enforced, not
+    implied — a merge wider than ``max_partitions`` is an O(table)
+    rewrite wearing a merge's clothes and is refused."""
+    if len(parts) > max_partitions:
+        raise ValueError(
+            f"stage touches {len(parts)} partitions (> {max_partitions}): "
+            "a merge this wide is effectively a full-table rewrite; "
+            "split the stage or raise max_partitions explicitly"
+        )
+
+    def col_in(c: str, values: list) -> Column:
+        # isin never matches NULL, so a null partition value (Hive's
+        # __HIVE_DEFAULT_PARTITION__) needs an explicit isNull arm
+        non_null = [v for v in values if v is not None]
+        pred = F.col(c).isin(non_null) if non_null else F.lit(False)
+        if len(non_null) != len(values):
+            pred = pred | F.col(c).isNull()
+        return pred
+
+    if len(pcols) == 1:
+        return col_in(pcols[0], [p[pcols[0]] for p in parts])
+
+    prefilter = None
+    for c in pcols:
+        ci = col_in(c, list({p[c] for p in parts}))
+        prefilter = ci if prefilter is None else prefilter & ci
+
+    def clause(p: dict) -> Column:
+        cl = None
+        for c in pcols:
+            eq = F.col(c).eqNullSafe(F.lit(p[c]))
+            cl = eq if cl is None else cl & eq
+        return cl
+
+    def or_tree(cs: list) -> Column:
+        if len(cs) == 1:
+            return cs[0]
+        mid = len(cs) // 2
+        return or_tree(cs[:mid]) | or_tree(cs[mid:])
+
+    return prefilter & or_tree([clause(p) for p in parts])
+
+
 def merge_upsert_into_path(
     spark,
     table_path: str,
@@ -147,14 +201,9 @@ def merge_upsert_into_path(
     parts = [r.asDict() for r in stage.select(*pcols).distinct().collect()]
     if not parts:
         return []
-    pred = None
-    for p in parts:
-        clause = None
-        for c in pcols:
-            eq = F.col(c).eqNullSafe(F.lit(p[c]))
-            clause = eq if clause is None else clause & eq
-        pred = clause if pred is None else pred | clause
-    affected = spark.read.format(fmt).load(table_path).filter(pred)
+    affected = spark.read.format(fmt).load(table_path).filter(
+        _partition_pruning_predicate(pcols, parts)
+    )
     merged = merge_upsert(affected, stage, primary_keys)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

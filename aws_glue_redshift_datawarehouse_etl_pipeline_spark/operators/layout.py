@@ -48,8 +48,20 @@ def zorder_value(
     """Interleave the low ``bits`` bits of each already-quantized
     column (Morton order): bit b of column c lands at position
     ``b * len(cols) + c``. Static unroll — ``bits × len(cols)``
-    shift/mask/or terms, all whole-stage-codegen-able."""
+    shift/mask/or terms, all whole-stage-codegen-able.
+
+    ``bits * len(quantized)`` must fit in the 63 value bits of a long:
+    the JVM wraps shift amounts mod 64, so an oversized interleave
+    would silently fold high bits onto low ones and scramble the
+    clustering key instead of failing."""
     ncols = len(quantized)
+    if bits * ncols > 63:
+        raise ValueError(
+            f"bits * len(cols) = {bits * ncols} exceeds 63: the interleaved "
+            "key must fit in a signed long (JVM shifts wrap mod 64, which "
+            "would silently corrupt the clustering key). Lower bits "
+            f"(max {63 // ncols} for {ncols} columns) or drop columns."
+        )
     z = F.lit(0).cast("long")
     for b in range(bits):
         for c, q in enumerate(quantized):

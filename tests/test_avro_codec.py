@@ -163,3 +163,14 @@ def test_spark_type_mapping_matches_from_avro_shapes():
         "struct<a:int,b:string,c:array<double>,d:map<string,bigint>,"
         "e:string,f:binary>"
     )
+
+
+def test_union_accepts_int_for_double_branch():
+    """Python ints coerce into float/double union branches, mirroring
+    the scalar encoder's float(val) coercion; bool stays excluded."""
+    assert avro_decode(avro_encode(1, ["null", "double"]), ["null", "double"]) == 1.0
+    assert avro_decode(avro_encode(2, ["null", "float"]), ["null", "float"]) == 2.0
+    # int branch still wins when present (first-match union semantics)
+    assert avro_decode(avro_encode(3, ["int", "double"]), ["int", "double"]) == 3
+    with pytest.raises(ValueError):
+        avro_encode(True, ["null", "double"])

@@ -152,3 +152,21 @@ def test_incremental_plan_prunes_index_with_broadcast_semi_join(spark, corpus_in
     plan = survivors._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan and "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_index_mixed_signature_lengths_detected(spark, corpus_index, tmp_path):
+    """An index appended under two different num_hashes configs has
+    rows whose trailing bands can never collide; the min/max aggregate
+    must catch it even when the FIRST row looks right."""
+    _, path = corpus_index
+    idx = spark.read.parquet(path)
+    short = idx.limit(1).withColumn("sig", F.slice("sig", 1, 8))
+    idx.unionByName(short).write.mode("overwrite").parquet(str(tmp_path / "mixed"))
+    batch = spark.createDataFrame(
+        [(50, "some text that is long enough to have several shingles here")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="signatures of length"):
+        incremental_minhash_dedup(
+            spark, batch, str(tmp_path / "mixed"), "doc_id", num_hashes=16, bands=4
+        )

@@ -242,3 +242,35 @@ def test_merge_upsert_into_path_prunes_partitions_at_scan(spark, tmp_path):
     affected = spark.read.parquet(path).filter(pred)
     plan = affected._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "dt" in plan.split("PartitionFilters")[1][:120], plan
+
+
+def test_partition_pruning_predicate_single_col_is_one_in_set(spark):
+    """Single-column keys compile to ONE isin, not an OR chain; null
+    partition values get an explicit isNull arm (isin never matches
+    NULL)."""
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 2), (None, 3), ("c", 4)], "dt string, v int"
+    )
+    pred = J._partition_pruning_predicate(["dt"], [{"dt": "a"}, {"dt": None}])
+    got = sorted(r["v"] for r in df.filter(pred).collect())
+    assert got == [1, 3]
+
+
+def test_partition_pruning_predicate_composite_and_cap(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("b", 1, 30), ("b", 2, 40)],
+        "dt string, h int, v int",
+    )
+    # exact tuple semantics: (a,1) and (b,2) only — NOT the cross product
+    pred = J._partition_pruning_predicate(
+        ["dt", "h"], [{"dt": "a", "h": 1}, {"dt": "b", "h": 2}]
+    )
+    assert sorted(r["v"] for r in df.filter(pred).collect()) == [10, 40]
+    # wide composite sets must not blow the analyzer: balanced tree, not
+    # a 2000-deep left-nested OR
+    many = [{"dt": str(i), "h": i} for i in range(2000)]
+    pred = J._partition_pruning_predicate(["dt", "h"], many)
+    df.filter(pred).collect()  # analyzes + runs without stack overflow
+    with pytest.raises(ValueError, match="partitions"):
+        J._partition_pruning_predicate(["dt"], [{"dt": str(i)} for i in range(5)],
+                                       max_partitions=3)

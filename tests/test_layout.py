@@ -118,3 +118,17 @@ def test_zorder_layout_empty_and_all_null_inputs(spark):
     assert zorder_layout(empty, ["a", "b"], num_partitions=2).count() == 0
     nulls = spark.createDataFrame([(None, None), (None, None)], "a double, b double")
     assert zorder_layout(nulls, ["a", "b"], num_partitions=2).count() == 2
+
+
+def test_zorder_value_rejects_long_overflow(spark):
+    """bits * ncols > 63 would hit the JVM's mod-64 shift wrap and
+    silently scramble the key; it must raise instead."""
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.layout import (
+        zorder_value,
+    )
+
+    cols = [F.lit(i).cast("long") for i in range(7)]
+    with pytest.raises(ValueError, match="exceeds 63"):
+        zorder_value(cols, bits=10)  # 70 interleaved bits
+    # 9 bits x 7 cols = 63 still fits
+    zorder_value(cols, bits=9)
