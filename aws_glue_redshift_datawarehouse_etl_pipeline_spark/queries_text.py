@@ -546,6 +546,41 @@ def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_image_dims",
+    oracle="""
+    SELECT doc_id,
+           CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                WHEN 2 THEN 'gif' ELSE 'bmp' END AS format,
+           CAST(16 + doc_id % 509 AS BIGINT) AS width,
+           CAST(16 + (doc_id * 7) % 389 AS BIGINT) AS height
+    FROM documents
+    """,
+)
+def multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-free image metadata: synthesize format-correct PNG / JPEG
+    (APP0+COM segments before SOFn) / GIF / BMP header bytes with
+    doc_id-derived dimensions, then parse format/width/height back from
+    the RAW BYTES with pure Column ops (``image_header_meta``). The
+    oracle recomputes the planted dimensions from doc_id arithmetic, so
+    a green row proves the parser exactly inverts real byte encodings —
+    including the bounded JPEG segment walk. Engine extension (no
+    reference counterpart; the brief's multimodal ask)."""
+    docs = t(spark, sf_dir, "documents")
+    w = (F.lit(16) + F.col("doc_id") % 509).cast("long")
+    h = (F.lit(16) + (F.col("doc_id") * 7) % 389).cast("long")
+    fmt = F.element_at(
+        F.array(F.lit("png"), F.lit("jpeg"), F.lit("gif"), F.lit("bmp")),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    synth = docs.select(
+        "doc_id", M.synthesize_image_bytes(w, h, fmt).alias("content")
+    )
+    return M.image_header_meta(synth, "content").select(
+        "doc_id", "format", "width", "height"
+    )
+
+
 # --- engine-only (rows-only driver check; pytest-verified) --------------
 
 

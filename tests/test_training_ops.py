@@ -792,3 +792,109 @@ def test_chunk_documents_overlap_and_coverage(spark):
     assert [r.chunk_text for r in by_doc[4]] == ["Mixed CASE tokens Here"]
     with pytest.raises(ValueError):
         X.chunk_documents(df, chunk_tokens=4, overlap_tokens=4)
+
+
+# ---------------------------------------------------------------- image headers
+
+
+def _png_bytes(w, h):
+    import struct, zlib
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x10\x20\x30" * w for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+
+
+def _jpeg_bytes(w, h, extra_segments=1):
+    import struct
+
+    app0 = (b"\xff\xe0" + struct.pack(">H", 16)
+            + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(64)
+    sof = (b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+           + struct.pack(">HH", h, w)
+           + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01")
+    return b"\xff\xd8" + app0 + dqt * extra_segments + sof + b"\xff\xd9"
+
+
+def test_image_header_meta_on_genuine_file_bytes(spark):
+    """The parser must invert REAL encodings, not just its own
+    synthesizer: a valid zlib-compressed PNG, a baseline JPEG whose SOF
+    sits behind APP0+DQT segments, a GIF87a, and a top-down BMP
+    (negative int32 height — the case an ANSI int cast would throw on).
+    Garbage and NULL payloads yield NULLs, never errors."""
+    import struct
+
+    gif = b"GIF87a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00\x3b"
+    bmp = (b"BM" + struct.pack("<IHHI", 70, 0, 0, 54)
+           + struct.pack("<IiiHH", 40, 800, -600, 1, 24) + bytes(40))
+    rows = [
+        (1, bytearray(_png_bytes(640, 480))),
+        (2, bytearray(_jpeg_bytes(1024, 768))),
+        (3, bytearray(gif)),
+        (4, bytearray(bmp)),
+        (5, bytearray(b"not an image")),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {
+        r["doc_id"]: (r["format"], r["width"], r["height"])
+        for r in M.image_header_meta(df, "content").collect()
+    }
+    assert got[1] == ("png", 640, 480)
+    assert got[2] == ("jpeg", 1024, 768)
+    assert got[3] == ("gif", 320, 200)
+    assert got[4] == ("bmp", 800, 600)
+    assert got[5] == (None, None, None)
+    assert got[6] == (None, None, None)
+
+
+def test_jpeg_segment_walk_bound(spark):
+    """A JPEG whose SOF hides behind more segments than max_segments
+    returns NULL dims (bounded work per row) — not a wrong answer, not
+    an unbounded scan; a deeper chain within the bound still parses."""
+    deep_ok = _jpeg_bytes(99, 44, extra_segments=30)
+    too_deep = _jpeg_bytes(99, 44, extra_segments=60)
+    df = spark.createDataFrame(
+        [(1, bytearray(deep_ok)), (2, bytearray(too_deep))],
+        "doc_id long, content binary",
+    )
+    got = {
+        r["doc_id"]: (r["format"], r["width"], r["height"])
+        for r in M.image_header_meta(df, "content").collect()
+    }
+    assert got[1] == ("jpeg", 99, 44)
+    assert got[2] == ("jpeg", None, None)
+
+
+def test_synthesize_image_bytes_roundtrip(spark):
+    """Synthesizer and parser agree across all four formats and the
+    SOF0/SOF2 split; dimensions survive the byte round-trip exactly."""
+    df = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        (16 + F.col("id") % 509).alias("w"),
+        (16 + (F.col("id") * 7) % 389).alias("h"),
+        F.element_at(
+            F.array(F.lit("png"), F.lit("jpeg"), F.lit("gif"), F.lit("bmp")),
+            (F.col("id") % 4 + 1).cast("int"),
+        ).alias("fmt"),
+    )
+    synth = df.withColumn(
+        "content", M.synthesize_image_bytes(F.col("w"), F.col("h"), F.col("fmt"))
+    )
+    parsed = M.image_header_meta(synth, "content")
+    bad = parsed.filter(
+        (F.col("format") != F.col("fmt"))
+        | (F.col("width") != F.col("w"))
+        | (F.col("height") != F.col("h"))
+    ).count()
+    assert bad == 0
