@@ -102,6 +102,162 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 _CJK_CLASS = "[一-鿿]"
 
+# --------------------------------------------------------- trigram language ID
+#
+# Cavnar & Trenkle 1994 ("N-Gram-Based Text Categorization", public
+# method): a language is characterized by the RANK ORDER of its most
+# frequent character n-grams; a document is classified by the language
+# whose rank profile is closest under the "out-of-place" distance
+# (sum over the document's top n-grams of |doc rank - profile rank|,
+# with a fixed maximum penalty for n-grams absent from the profile).
+#
+# Profiles are computed AT IMPORT from the seed paragraphs below —
+# plain-prose samples written for this engine, one per language — and
+# shipped to executors as a small broadcast table (4 langs × 200
+# trigrams). Classification is pure DataFrame ops: one explode +
+# count shuffle keyed on the doc id (no skew), a per-doc rank window,
+# a broadcast profile join, one argmin. No Python in the hot path.
+
+LANG_SEEDS: dict[str, str] = {
+    "en": (
+        "the quick brown fox jumps over the lazy dog. it was the best of "
+        "times and it was the worst of times. all happy families are alike "
+        "but every unhappy family is unhappy in its own way. to be or not "
+        "to be that is the question. she sells sea shells by the sea shore "
+        "and the rain in spain stays mainly in the plain. we hold these "
+        "truths to be self evident that all people are created equal. this "
+        "is the story of a house that was built many years ago near the "
+        "river and the people who lived there with their children."
+    ),
+    "de": (
+        "der schnelle braune fuchs springt über den faulen hund. es war "
+        "einmal ein kleines mädchen das mit seiner mutter in einem großen "
+        "wald wohnte. alle glücklichen familien sind einander ähnlich. sein "
+        "oder nicht sein das ist hier die frage. ich weiß nicht was soll es "
+        "bedeuten dass ich so traurig bin. die würde des menschen ist "
+        "unantastbar und das wetter ist heute wieder schön. wir fahren mit "
+        "dem zug in die stadt und kaufen frisches brot und milch für das "
+        "frühstück am nächsten morgen."
+    ),
+    "fr": (
+        "le rapide renard brun saute par dessus le chien paresseux. il "
+        "était une fois une petite fille qui vivait avec sa mère dans une "
+        "grande forêt. toutes les familles heureuses se ressemblent. être "
+        "ou ne pas être telle est la question. je ne sais pas pourquoi je "
+        "suis si triste aujourd hui. la liberté consiste à pouvoir faire "
+        "tout ce qui ne nuit pas aux autres. nous allons à la ville en "
+        "train et nous achetons du pain frais et du lait pour le petit "
+        "déjeuner du lendemain matin."
+    ),
+    "es": (
+        "el rápido zorro marrón salta sobre el perro perezoso. érase una "
+        "vez una niña pequeña que vivía con su madre en un gran bosque. "
+        "todas las familias felices se parecen unas a otras. ser o no ser "
+        "esa es la cuestión. no sé por qué estoy tan triste hoy. la "
+        "libertad consiste en poder hacer todo aquello que no perjudique a "
+        "los demás. vamos a la ciudad en tren y compramos pan fresco y "
+        "leche para el desayuno de la mañana siguiente."
+    ),
+}
+
+PROFILE_SIZE = 200
+DOC_TOP_TRIGRAMS = 120
+
+
+def _trigram_profile(seed: str, size: int = PROFILE_SIZE) -> dict[str, int]:
+    """Rank profile (trigram -> 1-based rank) of the ``size`` most
+    frequent character trigrams of ``seed``, space-padded, ties broken
+    lexicographically for determinism. Python-side only — the engines
+    consume the RESULT as literal data, so this normalization never
+    needs cross-engine regex parity."""
+    from collections import Counter
+
+    s = "".join(ch if ch.isalpha() else " " for ch in seed.lower())
+    s = " " + " ".join(s.split()) + " "
+    counts = Counter(s[i : i + 3] for i in range(len(s) - 2))
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:size]
+    return {tg: r + 1 for r, (tg, _) in enumerate(ranked)}
+
+
+LANG_PROFILES: dict[str, dict[str, int]] = {
+    lang: _trigram_profile(seed) for lang, seed in LANG_SEEDS.items()
+}
+
+
+def language_id_trigram(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "lang_pred",
+) -> DataFrame:
+    """Character-trigram rank-profile language ID (Cavnar-Trenkle; see
+    module comment). Normalization shared exactly with the oracle SQL:
+    lowercase, collapse non-letter runs ([^\\p{L}]+) to single spaces,
+    trim, pad with one space each side; trigrams are the length-3
+    substrings. Per doc the top ``DOC_TOP_TRIGRAMS`` trigrams by
+    (count desc, trigram asc) are scored against each profile with
+    out-of-place distance (absent trigram = ``PROFILE_SIZE`` penalty);
+    argmin wins, ties broken by ``LANG_PRIORITY``. The CJK script gate
+    still runs first (a Latin-trigram profile cannot see unsegmented
+    Chinese) and trigram-less documents come back ``und``."""
+    spark = df.sparkSession
+    prof = spark.createDataFrame(
+        [(l, tg, r) for l, p in LANG_PROFILES.items() for tg, r in p.items()],
+        "plang string, tg string, prank int",
+    )
+    langs = spark.createDataFrame(
+        [(l, i + 1) for i, l in enumerate(LANG_PRIORITY)],
+        "plang string, priority int",
+    )
+    norm = F.concat(
+        F.lit(" "),
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^\p{L}]+", " ")),
+        F.lit(" "),
+    )
+    base = df.select(F.col(id_col).alias("__doc"), norm.alias("__s")).filter(
+        F.length("__s") >= 3
+    )
+    tgs = base.select(
+        "__doc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("__s") - 2),
+                lambda i: F.col("__s").substr(i, F.lit(3)),
+            )
+        ).alias("tg"),
+    )
+    from pyspark.sql import Window
+
+    rank_w = Window.partitionBy("__doc").orderBy(F.desc("n"), F.asc("tg"))
+    ranked = (
+        tgs.groupBy("__doc", "tg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rd", F.row_number().over(rank_w))
+        .filter(F.col("rd") <= DOC_TOP_TRIGRAMS)
+        .select("__doc", "tg", "rd")
+    )
+    pick_w = Window.partitionBy("__doc").orderBy(F.asc("dist"), F.asc("priority"))
+    best = (
+        ranked.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(prof), ["plang", "tg"], "left")
+        .withColumn(
+            "pen",
+            F.coalesce(F.abs(F.col("rd") - F.col("prank")), F.lit(PROFILE_SIZE)),
+        )
+        .groupBy("__doc", "plang", "priority")
+        .agg(F.sum("pen").alias("dist"))
+        .withColumn("rn", F.row_number().over(pick_w))
+        .filter(F.col("rn") == 1)
+        .select("__doc", F.col("plang").alias("__pred"))
+    )
+    joined = df.join(best, df[id_col] == best["__doc"], "left").drop("__doc")
+    c = F.col(text_col)
+    cjk = F.regexp_count(c, F.lit(_CJK_CLASS))
+    pred = F.when(
+        (cjk * 20 >= F.length(c)) & (F.length(c) > 0), F.lit("zh")
+    ).otherwise(F.coalesce(F.col("__pred"), F.lit("und")))
+    return joined.withColumn(out_col, pred).drop("__pred")
+
 
 def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
     """Heuristic language ID, two tiers (deterministic, no model):

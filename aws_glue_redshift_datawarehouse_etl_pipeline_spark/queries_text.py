@@ -83,39 +83,73 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lang_profile_values() -> str:
+    """LANG_PROFILES rendered as SQL VALUES rows — the oracle consumes
+    the same literal profile data the Spark classifier broadcasts.
+    Trigrams are letters+spaces only (isalpha-filtered), so no
+    quoting hazards."""
+    return ", ".join(
+        f"('{l}', '{tg}', {r})"
+        for l in X.LANG_PRIORITY
+        for tg, r in X.LANG_PROFILES[l].items()
+    )
+
+
 @query(
     "language_id_documents",
-    oracle="""
-    WITH toks AS (
+    oracle=f"""
+    WITH prof(plang, tg, prank) AS (VALUES {_lang_profile_values()}),
+    langs(plang, priority) AS (VALUES ('en', 1), ('de', 2), ('fr', 3), ('es', 4)),
+    norm AS (
       SELECT doc_id, lang,
-             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk,
+             ' ' || trim(regexp_replace(lower(text), '[^\\p{{L}}]+', ' ', 'g')) || ' ' AS s,
              20 * len(regexp_extract_all(text, '[一-鿿]')) >= length(text)
                AND length(text) > 0 AS is_zh
       FROM documents
-    ), hits AS (
-      SELECT doc_id, lang, is_zh,
-             len(list_filter(tk, w -> list_contains(['the','and','of','to','a','in','is','it','you','that'], w))) AS h_en,
-             len(list_filter(tk, w -> list_contains(['der','die','das','und','ist','ich','nicht','mit','ein','zu'], w))) AS h_de,
-             len(list_filter(tk, w -> list_contains(['le','la','les','et','un','une','est','que','pour','dans'], w))) AS h_fr,
-             len(list_filter(tk, w -> list_contains(['el','los','las','y','que','en','un','es','por','con'], w))) AS h_es
-      FROM toks
+    ),
+    tgs AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, CAST(length(s) - 1 AS BIGINT)),
+                                   i -> substr(s, CAST(i AS INTEGER), 3))) AS tg
+      FROM norm WHERE length(s) >= 3
+    ),
+    cnts AS (SELECT doc_id, tg, COUNT(*) AS n FROM tgs GROUP BY doc_id, tg),
+    ranked AS (
+      SELECT doc_id, tg,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, tg ASC) AS rd
+      FROM cnts QUALIFY rd <= {X.DOC_TOP_TRIGRAMS}
+    ),
+    dists AS (
+      SELECT r.doc_id, l.plang, l.priority,
+             SUM(COALESCE(ABS(r.rd - p.prank), {X.PROFILE_SIZE})) AS dist
+      FROM ranked r CROSS JOIN langs l
+      LEFT JOIN prof p ON p.plang = l.plang AND p.tg = r.tg
+      GROUP BY r.doc_id, l.plang, l.priority
+    ),
+    best AS (
+      SELECT doc_id, plang
+      FROM dists
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY dist ASC, priority ASC) = 1
     )
-    SELECT lang, lang_pred, COUNT(*) AS n_docs FROM (
-      SELECT lang,
-             CASE WHEN is_zh THEN 'zh'
-                  WHEN h_en = greatest(h_en, h_de, h_fr, h_es) AND greatest(h_en, h_de, h_fr, h_es) > 0 THEN 'en'
-                  WHEN h_de = greatest(h_en, h_de, h_fr, h_es) AND greatest(h_en, h_de, h_fr, h_es) > 0 THEN 'de'
-                  WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) AND greatest(h_en, h_de, h_fr, h_es) > 0 THEN 'fr'
-                  WHEN h_es = greatest(h_en, h_de, h_fr, h_es) AND greatest(h_en, h_de, h_fr, h_es) > 0 THEN 'es'
-                  ELSE 'und' END AS lang_pred
-      FROM hits
-    ) GROUP BY lang, lang_pred
+    SELECT n.lang,
+           CASE WHEN n.is_zh THEN 'zh'
+                ELSE COALESCE(b.plang, 'und') END AS lang_pred,
+           COUNT(*) AS n_docs
+    FROM norm n LEFT JOIN best b ON b.doc_id = n.doc_id
+    GROUP BY 1, 2
     """,
 )
 def language_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-tier language ID (CJK script gate, then stopword argmax),
-    summarized as a (true lang × predicted lang) confusion table."""
-    docs = X.language_id(X.spread_small_scan(t(spark, sf_dir, "documents"), "doc_id"))
+    """Two-tier language ID — CJK script gate, then the Cavnar-Trenkle
+    character-trigram rank-profile classifier — summarized as a
+    (true lang × predicted lang) confusion table. The oracle replays
+    the full out-of-place-distance computation against the same
+    profile literals, so every per-document classification decision is
+    cross-engine checked, not just the aggregate."""
+    docs = X.language_id_trigram(
+        X.spread_small_scan(t(spark, sf_dir, "documents"), "doc_id")
+    )
     return docs.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n_docs"))
 
 

@@ -898,3 +898,47 @@ def test_synthesize_image_bytes_roundtrip(spark):
         | (F.col("height") != F.col("h"))
     ).count()
     assert bad == 0
+
+
+def test_trigram_language_id_beats_stopword_tier(spark):
+    """Cavnar-Trenkle rank profiles classify sentences that contain NO
+    stopword-list words — exactly where the old tier defaults to
+    'und'. Planted set: two sentences per language avoiding every
+    stopword, plus CJK and garbage rows; the trigram path must get all
+    ten right while the stopword tier (kept as the cheap fallback)
+    manages only the script-gated and degenerate rows."""
+    rows = [
+        (1, "en", "seven quick foxes jumped over three sleeping dogs near our old wooden barn yesterday"),
+        (2, "de", "gestern kauften wir frisches brot beim kleinen baecker am marktplatz unserer schoenen stadt"),
+        (3, "fr", "hier nous avons achete du pain frais chez notre boulanger pres du marche municipal"),
+        (4, "es", "ayer compramos pan fresco donde nuestro panadero cerca del mercado municipal"),
+        (5, "en", "my grandmother reads long stories every evening while her cat sleeps quietly beside her chair"),
+        (6, "de", "meine grossmutter liest jeden abend lange geschichten waehrend ihre katze leise neben ihrem stuhl schlaeft"),
+        (7, "fr", "ma grand mere lit de longues histoires chaque soir pendant son chat dort tranquillement"),
+        (8, "es", "mi abuela lee largas historias cada noche mientras su gato duerme tranquilamente junto a su silla"),
+        (9, "zh", "今天天气很好我们去公园散步然后喝茶"),
+        (10, "und", "12345 67890 !!! ???"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, truth string, text string")
+    tri = {r.doc_id: r.lang_pred for r in X.language_id_trigram(df).collect()}
+    sw = {r.doc_id: r.lang_pred for r in X.language_id(df).collect()}
+    truth = {i: t for i, t, _ in rows}
+    tri_ok = sum(tri[i] == truth[i] for i in truth)
+    sw_ok = sum(sw[i] == truth[i] for i in truth)
+    assert tri_ok == 10, (tri, truth)
+    assert tri_ok > sw_ok, (tri_ok, sw_ok)
+
+
+def test_trigram_profiles_are_well_formed():
+    """Import-time profile invariants: every language ships exactly
+    PROFILE_SIZE trigrams of length 3, ranks are 1..PROFILE_SIZE, and
+    the profiles are pairwise distinct (a duplicated seed would make
+    two languages indistinguishable)."""
+    for lang, prof in X.LANG_PROFILES.items():
+        assert len(prof) == X.PROFILE_SIZE, lang
+        assert all(len(tg) == 3 for tg in prof), lang
+        assert sorted(prof.values()) == list(range(1, X.PROFILE_SIZE + 1)), lang
+    profs = list(X.LANG_PROFILES.values())
+    for i in range(len(profs)):
+        for j in range(i + 1, len(profs)):
+            assert profs[i] != profs[j]
