@@ -194,9 +194,23 @@ def merge_upsert_into_path(
     bounded by partitions-touched, collected to build the pruning
     predicate), a partition-PRUNED read of the table (only affected
     partitions are scanned; verify `PartitionFilters` in the plan), the
-    merge's single PK shuffle, and a dynamic-overwrite write that
-    replaces exactly the affected partition directories. Returns the
-    list of affected partition-value dicts for observability."""
+    merge's single PK shuffle, and a staged write replacing exactly the
+    affected partition directories.
+
+    The write follows the commit-marker protocol
+    (``sources/maintenance.py``): merged partitions are fully staged to
+    a sibling directory, an intent marker lists each directory to swap
+    (and whether it pre-existed), displaced originals survive under the
+    stage until the marker clears. A crash at ANY point leaves the
+    table recoverable at its pre-merge snapshot via ``recover_path`` —
+    readers through ``WarehouseCatalog.read_table`` heal automatically,
+    and the upsert simply re-runs. Returns the list of affected
+    partition-value dicts for observability."""
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.sources import (
+        maintenance as MT,
+    )
+
+    MT.ensure_recovered(spark, table_path)
     pcols = list(partition_cols)
     parts = [r.asDict() for r in stage.select(*pcols).distinct().collect()]
     if not parts:
@@ -205,17 +219,26 @@ def merge_upsert_into_path(
         _partition_pruning_predicate(pcols, parts)
     )
     merged = merge_upsert(affected, stage, primary_keys)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            merged.write.format(fmt)
-            .mode("overwrite")
-            .partitionBy(*pcols)
-            .save(table_path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(table_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    stage_dir = table_path.rstrip("/") + "__merge_stage"
+    if fs.exists(P(stage_dir)):
+        # stale stage from a crash BEFORE its marker was written: the
+        # table was never touched, the stage is garbage
+        fs.delete(P(stage_dir), True)
+    merged.write.format(fmt).mode("overwrite").partitionBy(*pcols).save(stage_dir)
+    rels = MT.list_partition_dirs(spark, stage_dir, len(pcols))
+    parts_meta = [
+        {"rel": r, "had_old": bool(fs.exists(P(f"{table_path}/{r}")))} for r in rels
+    ]
+    MT.write_commit_marker(
+        spark, table_path, {"op": "merge", "stage": stage_dir, "parts": parts_meta}
+    )
+    MT.staged_partition_swap(spark, table_path, stage_dir, parts_meta)
+    MT.clear_commit_marker(spark, table_path)
+    fs.delete(P(stage_dir), True)
     return parts
 
 

@@ -41,7 +41,17 @@ class WarehouseCatalog:
         )
 
     def read_table(self, table: str) -> DataFrame:
-        return self.spark.read.parquet(self._path(table))
+        """Read with the commit-marker guard: a table stranded mid-merge
+        or mid-compaction by a crashed writer is healed to its
+        pre-operation snapshot before the scan, so partial state is
+        never silently read (two existence checks when clean)."""
+        from aws_glue_redshift_datawarehouse_etl_pipeline_spark.sources.maintenance import (
+            ensure_recovered,
+        )
+
+        path = self._path(table)
+        ensure_recovered(self.spark, path)
+        return self.spark.read.parquet(path)
 
     def get_table_schema(self, table: str):
         """Declared schema lookup (get_catalog_schema_as_spark_schema,

@@ -32,6 +32,12 @@ __all__ = [
     "compact_path",
     "transition_path",
     "transition_table",
+    "recover_path",
+    "ensure_recovered",
+    "staged_partition_swap",
+    "write_commit_marker",
+    "read_commit_marker",
+    "clear_commit_marker",
 ]
 
 _DEFAULT_RETENTION_HOURS = 168  # reference default: 7 days
@@ -138,6 +144,199 @@ def transition_table(*args, **kwargs):
     )
 
 
+# ------------------------------------------------------------ commit protocol
+#
+# Plain parquet has no transaction log, so a crash inside a multi-file
+# write (partition-pruned MERGE, compaction swap) can strand a table
+# half-old/half-new with nothing to say so. The commit-marker protocol
+# closes that window without a table format:
+#
+#   1. stage ALL new bytes aside (a sibling directory) — the live table
+#      is untouched while the expensive work happens;
+#   2. write an INTENT MARKER (underscore-prefixed JSON inside the
+#      table root, so Spark's scans ignore it) recording exactly which
+#      partition directories will move and whether each pre-existed;
+#   3. swap directory-by-directory, preserving every displaced old
+#      directory under the stage's __old/ until the commit completes;
+#   4. clear the marker, then garbage-collect the stage.
+#
+# Every crash window is recoverable: before the marker, the table was
+# never touched (a stale stage dir is garbage); after the marker,
+# ``recover_path`` rolls the table BACK to the pre-operation snapshot
+# (displaced directories restored, half-landed new ones removed) — the
+# merge is an upsert, so the job simply re-runs it. Readers call
+# ``ensure_recovered`` (wired into ``WarehouseCatalog.read_table``), so
+# unmarked partial state is never silently read. Single-writer per
+# table, same as the reference's sinks.
+
+MERGE_MARKER = "__commit_pending.json"
+COMPACT_MARKER_SUFFIX = "__compact_pending"
+
+
+def _read_small_text(fs, jvm, jpath) -> str:
+    stream = fs.open(jpath)
+    try:
+        try:
+            return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        except Exception:  # noqa: BLE001 — byte loop fallback (tiny files)
+            data = bytearray()
+            b = stream.read()
+            while b != -1:
+                data.append(b)
+                b = stream.read()
+            return data.decode("utf-8")
+    finally:
+        stream.close()
+
+
+def _swap_one(fs, src, dst) -> None:
+    """Atomic-as-the-FS-allows directory move; the single primitive the
+    commit sequence is built from (and the test fault-injection
+    point)."""
+    parent = dst.getParent()
+    if parent is not None:
+        fs.mkdirs(parent)
+    if not fs.rename(src, dst):
+        raise IOError(f"commit swap failed: {src} -> {dst}")
+
+
+def write_commit_marker(spark: SparkSession, table_path: str, payload: dict) -> None:
+    import json
+
+    fs, _ = _fs_and_path(spark, table_path)
+    jvm = spark._jvm
+    marker = jvm.org.apache.hadoop.fs.Path(table_path, MERGE_MARKER)
+    out = fs.create(marker, True)
+    try:
+        out.write(bytearray(json.dumps(payload).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_commit_marker(spark: SparkSession, table_path: str) -> dict | None:
+    import json
+
+    fs, _ = _fs_and_path(spark, table_path)
+    jvm = spark._jvm
+    marker = jvm.org.apache.hadoop.fs.Path(table_path, MERGE_MARKER)
+    if not fs.exists(marker):
+        return None
+    return json.loads(_read_small_text(fs, jvm, marker))
+
+
+def clear_commit_marker(spark: SparkSession, table_path: str) -> None:
+    fs, _ = _fs_and_path(spark, table_path)
+    jvm = spark._jvm
+    fs.delete(jvm.org.apache.hadoop.fs.Path(table_path, MERGE_MARKER), False)
+
+
+def list_partition_dirs(spark: SparkSession, root: str, depth: int) -> list[str]:
+    """Relative ``col=value[/...]`` partition directory paths exactly
+    ``depth`` levels under ``root``, as the WRITER laid them out — the
+    ground truth for the swap list, so value escaping
+    (__HIVE_DEFAULT_PARTITION__, URL-encoding) never needs
+    reimplementing."""
+    fs, jpath = _fs_and_path(spark, root)
+    out: list[str] = []
+
+    def walk(p, rel: str, d: int) -> None:
+        if d == 0:
+            out.append(rel)
+            return
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if st.isDirectory() and "=" in name:
+                walk(st.getPath(), f"{rel}/{name}" if rel else name, d - 1)
+
+    walk(jpath, "", depth)
+    return sorted(out)
+
+
+def staged_partition_swap(
+    spark: SparkSession, table_path: str, stage_dir: str, parts_meta: list[dict]
+) -> None:
+    """Phase 3 of the protocol: land each staged partition directory,
+    moving any displaced old directory under ``<stage>/__old/`` first
+    so the pre-operation bytes survive until the marker clears."""
+    fs, _ = _fs_and_path(spark, table_path)
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    for m in parts_meta:
+        rel = m["rel"]
+        dst = P(f"{table_path}/{rel}")
+        if m["had_old"]:
+            _swap_one(fs, dst, P(f"{stage_dir}/__old/{rel}"))
+        _swap_one(fs, P(f"{stage_dir}/{rel}"), dst)
+
+
+def recover_path(spark: SparkSession, path: str) -> dict:
+    """Heal ``path`` after a crashed staged commit. Merge markers roll
+    the table BACK to the pre-merge snapshot (upserts re-run safely);
+    compaction markers resolve forward when the swap completed (the
+    content is identical either way) and back when it didn't. No-op on
+    a clean table. Returns which recoveries ran."""
+    fs, jpath = _fs_and_path(spark, path)
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    actions = {"merge_rolled_back": False, "compact_resolved": False}
+
+    marker = read_commit_marker(spark, path)
+    if marker is not None and marker.get("op") == "merge":
+        stage = marker["stage"]
+        for m in marker["parts"]:
+            rel, had_old = m["rel"], m["had_old"]
+            dst = P(f"{path}/{rel}")
+            old = P(f"{stage}/__old/{rel}")
+            if had_old:
+                if fs.exists(old):
+                    # swap started for this partition: drop whatever
+                    # landed, restore the displaced original
+                    if fs.exists(dst):
+                        fs.delete(dst, True)
+                    _swap_one(fs, old, dst)
+                # else: untouched — the original is still in place
+            elif fs.exists(dst):
+                # brand-new partition partially landed: remove it
+                fs.delete(dst, True)
+        if fs.exists(P(stage)):
+            fs.delete(P(stage), True)
+        clear_commit_marker(spark, path)
+        actions["merge_rolled_back"] = True
+
+    cmarker = P(path.rstrip("/") + COMPACT_MARKER_SUFFIX)
+    if fs.exists(cmarker):
+        tmp = P(path + "__compact_tmp")
+        trash = P(path + "__compact_old")
+        if fs.exists(jpath):
+            # either the swap completed (trash = stale old data) or it
+            # never started (tmp = discarded compaction); both leftovers go
+            if fs.exists(trash):
+                fs.delete(trash, True)
+            if fs.exists(tmp):
+                fs.delete(tmp, True)
+        elif fs.exists(trash):
+            # crashed between the two renames: restore the original
+            _swap_one(fs, trash, jpath)
+            if fs.exists(tmp):
+                fs.delete(tmp, True)
+        fs.delete(cmarker, False)
+        actions["compact_resolved"] = True
+    return actions
+
+
+def ensure_recovered(spark: SparkSession, path: str) -> None:
+    """Reader-side guard: if a crashed commit left a marker, heal the
+    table to its pre-operation snapshot BEFORE reading. Two cheap
+    existence checks on the clean path — negligible against any scan."""
+    fs, _ = _fs_and_path(spark, path)
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    if fs.exists(P(path, MERGE_MARKER)) or fs.exists(
+        P(path.rstrip("/") + COMPACT_MARKER_SUFFIX)
+    ):
+        recover_path(spark, path)
+
+
 def _partition_columns(fs, jvm, jpath) -> list[str]:
     """Hive-style partition column names under ``jpath``, outermost
     first, read from the ``col=value`` directory names (the same
@@ -180,11 +379,16 @@ def compact_path(
 
     The rewrite goes through a sibling temp directory then an atomic-
     as-the-filesystem-allows swap (rename old → trash, temp → path,
-    delete trash), so a reader never observes a half-written table;
-    on object stores without atomic rename, run during a maintenance
-    window. Returns {files_before, files_after, bytes}."""
+    delete trash) under a sibling COMMIT MARKER: the marker is written
+    before the first rename and removed after the last delete, so a
+    crash anywhere inside the swap is detected and resolved by
+    ``recover_path`` / ``ensure_recovered`` instead of leaving a
+    missing or duplicated table. On object stores without atomic
+    rename, run during a maintenance window. Returns {files_before,
+    files_after, bytes}."""
     import math
 
+    ensure_recovered(spark, path)
     fs, jpath = _fs_and_path(spark, path)
     jvm = spark._jvm
     summary = fs.getContentSummary(jpath)
@@ -205,12 +409,17 @@ def compact_path(
         )
     else:
         df.coalesce(n_files).write.format(fmt).mode("overwrite").save(tmp.toString())
-    if not fs.rename(jpath, trash):
-        raise IOError(f"compact_path: could not stage old data aside for {path}")
-    if not fs.rename(tmp, jpath):
-        fs.rename(trash, jpath)  # roll back
-        raise IOError(f"compact_path: could not swap compacted data into {path}")
+    cmarker = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + COMPACT_MARKER_SUFFIX)
+    fs.create(cmarker, True).close()
+    _swap_one(fs, jpath, trash)
+    try:
+        _swap_one(fs, tmp, jpath)
+    except IOError:
+        _swap_one(fs, trash, jpath)  # roll back
+        fs.delete(cmarker, False)
+        raise
     fs.delete(trash, True)
+    fs.delete(cmarker, False)
     after = fs.getContentSummary(jpath).getFileCount()
     return {
         "files_before": int(files_before),

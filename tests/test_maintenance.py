@@ -9,6 +9,7 @@ import time
 import pytest
 from pyspark.sql import functions as F
 
+from aws_glue_redshift_datawarehouse_etl_pipeline_spark.sources import maintenance
 from aws_glue_redshift_datawarehouse_etl_pipeline_spark.sources.maintenance import (
     purge_path,
     purge_table,
@@ -131,3 +132,136 @@ def test_compact_path_preserves_partition_layout(spark, tmp_path):
         got.filter(F.col("dt") == "b1")._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters: [isnotnull(dt" in plan
+
+
+# ------------------------------------------------------------ commit protocol
+
+
+def _snapshot(spark, path):
+    return sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+
+def test_merge_crash_mid_swap_recovers_to_premerge_snapshot(
+    spark, tmp_path, monkeypatch
+):
+    """Kill the merge between partition swaps: the intent marker plus
+    preserved __old/ directories must let recovery roll the table BACK
+    to the exact pre-merge snapshot, readers must auto-heal, and a
+    re-run of the same merge must then land the full result."""
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators import joins as J
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", "old1"), (2, "b", "old2"), (3, "c", "old3")],
+        "k int, dt string, v string",
+    )
+    base.write.partitionBy("dt").parquet(path)
+    before = _snapshot(spark, path)
+    stage = spark.createDataFrame(
+        [(1, "a", "NEW1"), (2, "b", "NEW2"), (9, "d", "NEW9")],
+        "k int, dt string, v string",
+    )
+
+    real_swap = maintenance._swap_one
+    calls = {"n": 0}
+
+    def crashing_swap(fs, src, dst):
+        calls["n"] += 1
+        if calls["n"] == 3:  # die after the first partition fully landed
+            raise IOError("injected crash")
+        real_swap(fs, src, dst)
+
+    monkeypatch.setattr(maintenance, "_swap_one", crashing_swap)
+    with pytest.raises(IOError, match="injected crash"):
+        J.merge_upsert_into_path(spark, path, stage, ["k", "dt"], ["dt"])
+    monkeypatch.setattr(maintenance, "_swap_one", real_swap)
+
+    # the table is stranded mid-swap with a marker present
+    assert maintenance.read_commit_marker(spark, path) is not None
+    # reader-side guard heals to the pre-merge snapshot
+    maintenance.ensure_recovered(spark, path)
+    assert maintenance.read_commit_marker(spark, path) is None
+    assert _snapshot(spark, path) == before
+
+    # the upsert re-runs cleanly after recovery
+    J.merge_upsert_into_path(spark, path, stage, ["k", "dt"], ["dt"])
+    got = {(r.k, r.dt): r.v for r in spark.read.parquet(path).collect()}
+    assert got == {
+        (1, "a"): "NEW1", (2, "b"): "NEW2", (3, "c"): "old3", (9, "d"): "NEW9",
+    }
+
+
+def test_catalog_read_table_heals_crashed_merge(spark, tmp_path, monkeypatch):
+    """WarehouseCatalog.read_table must never serve half-merged state:
+    after an injected mid-swap crash it reads the pre-merge rows."""
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators import joins as J
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.sources.catalog import (
+        WarehouseCatalog,
+    )
+
+    cat = WarehouseCatalog(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [(1, "a", "old1"), (2, "b", "old2")], "k int, dt string, v string"
+    )
+    base.write.partitionBy("dt").parquet(cat._path("t"))
+    before = _snapshot(spark, cat._path("t"))
+    stage = spark.createDataFrame(
+        [(1, "a", "NEW1"), (2, "b", "NEW2")], "k int, dt string, v string"
+    )
+
+    real_swap = maintenance._swap_one
+    calls = {"n": 0}
+
+    def crashing_swap(fs, src, dst):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise IOError("injected crash")
+        real_swap(fs, src, dst)
+
+    monkeypatch.setattr(maintenance, "_swap_one", crashing_swap)
+    with pytest.raises(IOError):
+        J.merge_upsert_into_path(spark, cat._path("t"), stage, ["k", "dt"], ["dt"])
+    monkeypatch.setattr(maintenance, "_swap_one", real_swap)
+
+    assert sorted(tuple(r) for r in cat.read_table("t").collect()) == before
+
+
+def test_compact_crash_between_renames_restores_table(spark, tmp_path, monkeypatch):
+    """Kill compaction after the table was staged aside but before the
+    compacted copy landed: the sibling marker lets recovery restore the
+    original, and a clean re-compaction then succeeds."""
+    path = str(tmp_path / "c")
+    spark.range(0, 100).repartition(8).write.parquet(path)
+    before = _snapshot(spark, path)
+
+    real_swap = maintenance._swap_one
+    calls = {"n": 0}
+
+    def crashing_swap(fs, src, dst):
+        calls["n"] += 1
+        if calls["n"] == 1:  # old -> trash succeeded conceptually? no: die on FIRST rename completion boundary
+            real_swap(fs, src, dst)
+            raise IOError("injected crash")
+        real_swap(fs, src, dst)
+
+    monkeypatch.setattr(maintenance, "_swap_one", crashing_swap)
+    with pytest.raises(IOError, match="injected crash"):
+        maintenance.compact_path(spark, path, target_file_mb=256)
+    monkeypatch.setattr(maintenance, "_swap_one", real_swap)
+
+    # table dir is missing; marker + trash exist -> recovery restores it
+    acts = maintenance.recover_path(spark, path)
+    assert acts["compact_resolved"]
+    assert _snapshot(spark, path) == before
+    res = maintenance.compact_path(spark, path, target_file_mb=256)
+    assert res["files_after"] <= res["files_before"]
+    assert _snapshot(spark, path) == before
+
+
+def test_recover_path_noop_on_clean_table(spark, tmp_path):
+    path = str(tmp_path / "clean")
+    spark.range(0, 10).write.parquet(path)
+    before = _snapshot(spark, path)
+    acts = maintenance.recover_path(spark, path)
+    assert acts == {"merge_rolled_back": False, "compact_resolved": False}
+    assert _snapshot(spark, path) == before
