@@ -557,6 +557,13 @@ def register_all() -> None:
 # resolution, streaming, custom temporal ops, and the full LLM
 # training-data family (text stats, exact/LSH/SimHash/embedding dedup,
 # ANN, sampling) — one representative per family, variants afterwards.
+# Round-6 rotation: every oracle-backed query that had NEVER held a
+# driver slot (16 of them) is in the window this round, plus the two
+# new round-6 queries (image-header parse, co-bucketed join). To make
+# room, long-stable queries green in multiple prior driver rounds
+# (rollup/pivot/setops/sessionize/relationalize/sampling wrappers, ...)
+# rotate OUT — they remain oracle-backed and pytest-green below the
+# window and can rotate back any round.
 PRIORITY: tuple[str, ...] = (
     # flagship + core relational / ETL transforms
     "pricing_summary",
@@ -566,59 +573,59 @@ PRIORITY: tuple[str, ...] = (
     "antijoin_incremental_orders",
     "antijoin_composite_lineitem",
     "merge_upsert_orders",
-    "snapshot_diff_orders",
-    "union_by_name_customer",
-    "topk_customers_per_nation",
-    "salted_join_orders_customer",
     "error_channel_summary",
-    "map_derived_revenue",
     # analytics representatives (full family continues below the window)
-    "rollup_pricing",
-    "pivot_linestatus",
-    "semijoin_customers_with_open_orders",
     "shipping_priority_top10",
-    "returned_revenue_by_customer",
+    "topk_customers_per_nation",
     # temporal / event custom operators
-    "sessionize_events",
     "asof_purchase_last_click",
     "range_join_error_context",
     "funnel_view_click_purchase",
-    "retention_weekly_purchases",
     # semi-structured + schema resolution
     "unbox_events_props",
-    "unnest_nested_struct",
-    "relationalize_name_tokens",
     "resolve_choice_mixed",
-    "explode_tokens_with_index",
     # streaming
     "streaming_hourly_event_counts",
     "streaming_dedup_fingerprints",
+    "streaming_running_source_counts",
     # LLM training-data pipeline: text analysis
     "token_count_documents",
     "text_quality_scores",
     "language_id_documents",
     "fingerprint_documents",
-    "pii_scrub_documents",
+    "bpe_token_count_documents",
+    "repetition_stats_documents",
+    "vocab_stats_documents",
+    "distinctive_terms_documents",
+    "quality_top_quartile_per_lang",
+    "chunk_documents_overlap",
+    "winnow_fingerprints_documents",
+    "token_budget_per_source",
+    "curation_pipeline_documents",
     # LLM training-data pipeline: dedup + contamination
     "dedup_exact_documents",
+    "dedup_keep_best_documents",
     "ngram_jaccard_near_dups",
     "minhash_lsh_dedup_transitive",
-    "simhash_near_dup_portable",
+    "minhash_signatures_documents",
+    "simhash_portable_documents",
     "contamination_check_documents",
     # LLM training-data pipeline: similarity / embeddings
     "embedding_cosine_topk",
     "embedding_near_dup_bucketed",
-    # LLM training-data pipeline: sampling / splits / packing
-    "stratified_sample_documents",
-    "hash_split_documents",
-    "pack_sequences_documents",
-    "training_order_documents",
-    # production fast-path invariants (xxhash64 vs portable, IVF recall)
-    "fastpath_parity_checks",
+    "batch_ann_topk_per_query",
     "ivf_recall_check",
-    # layout + diagnostics (round 5)
-    "heavy_hitters_event_types",
+    # LLM training-data pipeline: sampling / splits / packing
+    "upsample_documents",
+    "pack_sequences_documents",
+    # multimodal (header parse new in round 6)
+    "multimodal_media_meta",
+    "multimodal_image_dims",
+    # fast-path invariants + physical layout
+    "fastpath_parity_checks",
     "zorder_keys_orders",
+    "heavy_hitters_event_types",
+    "cobucketed_join_revenue",
 )
 
 

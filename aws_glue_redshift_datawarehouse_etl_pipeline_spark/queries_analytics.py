@@ -906,3 +906,38 @@ def returned_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lost_revenue"), "c_custkey")
         .limit(20)
     )
+
+
+@query(
+    "cobucketed_join_revenue",
+    oracle="""
+    SELECT c_mktsegment AS mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+)
+def cobucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join through the bucketed layout (the DISTKEY analog,
+    sources/bucketed.py): both sides are written ``bucketBy(8,
+    custkey)`` + ``sortBy`` via the session catalog, then joined WITHOUT
+    an exchange on either side — the write pays the shuffle once,
+    every later join on the key reads it back for free (zero-Exchange
+    plan pinned in tests/test_bucketed.py). The oracle is the PLAIN
+    join: bucketing is a physical layout, so the result must be
+    byte-identical to the logical join it accelerates."""
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.sources.bucketed import (
+        cobucketed_join,
+        write_bucketed_table,
+    )
+
+    orders = t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "custkey")
+    cust = t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "custkey")
+    write_bucketed_table(orders, "cobkt_orders", ["custkey"], 8, sort_cols=["custkey"])
+    write_bucketed_table(cust, "cobkt_customer", ["custkey"], 8, sort_cols=["custkey"])
+    j = cobucketed_join(spark, "cobkt_orders", "cobkt_customer", ["custkey"])
+    return j.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total_price"),
+    )

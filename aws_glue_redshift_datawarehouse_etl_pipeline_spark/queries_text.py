@@ -1086,7 +1086,7 @@ def fastpath_parity_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when(F.col("__f").isNull() | F.col("__p").isNull(), 1).otherwise(0)
                 ).alias("__d")
             )
-            .crossJoin(total)
+            .crossJoin(F.broadcast(total))
             .select(
                 F.lit(name).alias("invariant"),
                 (
@@ -1318,7 +1318,7 @@ def pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
         )
-        .crossJoin(bin_stats)
+        .crossJoin(F.broadcast(bin_stats))
         .select(
             "n_docs",
             "total_tokens",

@@ -42,7 +42,24 @@ def write_bucketed_table(
     ``num_buckets`` so one bucket of the LARGER table fits an executor
     core's working set (100-500 MB compressed) and use the SAME count
     on every table that joins on these keys — unequal counts fall back
-    to a shuffle on one side."""
+    to a shuffle on one side.
+
+    Overwrite is made robust to ORPHANED LOCATIONS: a managed table's
+    directory can outlive its catalog entry (new session, dropped
+    metastore), and ``saveAsTable`` refuses to adopt it
+    (LOCATION_ALREADY_EXISTS). On overwrite, drop the entry and clear
+    a stale directory first."""
+    if mode == "overwrite":
+        spark = df.sparkSession
+        q = ".".join("`" + p.replace("`", "``") + "`" for p in table.split("."))
+        spark.sql(f"DROP TABLE IF EXISTS {q}")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        loc = f"{warehouse.rstrip('/')}/{table.split('.')[-1].lower()}"
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(loc)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
+            fs.delete(jpath, True)
     w = df.write.format(fmt).mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)

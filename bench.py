@@ -47,6 +47,11 @@ BENCH_QUERIES = [
     "pack_sequences_documents",
     # streaming engine (availableNow over staged events)
     "streaming_hourly_event_counts",
+    # physical-layout machinery (round 6): bucketed write + exchange-free
+    # join (timing includes the one-off bucketed write both sides) and
+    # codec-free image-header parse over synthesized binary payloads
+    "cobucketed_join_revenue",
+    "multimodal_image_dims",
 ]
 
 
