@@ -44,6 +44,20 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Opt-in JVM Avro codec (spark-avro is not bundled with pyspark):
+    # set SPARK_GRAFT_AVRO_JARS=1 to pull the package so from_avro/
+    # to_avro work natively; the pure-Python codec (operators/
+    # avro_codec.py) remains the default, jar-less path, and
+    # tests/test_avro_codec.py's parity test pins the two against each
+    # other when the jar is present. Requires network/ivy on first use.
+    if os.environ.get("SPARK_GRAFT_AVRO_JARS") == "1":
+        import pyspark
+
+        scala = "2.13"
+        builder = builder.config(
+            "spark.jars.packages",
+            f"org.apache.spark:spark-avro_{scala}:{pyspark.__version__}",
+        )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

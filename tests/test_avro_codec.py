@@ -174,3 +174,53 @@ def test_union_accepts_int_for_double_branch():
     assert avro_decode(avro_encode(3, ["int", "double"]), ["int", "double"]) == 3
     with pytest.raises(ValueError):
         avro_encode(True, ["null", "double"])
+
+
+def test_jvm_avro_parity(spark):
+    """When the spark-avro jar is on the classpath (opt-in via
+    SPARK_GRAFT_AVRO_JARS=1 in session.get_spark), the JVM from_avro /
+    to_avro and the pure-Python codec must agree byte-for-byte on the
+    same schema. Skips with reason where the jar is absent — the
+    pure-Python path is the default and is pinned by the wire-format
+    tests above."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "s", "type": "string"},
+            {"name": "d", "type": "double"},
+        ],
+    }
+    rows = [{"a": 1, "s": "x", "d": 1.5}, {"a": -7, "s": "héllo", "d": -0.25}]
+    blobs = [(i, bytearray(avro_encode(r, schema))) for i, r in enumerate(rows)]
+    df = spark.createDataFrame(blobs, "i long, payload binary")
+    try:
+        from pyspark.sql.avro.functions import from_avro, to_avro
+
+        decoded = (
+            df.select("i", from_avro("payload", _json.dumps(schema)).alias("r"))
+            .select("i", "r.a", "r.s", "r.d")
+            .collect()
+        )
+    except Exception as exc:  # noqa: BLE001 — jar absence is env-specific
+        pytest.skip(
+            "spark-avro jar not on classpath (set SPARK_GRAFT_AVRO_JARS=1 "
+            f"to enable the JVM path): {type(exc).__name__}"
+        )
+    got = {r["i"]: {"a": r["a"], "s": r["s"], "d": r["d"]} for r in decoded}
+    assert got == {i: r for i, r in enumerate(rows)}
+    # reverse direction: JVM-encoded bytes decode with the Python codec
+    back = df.select(
+        "i", to_avro(F.struct("i"), _json.dumps(
+            {"type": "record", "name": "w",
+             "fields": [{"name": "i", "type": "long"}]})).alias("b")
+    ).collect()
+    for r in back:
+        assert avro_decode(bytes(r["b"]),
+                           {"type": "record", "name": "w",
+                            "fields": [{"name": "i", "type": "long"}]}) == {"i": r["i"]}
