@@ -2,12 +2,15 @@
 columns with typed metadata, processed through Arrow-batched
 ``mapInPandas`` operators.
 
-The container has no image/audio codecs, so the decode kernels are
-STUBBED: each tries the real library (PIL/soundfile) and otherwise
-produces a deterministic fake derived from the bytes' md5 — the
-Spark-side contract (schemas, batch shapes, partitioning, UDF
-signatures) is fully real and tested; swapping in the real kernel
-changes only the inner function body.
+Image/audio header METADATA (format, dimensions) is parsed codec-free
+with pure Column expressions (``image_header_meta``). Full pixel/
+sample decode needs a codec library: the kernels below run the real
+decode when PIL / soundfile import (undecodable blobs yield NULL
+feature fields — at corpus scale malformed payloads are data, not
+exceptions), and otherwise fall back to a deterministic fake derived
+from the bytes' md5 so the Spark-side contract (schemas, Arrow batch
+shapes, partitioning, UDF signatures) stays exercised and reproducible
+in codec-less environments like this container.
 
 Scale notes: binary payloads ride in parquet as BYTE_ARRAY; operators
 keep batches bounded with maxRecordsPerBatch so a partition of large
@@ -284,15 +287,16 @@ def decode_image_batch(
     df: DataFrame, id_col: str = "doc_id", media_col: str = "media", size: tuple[int, int] = (8, 8)
 ) -> DataFrame:
     """Decode + resize images to a fixed (h, w, 3), emitting shape
-    metadata and a pixel checksum. Real path uses PIL when available;
-    the stub synthesizes deterministic pixels from the content md5 so
-    the full Spark plumbing (Arrow batches, schema, partition
-    parallelism) is exercised and reproducible."""
+    metadata and a pixel checksum. With PIL importable this is the REAL
+    decode (open → RGB → resize → sum; an undecodable blob emits NULL
+    feature fields); without a codec a deterministic fake derived from
+    the content md5 keeps the full Spark plumbing (Arrow batches,
+    schema, partition parallelism) exercised and reproducible."""
     h, w = size
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         try:
-            from PIL import Image  # noqa: F401
+            from PIL import Image
 
             have_pil = True
         except ImportError:
@@ -304,10 +308,35 @@ def decode_image_batch(
                 if content is None:
                     continue
                 if have_pil:
-                    raise NotImplementedError(
-                        "real image decode: wire PIL.Image.open(BytesIO(content))"
-                        ".resize((w,h)) here"
-                    )
+                    import io
+
+                    try:
+                        img = (
+                            Image.open(io.BytesIO(bytes(content)))
+                            .convert("RGB")
+                            .resize((w, h))
+                        )
+                        pixels = np.asarray(img, dtype=np.uint8)
+                        out.append(
+                            {
+                                "id": row["__id"],
+                                "height": h,
+                                "width": w,
+                                "channels": 3,
+                                "pixel_sum": int(pixels.sum()),
+                            }
+                        )
+                    except Exception:  # noqa: BLE001 — malformed blob = data
+                        out.append(
+                            {
+                                "id": row["__id"],
+                                "height": None,
+                                "width": None,
+                                "channels": None,
+                                "pixel_sum": None,
+                            }
+                        )
+                    continue
                 digest = hashlib.md5(bytes(content)).digest()
                 rng = np.frombuffer(digest, dtype=np.uint8)
                 pixels = np.resize(rng, (h, w, 3))
@@ -367,15 +396,17 @@ _AUDIO_SCHEMA = "id long, n_samples int, sample_rate int, duration_ms double, rm
 def extract_audio_features(
     df: DataFrame, id_col: str = "doc_id", media_col: str = "media", sample_rate: int = 16000
 ) -> DataFrame:
-    """Audio feature extraction plumbing: emit sample count, duration,
-    and RMS energy per payload. Real path uses soundfile when
-    available; the stub interprets the payload bytes as 8-bit PCM so
-    the Arrow batching, schema, and parallelism are exercised with
-    deterministic output."""
+    """Audio feature extraction: emit sample count, sample rate,
+    duration, and RMS energy per payload. With soundfile importable
+    this is the REAL decode (multi-channel downmixed to mono, the
+    file's own sample rate reported; undecodable blobs emit NULL
+    fields); without a codec the fallback interprets the payload bytes
+    as 8-bit PCM at ``sample_rate`` so the Arrow batching, schema, and
+    parallelism stay exercised with deterministic output."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         try:
-            import soundfile  # noqa: F401
+            import soundfile
 
             have_sf = True
         except ImportError:
@@ -387,9 +418,35 @@ def extract_audio_features(
                 if content is None:
                     continue
                 if have_sf:
-                    raise NotImplementedError(
-                        "real audio decode: wire soundfile.read(BytesIO(content)) here"
-                    )
+                    import io
+
+                    try:
+                        data, sr = soundfile.read(
+                            io.BytesIO(bytes(content)), dtype="float64"
+                        )
+                        if data.ndim > 1:
+                            data = data.mean(axis=1)
+                        n = len(data)
+                        out.append(
+                            {
+                                "id": row["__id"],
+                                "n_samples": n,
+                                "sample_rate": int(sr),
+                                "duration_ms": 1000.0 * n / sr,
+                                "rms": float(np.sqrt(np.mean(data**2))) if n else 0.0,
+                            }
+                        )
+                    except Exception:  # noqa: BLE001 — malformed blob = data
+                        out.append(
+                            {
+                                "id": row["__id"],
+                                "n_samples": None,
+                                "sample_rate": None,
+                                "duration_ms": None,
+                                "rms": None,
+                            }
+                        )
+                    continue
                 samples = np.frombuffer(bytes(content), dtype=np.uint8).astype(np.float64)
                 samples = (samples - 128.0) / 128.0
                 n = len(samples)

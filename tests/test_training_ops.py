@@ -942,3 +942,43 @@ def test_trigram_profiles_are_well_formed():
     for i in range(len(profs)):
         for j in range(i + 1, len(profs)):
             assert profs[i] != profs[j]
+
+
+def _wav_bytes(n_samples=1600, sr=8000):
+    """Minimal genuine RIFF/WAVE, 16-bit PCM mono: a constant half-scale
+    square value so RMS is exactly 0.5 in float convention."""
+    import struct
+
+    pcm = struct.pack("<" + "h" * n_samples, *([16384] * n_samples))
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+           + b"data" + struct.pack("<I", len(pcm)))
+    return hdr + pcm
+
+
+def test_decode_image_real_kernel_when_pil_present(spark):
+    """With PIL installed the decode kernel must run the REAL decode on
+    genuine PNG bytes (and NULL-out undecodable blobs); skips where no
+    codec exists — the deterministic-fake path is covered above."""
+    pytest.importorskip("PIL")
+    df = spark.createDataFrame(
+        [(1, bytearray(_png_bytes(10, 6))), (2, bytearray(b"junk"))],
+        "doc_id long, content binary",
+    ).select("doc_id", F.struct(F.col("content").alias("content")).alias("media"))
+    got = {r["id"]: r for r in M.decode_image_batch(df, size=(4, 4)).collect()}
+    assert got[1]["height"] == 4 and got[1]["width"] == 4 and got[1]["channels"] == 3
+    # the planted PNG is constant (0x10, 0x20, 0x30) per pixel -> exact sum
+    assert got[1]["pixel_sum"] == (0x10 + 0x20 + 0x30) * 4 * 4
+    assert got[2]["height"] is None and got[2]["pixel_sum"] is None
+
+
+def test_extract_audio_real_kernel_when_soundfile_present(spark):
+    pytest.importorskip("soundfile")
+    df = spark.createDataFrame(
+        [(1, bytearray(_wav_bytes())), (2, bytearray(b"junk"))],
+        "doc_id long, content binary",
+    ).select("doc_id", F.struct(F.col("content").alias("content")).alias("media"))
+    got = {r["id"]: r for r in M.extract_audio_features(df).collect()}
+    assert got[1]["n_samples"] == 1600 and got[1]["sample_rate"] == 8000
+    assert abs(got[1]["rms"] - 0.5) < 1e-3
+    assert got[2]["n_samples"] is None
