@@ -598,6 +598,58 @@ def embedding_near_dup_pairs_bucketed(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_buckets: int = 16,
+    probe: int = 2,
+    refine_rounds: int = 1,
+    transitive: bool = False,
+    cache_registry: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Semantic deduplication over an embedding column — the SemDedup
+    recipe (Abbas et al. 2023, public): cluster the embedding space
+    with coarse k-means, treat within-cluster pairs with cosine ≥
+    ``threshold`` as semantic duplicates, and keep one representative
+    per duplicate group. Returns the SURVIVOR rows of ``df`` (all
+    columns).
+
+    Pair generation is ``embedding_near_dup_pairs_bucketed`` — the
+    bucketed equi-join scale path (quadratic only within buckets, and
+    bucket count scales with the corpus so per-bucket work is bounded;
+    multi-probe recovers borderline cross-bucket pairs). Near-identical
+    embeddings quantize to the same centroid, so recall at the high
+    thresholds semantic dedup runs at (0.9+) is near-1.
+
+    Representative policy: default (``transitive=False``) drops the
+    larger id of every duplicate pair — single-pass, same greedy
+    shortcut as the MinHash family, so a row that reaches the group
+    minimum only through intermediaries can still be dropped while its
+    bridge survives. ``transitive=True`` collapses the pair graph to
+    connected components (operators/graph.py) and keeps exactly the
+    minimum id of each component. Deterministic either way."""
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.graph import (
+        dedup_by_components,
+    )
+
+    pairs = embedding_near_dup_pairs_bucketed(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        num_buckets=num_buckets,
+        probe=probe,
+        refine_rounds=refine_rounds,
+        cache_registry=cache_registry,
+    )
+    if transitive:
+        return dedup_by_components(df, pairs, id_col, "id_a", "id_b")
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
 def cross_ngram_contamination(
     train: DataFrame,
     eval_df: DataFrame,

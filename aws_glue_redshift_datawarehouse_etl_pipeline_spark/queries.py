@@ -580,7 +580,9 @@ PRIORITY: tuple[str, ...] = (
     # temporal / event custom operators
     "asof_purchase_last_click",
     "range_join_error_context",
-    "funnel_view_click_purchase",
+    # governed-transaction surface (txlog commit protocol, new r6);
+    # funnel_view_click_purchase rotates out (driver-green r1-r3, r5)
+    "txlog_orders_time_travel",
     # semi-structured + schema resolution
     "unbox_events_props",
     "resolve_choice_mixed",
@@ -592,7 +594,9 @@ PRIORITY: tuple[str, ...] = (
     "token_count_documents",
     "text_quality_scores",
     "language_id_documents",
-    "fingerprint_documents",
+    # semantic (embedding-space) dedup, new r6; fingerprint_documents
+    # rotates out (driver-green r1-r5)
+    "semantic_dedup_survivors",
     "bpe_token_count_documents",
     "repetition_stats_documents",
     "vocab_stats_documents",

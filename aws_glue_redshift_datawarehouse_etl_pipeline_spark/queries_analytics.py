@@ -11,6 +11,8 @@ up in the low bits.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -940,4 +942,72 @@ def cobucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice").alias("total_price"),
+    )
+
+
+@query(
+    "txlog_orders_time_travel",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(*) FILTER (WHERE o_orderkey % 3 <> 0) AS BIGINT) AS n_v0,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def txlog_orders_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governed-transaction surface end to end (sources/txlog.py — the
+    start/commit/cancel_transaction analog, reference context.py:676-683):
+    orders lands in a commit-log table in two transactions (version 0 =
+    orderkey % 3 != 0, version 1 appends the rest) with an ABORTED
+    transaction in between that must leave no trace. The result joins the
+    HEAD snapshot's per-priority totals with a TIME-TRAVEL read of
+    version 0, so a single oracle row checks atomic visibility, abort
+    isolation, and snapshot reads at once — the oracle is plain SQL over
+    orders because a transaction log is physical bookkeeping, not query
+    semantics."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.sources.txlog import (
+        TxTable,
+        cancel_transaction,
+        start_transaction,
+    )
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "graft_txlog_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = TxTable(spark, root)
+    table.append(orders.filter(F.col("o_orderkey") % 3 != 0))
+    aborted = start_transaction(table)
+    aborted.append(orders.limit(100))  # must never become visible
+    cancel_transaction(aborted)
+    table.append(orders.filter(F.col("o_orderkey") % 3 == 0))
+
+    head = (
+        table.read()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+    )
+    v0 = (
+        table.read(version=0)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_v0"))
+    )
+    return (
+        head.join(v0, "o_orderpriority")
+        .select("o_orderpriority", "n_total", "n_v0", "total_price")
+        .orderBy("o_orderpriority")
     )

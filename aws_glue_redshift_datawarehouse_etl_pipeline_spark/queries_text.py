@@ -1435,3 +1435,57 @@ def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk_tokens=128,
         overlap_tokens=16,
     )
+
+
+@query(
+    "semantic_dedup_survivors",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             CAST(list_aggregate(list_transform(embedding,
+               x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(30,12))), 'sum') AS DOUBLE) AS nn
+      FROM embeddings
+    ),
+    drops AS (
+      SELECT DISTINCT b.vec_id
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      WHERE CAST(list_aggregate(list_transform(range(len(a.embedding)),
+               i -> CAST(CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE) AS DECIMAL(30,12))), 'sum') AS DOUBLE)
+               / (sqrt(a.nn) * sqrt(b.nn)) >= 0.4
+    )
+    SELECT e.vec_id, TRUE AS bucketed_superset_ok
+    FROM embeddings e LEFT JOIN drops d ON e.vec_id = d.vec_id
+    WHERE d.vec_id IS NULL
+    ORDER BY e.vec_id
+    """,
+)
+def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup (operators/dedup.py::semantic_dedup): embedding-space
+    near-duplicate removal keeping one representative per group. Two
+    runs through the SAME production code path: ``num_buckets=1``
+    degenerates the bucketed equi-join to the exact all-pairs semantics
+    (oracle-exact survivor list — every surviving vec_id matches the
+    SQL greedy keep-lowest-id dedup), and the real coarse-quantized
+    configuration (4 buckets, probe 2), whose pair set is a SUBSET of
+    the exact pairs by construction, so its survivor set must be a
+    SUPERSET of the exact survivors — pinned by the
+    ``bucketed_superset_ok`` invariant column. θ = 0.4 because the
+    synthetic corpus is random vectors (max pair cosine ≈ 0.5) — the
+    recall-worst-case for quantization; real semantic-dup corpora run
+    at θ ≥ 0.9 where duplicates share a centroid (planted-vector recall
+    pinned in tests/test_training_ops.py)."""
+    emb = t(spark, sf_dir, "embeddings")
+    caches: list[DataFrame] = []
+    exact = D.semantic_dedup(
+        emb, threshold=0.4, num_buckets=1, probe=1, refine_rounds=0,
+        cache_registry=caches,
+    ).select("vec_id")
+    bucketed = D.semantic_dedup(
+        emb, threshold=0.4, num_buckets=4, probe=2, refine_rounds=0,
+        cache_registry=caches,
+    ).select("vec_id")
+    superset_ok = (
+        exact.join(bucketed, "vec_id", "left_anti")
+        .agg((F.count(F.lit(1)) == 0).alias("bucketed_superset_ok"))
+    )
+    return exact.crossJoin(F.broadcast(superset_ok)).orderBy("vec_id")

@@ -982,3 +982,91 @@ def test_extract_audio_real_kernel_when_soundfile_present(spark):
     assert got[1]["n_samples"] == 1600 and got[1]["sample_rate"] == 8000
     assert abs(got[1]["rms"] - 0.5) < 1e-3
     assert got[2]["n_samples"] is None
+
+
+# ---------------------------------------------------------------- semantic dedup
+def _planted_vectors(spark):
+    """Three duplicate groups of near-identical vectors plus singletons.
+    Group members differ by a tiny perturbation (cosine > 0.999)."""
+    import math
+
+    base = {
+        0: [1.0, 0.0, 0.0, 0.0],
+        1: [0.0, 1.0, 0.0, 0.0],
+        2: [0.0, 0.0, 1.0, 0.0],
+    }
+    rows = []
+    vid = 0
+    for g, vec in base.items():
+        for j in range(3):  # 3 near-copies per group
+            eps = 1e-4 * (j + 1)
+            v = [x + eps if i == (g + 1) % 4 else x for i, x in enumerate(vec)]
+            norm = math.sqrt(sum(x * x for x in v))
+            rows.append((vid, [x / norm for x in v]))
+            vid += 1
+    # far-away singletons (negative directions — cosine <= 0 to all groups)
+    for vec in ([-1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 0.0, -1.0]):
+        rows.append((vid, vec))
+        vid += 1
+    return spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+
+
+def test_semantic_dedup_keeps_lowest_id_per_planted_group(spark):
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    df = _planted_vectors(spark)
+    surv = sorted(
+        r.vec_id
+        for r in semantic_dedup(
+            df, threshold=0.99, num_buckets=4, probe=2, refine_rounds=0
+        ).collect()
+    )
+    # groups {0,1,2} {3,4,5} {6,7,8} -> keep 0, 3, 6; singletons 9, 10 stay
+    assert surv == [0, 3, 6, 9, 10]
+
+
+def test_semantic_dedup_transitive_collapses_chain(spark):
+    """A chain a≈b≈c where a and c are NOT direct near-dups: greedy and
+    transitive agree here (b and c both pair with a lower id), so build
+    the chain so only consecutive members pair: transitive must keep
+    exactly the minimum, greedy may keep the chain ends."""
+    import math
+
+    # unit vectors at angles 0, 20, 40 degrees: cos(20deg)=0.94 pairs
+    # consecutive members at theta=0.9; cos(40deg)=0.766 keeps the ends apart
+    rows = []
+    for i, deg in enumerate([0.0, 20.0, 40.0]):
+        rad = math.radians(deg)
+        rows.append((i, [math.cos(rad), math.sin(rad), 0.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    greedy = sorted(
+        r.vec_id
+        for r in semantic_dedup(
+            df, threshold=0.9, num_buckets=1, probe=1, refine_rounds=0
+        ).collect()
+    )
+    assert greedy == [0]  # 1 pairs with 0, 2 pairs with 1 -> both dropped
+    trans = sorted(
+        r.vec_id
+        for r in semantic_dedup(
+            df, threshold=0.9, num_buckets=1, probe=1, refine_rounds=0,
+            transitive=True,
+        ).collect()
+    )
+    assert trans == [0]
+
+
+def test_semantic_dedup_preserves_all_columns(spark):
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    df = _planted_vectors(spark).withColumn("extra", F.lit("x"))
+    out = semantic_dedup(df, threshold=0.99, num_buckets=2, probe=2, refine_rounds=0)
+    assert out.columns == ["vec_id", "embedding", "extra"]
