@@ -13,10 +13,12 @@ Semantics preserved from the reference:
 - dry-run listing before the irreversible delete (``DryRun`` is how
   the reference documents operators should rehearse a purge).
 
-``transition_table`` / ``transition_s3_path`` (S3 storage-class moves,
-context.py:500-545) have no analog on a generic filesystem and raise
-``NotImplementedError`` with that explanation — the surface is
-declared, not silently absent.
+``transition_table`` / ``transition_path`` (S3 storage-class moves,
+context.py:500-545) are re-expressed as a COMPRESSION-TIER rewrite:
+aged partitions are rewritten with a denser codec under a crash-safe
+root marker — the generic-filesystem version of the same
+storage-cost-for-access-cost trade (on real S3, lifecycle policies
+remain the right tool and the docstring says so).
 """
 
 from __future__ import annotations
@@ -124,24 +126,224 @@ def purge_table(
     )
 
 
-def transition_path(*args, **kwargs):
-    """S3 storage-class transition (transition_s3_path,
-    context.py:524-545) is a property of the S3 service, not of a
-    filesystem — there is nothing to transition on file:// or HDFS.
-    Deployments on S3 should drive lifecycle policies or the S3 API
-    directly."""
-    raise NotImplementedError(
-        "storage-class transition is S3-service-specific; use S3 lifecycle "
-        "policies (no generic-filesystem analog)"
+def transition_path(
+    spark: SparkSession,
+    path: str,
+    retention_hours: float = _DEFAULT_RETENTION_HOURS,
+    codec: str = "zstd",
+    fmt: str = "parquet",
+    dry_run: bool = False,
+    manifest_file_path: str | None = None,
+) -> list[str]:
+    """Storage-tier transition (transition_s3_path,
+    context.py:524-545). The reference flips the S3 storage class of
+    aged objects — trading access latency for storage cost without
+    changing what a reader sees. The generic-filesystem analog of that
+    trade is a COMPRESSION-TIER rewrite: directories whose newest file
+    is older than ``retention_hours`` are rewritten with a denser codec
+    (default zstd — typically 25-40% smaller than the snappy hot tier
+    at higher decode cost), in place, bytes-for-bytes identical data.
+    Readers keep reading the same path; parquet footers carry the codec
+    per column chunk, so hot and cold tiers coexist in one table.
+
+    Granularity matches how tiering is operated at scale: Hive
+    partition directories transition independently (date partitions go
+    cold one at a time); an unpartitioned path transitions as a whole.
+    A directory is cold only when its NEWEST data file has aged out —
+    one late-arriving file keeps the partition hot. Each directory
+    rewrite reuses the compaction commit protocol (stage → marker →
+    swap, crash-recoverable via ``recover_path``/``ensure_recovered``),
+    so a crash mid-transition never tears a partition.
+
+    Crash safety: ALL staging happens in dot-prefixed sibling
+    directories (``.name__tier_tmp`` / ``.name__tier_old``), which
+    Spark's file index treats as hidden — a crash can never surface
+    staged or displaced bytes to a scan, unlike a bare ``name=X__tmp``
+    sibling which partition discovery would happily read as a
+    partition. The only torn window (a partition directory briefly
+    absent between its two renames) is covered by a single root-level
+    ``__tier_pending.json`` intent marker written before the first
+    swap; ``recover_path``/``ensure_recovered`` restore any missing
+    directory from its ``.old`` stage and sweep leftovers.
+
+    ``dry_run`` returns the directories that WOULD transition;
+    ``manifest_file_path`` records Success.csv/Failed.csv like the
+    reference's purge manifest. Returns transitioned directory paths.
+    On actual S3 deployments, prefer lifecycle policies — this operator
+    is the self-managed-filesystem equivalent, not a replacement for
+    the service feature."""
+    ensure_recovered(spark, path)
+    fs, jpath = _fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        return []
+    cutoff_ms = int((time.time() - retention_hours * 3600.0) * 1000)
+    jvm = spark._jvm
+
+    def newest_file_ms(p) -> int | None:
+        newest = None
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            st = it.next()
+            if st.getPath().getName().startswith(("_", ".")):
+                continue
+            mt = st.getModificationTime()
+            newest = mt if newest is None else max(newest, mt)
+        return newest
+
+    # leaf transition units: deepest Hive partition dirs, else the root
+    rels = [
+        r
+        for r in list_partition_dirs(spark, path, _partition_depth(fs, jpath))
+        if r
+    ]
+    units = [f"{path.rstrip('/')}/{rel}" for rel in rels]
+    cold, cold_rels = [], []
+    if units:
+        for u, rel in zip(units, rels):
+            newest = newest_file_ms(jvm.org.apache.hadoop.fs.Path(u))
+            if newest is not None and newest < cutoff_ms:
+                cold.append(u)
+                cold_rels.append(rel)
+    else:
+        newest = newest_file_ms(jpath)
+        if newest is not None and newest < cutoff_ms:
+            cold, cold_rels = [path], ["."]
+    if dry_run:
+        return cold
+    if not cold:
+        return []
+    _write_tier_marker(spark, path, {"op": "tier", "dirs": cold_rels})
+    done, failed = [], []
+    for u in cold:
+        try:
+            _rewrite_dir_with_codec(spark, u, codec, fmt)
+            done.append(u)
+        except Exception:  # noqa: BLE001 — per-dir manifest accounting
+            failed.append(u)
+    _clear_tier_marker(spark, path)
+    if manifest_file_path is not None:
+        _write_manifest(spark, manifest_file_path, "Success.csv", done)
+        _write_manifest(spark, manifest_file_path, "Failed.csv", failed)
+    return done
+
+
+def transition_table(
+    catalog,
+    table: str,
+    retention_hours: float = _DEFAULT_RETENTION_HOURS,
+    codec: str = "zstd",
+    **kwargs,
+) -> list[str]:
+    """Tier-transition a catalog table's aged partitions
+    (transition_table, context.py:500-523): resolve the storage
+    location through the catalog, then apply the path transition."""
+    return transition_path(
+        catalog.spark,
+        catalog._path(table),
+        retention_hours=retention_hours,
+        codec=codec,
+        **kwargs,
     )
 
 
-def transition_table(*args, **kwargs):
-    """See ``transition_path`` (transition_table, context.py:500-523)."""
-    raise NotImplementedError(
-        "storage-class transition is S3-service-specific; use S3 lifecycle "
-        "policies (no generic-filesystem analog)"
+def _partition_depth(fs, jpath) -> int:
+    """Depth of the Hive ``col=value`` directory nesting under
+    ``jpath`` (0 = unpartitioned)."""
+    return len(_partition_columns(fs, None, jpath))
+
+
+TIER_MARKER = "__tier_pending.json"
+
+
+def _tier_stage_paths(jvm, dir_path: str):
+    """Hidden (dot-prefixed) tmp/trash sibling paths for one directory
+    rewrite — names Spark's file index skips, so staged and displaced
+    bytes are never scannable."""
+    P = jvm.org.apache.hadoop.fs.Path
+    d = P(dir_path.rstrip("/"))
+    parent, name = d.getParent(), d.getName()
+    return (
+        P(parent, f".{name}__tier_tmp"),
+        P(parent, f".{name}__tier_old"),
     )
+
+
+def _write_tier_marker(spark: SparkSession, root: str, payload: dict) -> None:
+    import json
+
+    fs, _ = _fs_and_path(spark, root)
+    jvm = spark._jvm
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(root, TIER_MARKER), True)
+    try:
+        out.write(bytearray(json.dumps(payload).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _clear_tier_marker(spark: SparkSession, root: str) -> None:
+    fs, _ = _fs_and_path(spark, root)
+    jvm = spark._jvm
+    fs.delete(jvm.org.apache.hadoop.fs.Path(root, TIER_MARKER), False)
+
+
+def _rewrite_dir_with_codec(
+    spark: SparkSession, dir_path: str, codec: str, fmt: str
+) -> None:
+    """Rewrite one directory's data files with ``codec``: stage to a
+    hidden sibling, displace the original to a hidden ``.old``, land
+    the stage, then drop the ``.old``. Every intermediate state is
+    either invisible to scans or recoverable from the root tier marker.
+    File count is preserved via coalesce — transition changes the
+    codec, not the layout."""
+    fs, jpath = _fs_and_path(spark, dir_path)
+    jvm = spark._jvm
+    n_files = max(1, int(fs.getContentSummary(jpath).getFileCount()))
+    df = spark.read.format(fmt).load(dir_path)
+    tmp, trash = _tier_stage_paths(jvm, dir_path)
+    if fs.exists(tmp):
+        fs.delete(tmp, True)
+    (
+        df.coalesce(n_files)
+        .write.format(fmt)
+        .option("compression", codec)
+        .mode("overwrite")
+        .save(tmp.toString())
+    )
+    _swap_one(fs, jpath, trash)
+    try:
+        _swap_one(fs, tmp, jpath)
+    except IOError:
+        _swap_one(fs, trash, jpath)
+        raise
+    fs.delete(trash, True)
+
+
+def _recover_tier(spark: SparkSession, root: str) -> bool:
+    """Heal a crashed transition run: for every directory the root tier
+    marker names, restore a missing directory from its hidden ``.old``
+    stage and sweep tmp/old leftovers. The directory content ends up
+    either pre- or post-transition — identical data either way."""
+    import json
+
+    fs, _ = _fs_and_path(spark, root)
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    mpath = P(root, TIER_MARKER)
+    if not fs.exists(mpath):
+        return False
+    marker = json.loads(_read_small_text(fs, jvm, mpath))
+    for rel in marker.get("dirs", []):
+        d = root.rstrip("/") if rel == "." else f"{root.rstrip('/')}/{rel}"
+        tmp, trash = _tier_stage_paths(jvm, d)
+        dpath = P(d)
+        if not fs.exists(dpath) and fs.exists(trash):
+            _swap_one(fs, trash, dpath)  # crashed between the two renames
+        if fs.exists(trash) and fs.exists(dpath):
+            fs.delete(trash, True)
+        if fs.exists(tmp):
+            fs.delete(tmp, True)
+    fs.delete(mpath, False)
+    return True
 
 
 # ------------------------------------------------------------ commit protocol
@@ -321,6 +523,8 @@ def recover_path(spark: SparkSession, path: str) -> dict:
                 fs.delete(tmp, True)
         fs.delete(cmarker, False)
         actions["compact_resolved"] = True
+
+    actions["tier_resolved"] = _recover_tier(spark, path)
     return actions
 
 
@@ -331,8 +535,10 @@ def ensure_recovered(spark: SparkSession, path: str) -> None:
     fs, _ = _fs_and_path(spark, path)
     jvm = spark._jvm
     P = jvm.org.apache.hadoop.fs.Path
-    if fs.exists(P(path, MERGE_MARKER)) or fs.exists(
-        P(path.rstrip("/") + COMPACT_MARKER_SUFFIX)
+    if (
+        fs.exists(P(path, MERGE_MARKER))
+        or fs.exists(P(path.rstrip("/") + COMPACT_MARKER_SUFFIX))
+        or fs.exists(P(path, TIER_MARKER))
     ):
         recover_path(spark, path)
 

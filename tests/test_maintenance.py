@@ -76,9 +76,87 @@ def test_missing_path_is_noop(spark, tmp_path):
     assert purge_path(spark, str(tmp_path / "absent"), dry_run=True) == []
 
 
-def test_transition_declared_not_supported(spark):
-    with pytest.raises(NotImplementedError, match="lifecycle"):
-        transition_path(spark, "s3://bucket/prefix")
+def _codecs_in_dir(d: str) -> set[str]:
+    import pyarrow.parquet as pq
+
+    out = set()
+    for root, _dirs, files in os.walk(d):
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                md = pq.ParquetFile(os.path.join(root, f)).metadata
+                for rg in range(md.num_row_groups):
+                    out.add(md.row_group(rg).column(0).compression)
+    return out
+
+
+def _age_dir_files(d: str, days: float = 10.0) -> None:
+    then = time.time() - days * 24 * 3600
+    for root, _dirs, files in os.walk(d):
+        for f in files:
+            os.utime(os.path.join(root, f), (then, then))
+
+
+def test_transition_rewrites_cold_partitions_only(spark, tmp_path):
+    path = str(tmp_path / "tiered")
+    df = spark.range(300).withColumn("bucket", (F.col("id") % 3).cast("int"))
+    df.write.partitionBy("bucket").parquet(path)
+    # age bucket=0 and bucket=1; bucket=2 stays hot
+    _age_dir_files(os.path.join(path, "bucket=0"))
+    _age_dir_files(os.path.join(path, "bucket=1"))
+
+    listed = transition_path(spark, path, retention_hours=168, dry_run=True)
+    assert sorted(p.rsplit("/", 1)[1] for p in listed) == ["bucket=0", "bucket=1"]
+
+    manifest = str(tmp_path / "tier_manifest")
+    done = transition_path(
+        spark, path, retention_hours=168, codec="zstd",
+        manifest_file_path=manifest,
+    )
+    assert sorted(p.rsplit("/", 1)[1] for p in done) == ["bucket=0", "bucket=1"]
+    # data identical, cold partitions now zstd, hot partition untouched
+    got = spark.read.parquet(path)
+    assert got.count() == 300
+    assert got.groupBy("bucket").count().orderBy("bucket").collect()[0]["count"] == 100
+    assert _codecs_in_dir(os.path.join(path, "bucket=0")) == {"ZSTD"}
+    assert _codecs_in_dir(os.path.join(path, "bucket=1")) == {"ZSTD"}
+    assert "ZSTD" not in _codecs_in_dir(os.path.join(path, "bucket=2"))
+    success = open(os.path.join(manifest, "Success.csv")).read().strip().splitlines()
+    assert len(success) == 2
+
+
+def test_transition_unpartitioned_whole_path(spark, tmp_path):
+    path = str(tmp_path / "flat")
+    spark.range(50).write.parquet(path)
+    assert transition_path(spark, path, retention_hours=168) == []  # still hot
+    _age_dir_files(path)
+    done = transition_path(spark, path, retention_hours=168, codec="zstd")
+    assert done == [path]
+    assert spark.read.parquet(path).count() == 50
+    assert _codecs_in_dir(path) == {"ZSTD"}
+
+
+def test_transition_crash_between_renames_recovers(spark, tmp_path):
+    """Kill-mid-swap: partition displaced to its hidden .old, marker
+    present, partition dir absent — the reader-side guard must restore
+    the pre-transition bytes and clear the stage."""
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.sources.maintenance import (
+        ensure_recovered,
+    )
+
+    path = str(tmp_path / "crash")
+    df = spark.range(90).withColumn("bucket", (F.col("id") % 3).cast("int"))
+    df.write.partitionBy("bucket").parquet(path)
+    # simulate: marker written, bucket=1 moved aside, crash before landing
+    maintenance._write_tier_marker(spark, path, {"op": "tier", "dirs": ["bucket=1"]})
+    os.rename(
+        os.path.join(path, "bucket=1"), os.path.join(path, ".bucket=1__tier_old")
+    )
+    # hidden stage is invisible to a scan even BEFORE recovery
+    assert spark.read.parquet(path).count() == 60
+    ensure_recovered(spark, path)
+    assert not os.path.exists(os.path.join(path, maintenance.TIER_MARKER))
+    assert not os.path.exists(os.path.join(path, ".bucket=1__tier_old"))
+    assert spark.read.parquet(path).count() == 90
 
 
 def test_compact_path_reduces_files_preserving_rows(spark, tmp_path):
@@ -263,5 +341,5 @@ def test_recover_path_noop_on_clean_table(spark, tmp_path):
     spark.range(0, 10).write.parquet(path)
     before = _snapshot(spark, path)
     acts = maintenance.recover_path(spark, path)
-    assert acts == {"merge_rolled_back": False, "compact_resolved": False}
+    assert acts == {"merge_rolled_back": False, "compact_resolved": False, "tier_resolved": False}
     assert _snapshot(spark, path) == before
