@@ -1011,3 +1011,100 @@ def txlog_orders_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderpriority", "n_total", "n_v0", "total_price")
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "local_supplier_volume_by_nation",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6)))
+                AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM customer c
+    JOIN orders o    ON o.o_custkey = c.c_custkey
+    JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+                    AND c.c_nationkey = s.s_nationkey
+    JOIN nation n    ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def local_supplier_volume_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — revenue from orders where customer and supplier
+    share a nation. The hard part of Q5 at scale is join order: the
+    c_nationkey = s_nationkey condition only becomes an equi-key after
+    both sides are reduced, so the plan goes fact-first (lineitem ⋈
+    orders on orderkey — the one unavoidable big shuffle), broadcasts
+    supplier and nation into it, then joins customer on custkey with
+    the nation-equality folded into the join condition rather than a
+    post-filter — Catalyst pushes it into the hash join, so mismatched
+    rows never materialize."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(
+            c,
+            (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
+    "returnflag_priority_counts",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+)
+def returnflag_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — conditional aggregation after a fact-fact
+    join (this testdata has no receiptdate or shipmode, so the Q12
+    window runs on shipdate and groups by returnflag): the range lands in PushedFilters at the lineitem
+    scan, orders is projected to the two columns the CASE needs, and
+    the priority split is computed map-side inside the partial
+    aggregation — no second shuffle. The literal is cast to the
+    column's own timestamp flavor so the predicate stays pushable
+    whether the parquet reads as TIMESTAMP or TIMESTAMP_NTZ."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = t(spark, sf_dir, "lineitem")
+    ship_t = dict(li.dtypes)["l_shipdate"]
+    lo = F.lit("1996-01-01 00:00:00").cast(ship_t)
+    hi = F.lit("1998-01-01 00:00:00").cast(ship_t)
+    l = (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .select("l_orderkey", "l_returnflag")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )

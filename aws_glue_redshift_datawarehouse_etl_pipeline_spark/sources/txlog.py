@@ -95,9 +95,17 @@ class Transaction:
     invisible until ``commit`` claims the next manifest; ``abort`` (or a
     crash) leaves the table untouched."""
 
-    def __init__(self, table: "TxTable"):
+    def __init__(self, table: "TxTable", app_txid: str | None = None):
         self.table = table
         self.txid = uuid.uuid4().hex
+        # caller-supplied idempotency key (the public txnAppId pattern):
+        # a commit whose app_txid is already in the retained log becomes
+        # a no-op returning the original version, so an at-least-once
+        # caller (foreachBatch retry, job re-run) gets exactly-once
+        # table effects. Retention caveat: vacuum that drops the
+        # manifest holding an app_txid forgets it — keep_versions must
+        # exceed the caller's maximum replay window.
+        self.app_txid = app_txid
         # snapshot this transaction read; overwrite/replace outcomes
         # depend on it, so their commits conflict if the head moves past
         self.read_version = table.current_version()
@@ -168,8 +176,16 @@ class Transaction:
             raise ValueError("transaction already finished")
         if self.op is None:
             raise ValueError("nothing staged")
-        staged = self._staged_files()
         tbl = self.table
+        if self.app_txid is not None:
+            prior = tbl.txid_committed_version(self.app_txid)
+            if prior is not None:
+                # replay of an already-committed transaction: drop the
+                # re-staged bytes, report the original commit
+                self.abort()
+                self._aborted, self._committed = False, True
+                return prior
+        staged = self._staged_files()
         for _ in range(max_retries):
             head = tbl._head_manifest()
             parent_version = -1 if head is None else head["version"]
@@ -196,6 +212,7 @@ class Transaction:
                 "parent": parent_version,
                 "op": self.op,
                 "txid": self.txid,
+                "app_txid": self.app_txid,
                 "schema": self._schema_json,
                 "partition_keys": self._partition_keys,
                 "files": files,
@@ -282,8 +299,17 @@ class TxTable:
         return True
 
     # -- public surface ----------------------------------------------------
-    def begin(self) -> Transaction:
-        return Transaction(self)
+    def begin(self, app_txid: str | None = None) -> Transaction:
+        return Transaction(self, app_txid=app_txid)
+
+    def txid_committed_version(self, app_txid: str) -> int | None:
+        """Version committed under ``app_txid``, or None. Newest-first
+        scan of the retained log (one tiny JSON per version)."""
+        for v in reversed(self._manifest_versions()):
+            m = self._read_manifest(v)
+            if m is not None and m.get("app_txid") == app_txid:
+                return v
+        return None
 
     def current_version(self) -> int:
         head = self._head_manifest()
@@ -343,7 +369,58 @@ class TxTable:
     def replace_partitions(self, df: DataFrame, partition_by: list[str]) -> int:
         return self.begin().replace_partitions(df, partition_by).commit()
 
+    def merge(self, df: DataFrame, keys: list[str]) -> int:
+        """Upsert through the log (the reference's mergeDynamicFrame
+        semantics, dynamicframe.py:80-124, on a transactional snapshot):
+        head rows whose key matches an incoming row are replaced, the
+        rest survive, committed as one overwrite — readers see the
+        pre-merge or post-merge snapshot, never a mix. Overwrite
+        conflict semantics apply: if the head moves between the read
+        and the commit, the merge conflicts rather than losing the
+        concurrent write."""
+        tx = self.begin()
+        if self.exists():
+            head = self.read()
+            merged = head.join(
+                df.select(*keys).distinct(), keys, "left_anti"
+            ).unionByName(df)
+        else:
+            merged = df
+        return tx.overwrite(merged).commit()
+
+    def foreach_batch_appender(self, app_prefix: str):
+        """Sink function for ``DataStreamWriter.foreachBatch``: each
+        micro-batch appends under app_txid ``{app_prefix}-{batch_id}``,
+        so Structured Streaming's at-least-once batch replay (after a
+        sink failure or checkpoint recovery) commits each batch exactly
+        once — the replayed commit is recognized by its app_txid and
+        becomes a no-op."""
+
+        def _write(batch_df: DataFrame, batch_id: int) -> None:
+            tbl = TxTable(batch_df.sparkSession, self.root)
+            tbl.begin(app_txid=f"{app_prefix}-{batch_id}").append(batch_df).commit()
+
+        return _write
+
     # -- maintenance -------------------------------------------------------
+    def compact(self, num_files: int | None = None) -> int:
+        """Small-file compaction as a COMMIT: the head snapshot is
+        rewritten into ``num_files`` files (default: one per live
+        commit directory, collapsing append accretion) and committed as
+        an overwrite — readers switch atomically from the fragmented
+        layout to the compact one, old files stay reachable for time
+        travel until ``vacuum``. A concurrent writer conflicts rather
+        than being silently clobbered (overwrite semantics); re-run
+        compaction after the conflict, it's idempotent on content."""
+        head = self._head_manifest()
+        if head is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        if num_files is None:
+            num_files = max(
+                1, len({f["path"].split("/")[1] for f in head["files"]})
+            )
+        return self.begin().overwrite(self.read().coalesce(num_files)).commit()
+
     def vacuum(self, keep_versions: int = 1, retention_hours: float = 0.0) -> list[str]:
         """Delete data directories referenced by NO retained manifest
         (aborted/crashed stages, overwritten snapshots). Manifests older

@@ -52,6 +52,10 @@ BENCH_QUERIES = [
     # codec-free image-header parse over synthesized binary payloads
     "cobucketed_join_revenue",
     "multimodal_image_dims",
+    # transactional commit log (two commits + head/time-travel reads)
+    # and the Q5-shape 5-way join (round 6)
+    "txlog_orders_time_travel",
+    "local_supplier_volume_by_nation",
 ]
 
 

@@ -194,3 +194,26 @@ def test_returned_revenue_filter_reaches_lineitem_scan(spark, sf_dir):
     assert "TakeOrderedAndProject" in s
     scan_lines = [ln for ln in s.splitlines() if "lineitem" in ln and "PushedFilters" in ln]
     assert any("l_returnflag" in ln for ln in scan_lines), scan_lines or s
+
+
+def test_q5_shape_broadcasts_small_sides_no_nested_loop(spark, sf_dir):
+    """local_supplier_volume_by_nation: supplier and nation broadcast
+    into the fact-first join; the nation-equality condition folds into
+    a hash join, never a nested-loop or cartesian plan."""
+    s = plan(spark, sf_dir, "local_supplier_volume_by_nation")
+    assert s.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" not in s and "CartesianProduct" not in s
+    assert s.count("HashAggregate") >= 2
+
+
+def test_q12_shape_pushes_date_range_to_scan(spark, sf_dir):
+    """returnflag_priority_counts: the one-window shipdate range
+    reaches the lineitem parquet scan as pushed filters, and the scan
+    reads only the three columns the query needs."""
+    s = plan(spark, sf_dir, "returnflag_priority_counts")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in s
+    assert "GreaterThanOrEqual(l_shipdate" in s and "LessThan(l_shipdate" in s
+    read_schema = next(
+        ln for ln in s.splitlines() if "ReadSchema" in ln and "l_shipdate" in ln
+    )
+    assert "l_extendedprice" not in read_schema and "l_partkey" not in read_schema

@@ -157,3 +157,58 @@ def test_vacuum_respects_retention_and_keep_versions(spark, root):
     # manifest of the vacuumed version is gone too
     with pytest.raises(FileNotFoundError):
         t.read(version=0)
+
+
+def test_app_txid_makes_commit_idempotent(spark, root):
+    t = TxTable(spark, root)
+    v1 = t.begin(app_txid="batch-1").append(_docs(spark, range(10))).commit()
+    # at-least-once replay of the same application transaction
+    v_replay = t.begin(app_txid="batch-1").append(_docs(spark, range(10))).commit()
+    assert (v1, v_replay) == (0, 0)
+    assert t.current_version() == 0
+    assert t.read().count() == 10
+    # a genuinely new transaction still lands
+    v2 = t.begin(app_txid="batch-2").append(_docs(spark, range(10, 13))).commit()
+    assert v2 == 1 and t.read().count() == 13
+    # the replayed stage left no orphan bytes behind
+    assert t.vacuum(keep_versions=5, retention_hours=0.0) == []
+
+
+def test_merge_upserts_through_the_log(spark, root):
+    t = TxTable(spark, root)
+    t.merge(_docs(spark, range(10)), keys=["id"])          # bootstrap
+    t.merge(_docs(spark, range(5, 15), tag="new"), keys=["id"])
+    snap = t.read()
+    assert snap.count() == 15
+    assert snap.filter("tag = 'new'").count() == 10        # 5-14 replaced/added
+    assert snap.filter("tag = 'a'").count() == 5           # 0-4 untouched
+    assert t.read(version=0).count() == 10                 # pre-merge snapshot
+    assert [h["op"] for h in t.history()] == ["overwrite", "overwrite"]
+
+
+def test_foreach_batch_appender_replay_is_exactly_once(spark, root):
+    t = TxTable(spark, root)
+    sink = t.foreach_batch_appender("q1")
+    sink(_docs(spark, range(5)), 0)
+    sink(_docs(spark, range(5, 8)), 1)
+    sink(_docs(spark, range(5, 8)), 1)   # streaming retry of batch 1
+    assert t.read().count() == 8
+    assert t.current_version() == 1
+
+
+def test_compact_collapses_files_preserving_snapshot(spark, root):
+    t = TxTable(spark, root)
+    for i in range(4):  # 4 append commits -> >= 4 data dirs
+        t.append(_docs(spark, range(i * 10, (i + 1) * 10)))
+    files_before = len(t._head_manifest()["files"])
+    v = t.compact(num_files=1)
+    assert v == 4
+    m = t._head_manifest()
+    assert len(m["files"]) == 1 < files_before
+    assert t.read().count() == 40
+    assert t.read(version=3).count() == 40   # pre-compaction snapshot intact
+    assert t.read(version=1).count() == 20
+    # vacuum now reclaims the fragmented commits
+    removed = t.vacuum(keep_versions=1, retention_hours=0.0)
+    assert len(removed) == 4
+    assert t.read().count() == 40
