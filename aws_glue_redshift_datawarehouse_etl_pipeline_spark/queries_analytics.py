@@ -1108,3 +1108,53 @@ def returnflag_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "hll_sketch_union_users",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS est_ok
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL', CAST(COUNT(DISTINCT user_id) AS BIGINT), TRUE FROM events
+    ORDER BY event_type
+    """,
+)
+def hll_sketch_union_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL,
+    native in Spark): one sketch per event_type, then the per-type
+    sketches are UNIONED into a corpus-wide estimate without touching
+    the raw rows again — the pattern that matters at 100 TB, where
+    per-partition sketches are built once and every rollup after that
+    merges kilobyte sketch blobs instead of re-scanning. The exact
+    per-type distinct (one shuffle, oracle-matched) rides along;
+    ``est_ok`` pins each estimate within 5%+1 of exact (default lgK=12
+    is ~1.6% rsd, so the bound is ~3 sigma)."""
+    ev = t(spark, sf_dir, "events").select("event_type", "user_id")
+    per = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.hll_sketch_agg("user_id").alias("sk"),
+    )
+    ok = (
+        F.abs(F.hll_sketch_estimate("sk") - F.col("n_exact"))
+        <= 0.05 * F.col("n_exact") + 1
+    )
+    per_rows = per.select("event_type", "n_exact", ok.alias("est_ok"))
+    merged = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_all")
+    )
+    all_row = (
+        ev.agg(F.countDistinct("user_id").alias("n_exact"))
+        .crossJoin(F.broadcast(merged))
+        .select(
+            F.lit("ALL").alias("event_type"),
+            "n_exact",
+            (
+                F.abs(F.col("est_all") - F.col("n_exact"))
+                <= 0.05 * F.col("n_exact") + 1
+            ).alias("est_ok"),
+        )
+    )
+    return per_rows.unionByName(all_row).orderBy("event_type")
