@@ -453,6 +453,61 @@ class TxTable:
         return sorted(removed)
 
 
+class TransactionalCatalog:
+    """Drop-in replacement for ``WarehouseCatalog`` backed by TxTable:
+    the same surface the star loader and the ETL examples consume
+    (``table_exists`` / ``read_table`` / ``write_table``), but every
+    write is a transaction — a crashed load leaves the previous
+    snapshot, a re-run lands atomically, and each load is a time-
+    travelable version. The reference's governed-catalog sink
+    (additional_options Transaction semantics, context.py:676-683) is
+    exactly this pairing: the catalog API in front, a transactional
+    format behind. SORTKEY layout is preserved: range-partition +
+    sort-within before the transactional append, so file-level min/max
+    pruning works on the committed files the same as on the plain
+    warehouse."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+
+    def _path(self, table: str) -> str:
+        return f"{self.root}/{table}"
+
+    def table(self, table: str) -> TxTable:
+        return TxTable(self.spark, self._path(table))
+
+    def table_exists(self, table: str) -> bool:
+        return self.table(table).exists()
+
+    def read_table(self, table: str, version: int | None = None) -> DataFrame:
+        return self.table(table).read(version=version)
+
+    def get_table_schema(self, table: str):
+        return self.read_table(table).schema
+
+    def write_table(
+        self,
+        df: DataFrame,
+        table: str,
+        mode: str = "append",
+        sort_keys=None,
+        target_partitions: int | None = None,
+        app_txid: str | None = None,
+    ) -> int:
+        if sort_keys:
+            n = target_partitions or df.sparkSession.sparkContext.defaultParallelism
+            df = df.repartitionByRange(n, *sort_keys).sortWithinPartitions(*sort_keys)
+        elif target_partitions:
+            df = df.repartition(target_partitions)
+        tx = self.table(table).begin(app_txid=app_txid)
+        if mode == "overwrite":
+            tx.overwrite(df)
+        else:
+            tx.append(df)
+        return tx.commit()
+
+
 # -- reference-parity free functions (context.py:676-683 names) -------------
 def start_transaction(table: TxTable) -> Transaction:
     """``GlueContext.start_transaction`` analog (context.py:676-678)."""

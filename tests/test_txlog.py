@@ -212,3 +212,42 @@ def test_compact_collapses_files_preserving_snapshot(spark, root):
     removed = t.vacuum(keep_versions=1, retention_hours=0.0)
     assert len(removed) == 4
     assert t.read().count() == 40
+
+
+def test_star_loader_runs_unchanged_on_transactional_catalog(spark, tmp_path):
+    """The reference pipeline's loader template consumes the catalog
+    surface only — swapping WarehouseCatalog for TransactionalCatalog
+    makes every load an atomic, time-travelable commit with zero loader
+    changes. The idempotence invariant holds, and version 0 preserves
+    the first load."""
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.plans import (
+        DimensionSpec,
+        load_dimension,
+    )
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.sources.txlog import (
+        TransactionalCatalog,
+    )
+
+    spec = DimensionSpec(
+        table="dim_part",
+        mappings=[
+            ("p_partkey", "long", "PartKey", "int"),
+            ("p_name", "PartAlternateKey", "string"),
+        ],
+        keys=["PartKey"],
+        sort_keys=["PartKey"],
+    )
+    cat = TransactionalCatalog(spark, str(tmp_path / "txwh"))
+    part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+
+    first = load_dimension(part, spec, cat)
+    assert first.inserted == part.count()
+    second = load_dimension(part, spec, cat)          # idempotent re-run
+    assert second.inserted == 0
+    extra = part.limit(7).withColumn("p_partkey", F.col("p_partkey") + 10_000_000)
+    third = load_dimension(extra, spec, cat)
+    assert third.inserted == 7
+    tbl = cat.table("dim_part")
+    assert tbl.read().count() == first.inserted + 7
+    assert tbl.read(version=0).count() == first.inserted   # first load preserved
+    assert [h["op"] for h in tbl.history()] == ["append", "append"]
