@@ -1158,3 +1158,24 @@ def hll_sketch_union_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_rows.unionByName(all_row).orderBy("event_type")
+
+
+_Q6_TEXT = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE)
+         AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+@query("sql_text_passthrough", oracle=_Q6_TEXT)
+def sql_text_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door: the ONE SQL string is both the Spark query
+    (``spark.sql`` over a registered view) and the DuckDB oracle —
+    character-identical text, so this entry proves the engine's ANSI
+    SQL surface, not just the DataFrame API, agrees with the oracle.
+    TPC-H Q6 shape: both range predicates reach the parquet scan as
+    pushed filters and the aggregate runs map-side partial."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q6_TEXT)
