@@ -318,12 +318,27 @@ class TxTable:
     def exists(self) -> bool:
         return self.current_version() >= 0
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        version: int | None = None,
+        partition_filter: dict[str, object] | None = None,
+    ) -> DataFrame:
         """Snapshot read: exactly the files the manifest names, with the
         manifest's schema (column order stable across layouts). Files
         from partitioned commits are read per commit directory with
         ``basePath`` so ``col=value`` reconstruction works, then the
-        groups union by name — group count is O(live commits), tiny."""
+        groups union by name — group count is O(live commits), tiny.
+
+        ``partition_filter`` prunes at the MANIFEST, before Spark ever
+        lists or opens a file: ``{"bucket": 1}`` keeps only files whose
+        Hive path segment matches ``bucket=1``. On an object store this
+        is the difference between one small JSON read and a LIST over
+        the whole table — the same job manifest-level pruning does in
+        the public table formats. Values are matched against the
+        writer-escaped path segment (str(value)); files from
+        unpartitioned commits carry no such segment and are kept only
+        when no filter key applies to them — so filter keys must be
+        the table's partition columns to mean what you expect."""
         m = self._head_manifest() if version is None else self._read_manifest(version)
         if m is None:
             raise FileNotFoundError(
@@ -331,14 +346,32 @@ class TxTable:
                 f"at {self.root}"
             )
         schema = T.StructType.fromJson(json.loads(m["schema"]))
-        if not m["files"]:
+        files = m["files"]
+        if partition_filter:
+            want = {k: str(v) for k, v in partition_filter.items()}
+            files = [
+                f
+                for f in files
+                if all(f["parts"].get(k, v) == v for k, v in want.items())
+            ]
+        if not files:
             return self.spark.createDataFrame([], schema)
-        by_commit: dict[str, list[str]] = {}
-        for f in m["files"]:
-            commit_dir = "/".join(f["path"].split("/")[:2])  # data/<txid>
-            by_commit.setdefault(commit_dir, []).append(f"{self.root}/{f['path']}")
         cols = [fld.name for fld in schema.fields]
         parts: list[DataFrame] = []
+        # ALL unpartitioned files are one multi-path scan with the
+        # manifest schema imposed (missing columns from older commits
+        # read as nulls) — a 200-append table plans ONE scan node, not
+        # 200; only partitioned commits need their own basePath group
+        # for col=value reconstruction.
+        flat = sorted(f"{self.root}/{f['path']}" for f in files if not f["parts"])
+        if flat:
+            parts.append(self.spark.read.schema(schema).parquet(*flat))
+        by_commit: dict[str, list[str]] = {}
+        for f in files:
+            if not f["parts"]:
+                continue
+            commit_dir = "/".join(f["path"].split("/")[:2])  # data/<txid>
+            by_commit.setdefault(commit_dir, []).append(f"{self.root}/{f['path']}")
         for commit_dir, paths in sorted(by_commit.items()):
             df = (
                 self.spark.read.option("basePath", f"{self.root}/{commit_dir}")

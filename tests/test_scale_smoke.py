@@ -76,3 +76,37 @@ def test_star_components_scale_on_wide_graph(spark, big_docs):
     elapsed = time.time() - t0
     assert k == 100
     assert elapsed < 180, f"star CC took {elapsed:.0f}s on {n} nodes"
+
+
+def test_txlog_many_commit_read_stays_cheap(spark, tmp_path):
+    """200 append commits: snapshot resolution must stay O(versions)
+    listing one directory (no per-file recursion), the head read must
+    plan a bounded union, and compaction must collapse the accreted
+    layout in one commit. Guards: build+read under 240 s wall-clock on
+    local[8] — a superlinear manifest or read path blows well past it."""
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.sources.txlog import TxTable
+
+    t0 = time.time()
+    root = str(tmp_path / "many_commits")
+    t = TxTable(spark, root)
+    df = spark.range(100).withColumn("v", F.col("id").cast("double"))
+    for i in range(200):
+        t.append(df.withColumn("batch", F.lit(i)))
+    build_s = time.time() - t0
+
+    t1 = time.time()
+    assert t.current_version() == 199
+    assert t.read().count() == 20_000
+    read_s = time.time() - t1
+
+    t2 = time.time()
+    t.compact(num_files=4)
+    assert len(t._head_manifest()["files"]) <= 4
+    assert t.read().count() == 20_000
+    compact_s = time.time() - t2
+
+    swept = t.vacuum(keep_versions=1, retention_hours=0.0)
+    assert len(swept) == 200
+    total = build_s + read_s + compact_s
+    print(f"txlog smoke: build={build_s:.1f}s read={read_s:.1f}s compact={compact_s:.1f}s")
+    assert total < 240, f"txlog smoke too slow: {total:.1f}s"

@@ -251,3 +251,19 @@ def test_star_loader_runs_unchanged_on_transactional_catalog(spark, tmp_path):
     assert tbl.read().count() == first.inserted + 7
     assert tbl.read(version=0).count() == first.inserted   # first load preserved
     assert [h["op"] for h in tbl.history()] == ["append", "append"]
+
+
+def test_manifest_level_partition_pruning(spark, root):
+    t = TxTable(spark, root)
+    base = _docs(spark, range(30)).withColumn("bucket", (F.col("id") % 3).cast("int"))
+    t.overwrite(base, partition_by=["bucket"])
+    pruned = t.read(partition_filter={"bucket": 1})
+    assert pruned.count() == 10
+    assert set(r.bucket for r in pruned.select("bucket").distinct().collect()) == {1}
+    # pruning happened at the manifest: the scan's input file list holds
+    # only bucket=1 paths (Spark never listed the other partitions)
+    in_files = [f for f in pruned.inputFiles()]
+    assert in_files and all("bucket=1" in f for f in in_files)
+    # a filter on a value no file carries returns the empty frame with full schema
+    empty = t.read(partition_filter={"bucket": 99})
+    assert empty.count() == 0 and empty.columns == base.columns
