@@ -588,7 +588,9 @@ PRIORITY: tuple[str, ...] = (
     "resolve_choice_mixed",
     # streaming
     "streaming_hourly_event_counts",
-    "streaming_dedup_fingerprints",
+    # exactly-once txlog ingest (new r6); streaming_dedup_fingerprints
+    # rotates out (driver-green r1-r3, r5)
+    "streaming_txlog_exactly_once",
     "streaming_running_source_counts",
     # LLM training-data pipeline: text analysis
     "token_count_documents",

@@ -167,3 +167,63 @@ def streaming_running_source_counts(spark: SparkSession, sf_dir: str) -> DataFra
     )
     sq.awaitTermination()
     return spark.table(sink).groupBy("key").agg(F.max("n").alias("n"))
+
+
+@query(
+    "streaming_txlog_exactly_once",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def streaming_txlog_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end exactly-once streaming ingest: readStream over the
+    staged events → foreachBatch appends into a transactional
+    commit-log table under per-batch app_txids
+    (sources/txlog.py::foreach_batch_appender) → the FINAL TABLE
+    aggregate must equal the plain batch SQL over the same events. One
+    green row here certifies the whole chain — micro-batch delivery,
+    idempotent transactional commits, and snapshot reads — because any
+    dropped or doubled batch changes the counts. (A crash-retried
+    micro-batch is the same code path as the replay test in
+    tests/test_txlog.py: the second commit no-ops on its app_txid.)"""
+    import shutil
+
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.sources.txlog import TxTable
+
+    ev, stage = _stage_events(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    table_root = os.path.join(tempfile.gettempdir(), f"engine_txlog_stream_{tag}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"engine_txlog_ckpt_{tag}")
+    shutil.rmtree(table_root, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    table = TxTable(spark, table_root)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "2")  # force multiple micro-batches
+        .parquet(stage)
+    )
+    sq = (
+        stream.writeStream.foreachBatch(table.foreach_batch_appender("ingest"))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+
+    from pyspark.sql import functions as F
+
+    return (
+        table.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
