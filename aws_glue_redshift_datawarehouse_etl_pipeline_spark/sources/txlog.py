@@ -435,6 +435,39 @@ class TxTable:
 
         return _write
 
+    def restore(self, version: int) -> int:
+        """Roll the table BACK to ``version`` as a NEW commit (the
+        public RESTORE semantics): the head becomes a manifest with the
+        old version's exact file list and schema — no data is copied or
+        deleted, the restore itself stays in history, and the abandoned
+        versions remain time-travelable until vacuum. Conflicts like an
+        overwrite if the head moves concurrently."""
+        src = self._read_manifest(version)
+        if src is None:
+            raise FileNotFoundError(f"no committed version {version} at {self.root}")
+        tx = self.begin()
+        tx.op = "restore"
+        tx._schema_json = src["schema"]
+        tx._partition_keys = list(src.get("partition_keys") or [])
+        head = self._head_manifest()
+        manifest = {
+            "version": head["version"] + 1,
+            "parent": head["version"],
+            "op": "restore",
+            "txid": tx.txid,
+            "app_txid": None,
+            "schema": src["schema"],
+            "partition_keys": tx._partition_keys,
+            "files": src["files"],
+            "restored_from": version,
+            "committed_at_ms": int(time.time() * 1000),
+        }
+        if not self._try_write_manifest(manifest):
+            raise CommitConflictError(
+                f"version {manifest['version']} was claimed concurrently"
+            )
+        return manifest["version"]
+
     # -- maintenance -------------------------------------------------------
     def compact(self, num_files: int | None = None) -> int:
         """Small-file compaction as a COMMIT: the head snapshot is

@@ -267,3 +267,36 @@ def test_manifest_level_partition_pruning(spark, root):
     # a filter on a value no file carries returns the empty frame with full schema
     empty = t.read(partition_filter={"bucket": 99})
     assert empty.count() == 0 and empty.columns == base.columns
+
+
+def test_restore_rolls_back_as_new_commit(spark, root):
+    t = TxTable(spark, root)
+    t.append(_docs(spark, range(10)))                  # v0
+    t.overwrite(_docs(spark, range(3), tag="bad"))     # v1 — the mistake
+    v = t.restore(0)
+    assert v == 2
+    assert t.read().count() == 10
+    assert set(r.tag for r in t.read().select("tag").distinct().collect()) == {"a"}
+    # the mistake stays in history until vacuumed
+    assert t.read(version=1).count() == 3
+    # vacuum keeps the restored head readable (its files are referenced)
+    t.vacuum(keep_versions=1, retention_hours=0.0)
+    assert t.read().count() == 10
+    with pytest.raises(FileNotFoundError):
+        t.restore(99)
+
+
+def test_schema_evolution_add_column(spark, root):
+    """An append with an extra column promotes it to the table schema;
+    rows from older commits surface NULL there (imposed-schema read)."""
+    t = TxTable(spark, root)
+    t.append(_docs(spark, range(5)))
+    widened = _docs(spark, range(5, 8), tag="w").withColumn(
+        "score", F.col("id").cast("double") * 2.0
+    )
+    t.append(widened)
+    got = t.read()
+    assert got.columns == ["id", "tag", "val", "score"]
+    assert got.count() == 8
+    assert got.filter(F.col("score").isNull()).count() == 5
+    assert got.filter("score = 12.0").count() == 1   # id 6
