@@ -183,7 +183,7 @@ def streaming_running_source_counts(spark: SparkSession, sf_dir: str) -> DataFra
 def streaming_txlog_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end exactly-once streaming ingest: readStream over the
     staged events → foreachBatch appends into a transactional
-    commit-log table under per-batch app_txids
+    commit-log table under per-batch (app_id, batch_id) versions
     (sources/txlog.py::foreach_batch_appender) → the FINAL TABLE
     aggregate must equal the plain batch SQL over the same events. One
     green row here certifies the whole chain — micro-batch delivery,

@@ -1476,16 +1476,24 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned in tests/test_training_ops.py)."""
     emb = t(spark, sf_dir, "embeddings")
     caches: list[DataFrame] = []
+    # materialize the two (tiny, id-only) survivor sets eagerly so the
+    # heavy per-run norm caches the dedup registers can be released
+    # BEFORE this function returns — otherwise they stay pinned in
+    # executor storage for the session lifetime
     exact = D.semantic_dedup(
         emb, threshold=0.4, num_buckets=1, probe=1, refine_rounds=0,
         cache_registry=caches,
-    ).select("vec_id")
+    ).select("vec_id").persist()
     bucketed = D.semantic_dedup(
         emb, threshold=0.4, num_buckets=4, probe=2, refine_rounds=0,
         cache_registry=caches,
-    ).select("vec_id")
-    superset_ok = (
-        exact.join(bucketed, "vec_id", "left_anti")
-        .agg((F.count(F.lit(1)) == 0).alias("bucketed_superset_ok"))
+    ).select("vec_id").persist()
+    superset_ok = exact.join(bucketed, "vec_id", "left_anti").count() == 0
+    D.release_caches(caches)
+    bucketed.unpersist(blocking=False)
+    # `exact` stays persisted until the caller's action — one id column,
+    # KBs; the heavy norm/embedding caches above are already released
+    return (
+        exact.withColumn("bucketed_superset_ok", F.lit(superset_ok))
+        .orderBy("vec_id")
     )
-    return exact.crossJoin(F.broadcast(superset_ok)).orderBy("vec_id")

@@ -161,9 +161,13 @@ def transition_path(
     staged or displaced bytes to a scan, unlike a bare ``name=X__tmp``
     sibling which partition discovery would happily read as a
     partition. The only torn window (a partition directory briefly
-    absent between its two renames) is covered by a single root-level
-    ``__tier_pending.json`` intent marker written before the first
-    swap; ``recover_path``/``ensure_recovered`` restore any missing
+    absent between its two renames) is covered by a single intent
+    marker at ``<path>__tier_pending.json`` — a SIBLING of the path,
+    so the unpartitioned case (where the path itself is renamed) never
+    carries its own recovery record away with it. The marker is
+    written before the first swap and retained if any directory's
+    rewrite failed (only the failed directories stay listed), so
+    ``recover_path``/``ensure_recovered`` can always restore a missing
     directory from its ``.old`` stage and sweep leftovers.
 
     ``dry_run`` returns the directories that WOULD transition;
@@ -213,14 +217,21 @@ def transition_path(
     if not cold:
         return []
     _write_tier_marker(spark, path, {"op": "tier", "dirs": cold_rels})
-    done, failed = [], []
-    for u in cold:
+    done, failed, failed_rels = [], [], []
+    for u, rel in zip(cold, cold_rels):
         try:
             _rewrite_dir_with_codec(spark, u, codec, fmt)
             done.append(u)
         except Exception:  # noqa: BLE001 — per-dir manifest accounting
             failed.append(u)
-    _clear_tier_marker(spark, path)
+            failed_rels.append(rel)
+    if failed_rels:
+        # a failed directory may sit displaced in its hidden .old stage;
+        # keep its recovery record — the next reader's ensure_recovered
+        # (or recover_path) restores it. Clearing here would orphan it.
+        _write_tier_marker(spark, path, {"op": "tier", "dirs": failed_rels})
+    else:
+        _clear_tier_marker(spark, path)
     if manifest_file_path is not None:
         _write_manifest(spark, manifest_file_path, "Success.csv", done)
         _write_manifest(spark, manifest_file_path, "Failed.csv", failed)
@@ -252,7 +263,7 @@ def _partition_depth(fs, jpath) -> int:
     return len(_partition_columns(fs, None, jpath))
 
 
-TIER_MARKER = "__tier_pending.json"
+TIER_MARKER_SUFFIX = "__tier_pending.json"
 
 
 def _tier_stage_paths(jvm, dir_path: str):
@@ -269,21 +280,11 @@ def _tier_stage_paths(jvm, dir_path: str):
 
 
 def _write_tier_marker(spark: SparkSession, root: str, payload: dict) -> None:
-    import json
-
-    fs, _ = _fs_and_path(spark, root)
-    jvm = spark._jvm
-    out = fs.create(jvm.org.apache.hadoop.fs.Path(root, TIER_MARKER), True)
-    try:
-        out.write(bytearray(json.dumps(payload).encode("utf-8")))
-    finally:
-        out.close()
+    _write_marker(spark, root, payload, "tier")
 
 
 def _clear_tier_marker(spark: SparkSession, root: str) -> None:
-    fs, _ = _fs_and_path(spark, root)
-    jvm = spark._jvm
-    fs.delete(jvm.org.apache.hadoop.fs.Path(root, TIER_MARKER), False)
+    _clear_marker(spark, root, "tier")
 
 
 def _rewrite_dir_with_codec(
@@ -292,9 +293,9 @@ def _rewrite_dir_with_codec(
     """Rewrite one directory's data files with ``codec``: stage to a
     hidden sibling, displace the original to a hidden ``.old``, land
     the stage, then drop the ``.old``. Every intermediate state is
-    either invisible to scans or recoverable from the root tier marker.
-    File count is preserved via coalesce — transition changes the
-    codec, not the layout."""
+    either invisible to scans or recoverable from the sibling tier
+    marker. File count is preserved via coalesce — transition changes
+    the codec, not the layout."""
     fs, jpath = _fs_and_path(spark, dir_path)
     jvm = spark._jvm
     n_files = max(1, int(fs.getContentSummary(jpath).getFileCount()))
@@ -319,19 +320,18 @@ def _rewrite_dir_with_codec(
 
 
 def _recover_tier(spark: SparkSession, root: str) -> bool:
-    """Heal a crashed transition run: for every directory the root tier
-    marker names, restore a missing directory from its hidden ``.old``
-    stage and sweep tmp/old leftovers. The directory content ends up
-    either pre- or post-transition — identical data either way."""
-    import json
-
+    """Heal a crashed transition run: for every directory the sibling
+    tier marker names, restore a missing directory from its hidden
+    ``.old`` stage and sweep tmp/old leftovers. The directory content
+    ends up either pre- or post-transition — identical data either
+    way. (The marker is a sibling of ``root``, so it survives even the
+    unpartitioned case where ``root`` itself was mid-rename.)"""
     fs, _ = _fs_and_path(spark, root)
     jvm = spark._jvm
     P = jvm.org.apache.hadoop.fs.Path
-    mpath = P(root, TIER_MARKER)
-    if not fs.exists(mpath):
+    marker = _read_marker(spark, root, "tier")
+    if marker is None:
         return False
-    marker = json.loads(_read_small_text(fs, jvm, mpath))
     for rel in marker.get("dirs", []):
         d = root.rstrip("/") if rel == "." else f"{root.rstrip('/')}/{rel}"
         tmp, trash = _tier_stage_paths(jvm, d)
@@ -342,7 +342,7 @@ def _recover_tier(spark: SparkSession, root: str) -> bool:
             fs.delete(trash, True)
         if fs.exists(tmp):
             fs.delete(tmp, True)
-    fs.delete(mpath, False)
+    _clear_marker(spark, root, "tier")
     return True
 
 
@@ -402,34 +402,55 @@ def _swap_one(fs, src, dst) -> None:
         raise IOError(f"commit swap failed: {src} -> {dst}")
 
 
-def write_commit_marker(spark: SparkSession, table_path: str, payload: dict) -> None:
+def _marker_jpath(spark: SparkSession, table_path: str, kind: str):
+    """Resolve a marker location: merge markers live INSIDE the table
+    (underscore-prefixed, invisible to scans; the table dir itself is
+    never renamed by a merge), tier markers live as a SIBLING
+    (``<path>__tier_pending.json``) because an unpartitioned transition
+    renames the path itself and must not carry its recovery record
+    away with it."""
+    jvm = spark._jvm
+    if kind == "merge":
+        return jvm.org.apache.hadoop.fs.Path(table_path, MERGE_MARKER)
+    return jvm.org.apache.hadoop.fs.Path(table_path.rstrip("/") + TIER_MARKER_SUFFIX)
+
+
+def _write_marker(spark: SparkSession, table_path: str, payload: dict, kind: str) -> None:
     import json
 
     fs, _ = _fs_and_path(spark, table_path)
-    jvm = spark._jvm
-    marker = jvm.org.apache.hadoop.fs.Path(table_path, MERGE_MARKER)
-    out = fs.create(marker, True)
+    out = fs.create(_marker_jpath(spark, table_path, kind), True)
     try:
         out.write(bytearray(json.dumps(payload).encode("utf-8")))
     finally:
         out.close()
 
 
-def read_commit_marker(spark: SparkSession, table_path: str) -> dict | None:
+def _read_marker(spark: SparkSession, table_path: str, kind: str) -> dict | None:
     import json
 
     fs, _ = _fs_and_path(spark, table_path)
-    jvm = spark._jvm
-    marker = jvm.org.apache.hadoop.fs.Path(table_path, MERGE_MARKER)
+    marker = _marker_jpath(spark, table_path, kind)
     if not fs.exists(marker):
         return None
-    return json.loads(_read_small_text(fs, jvm, marker))
+    return json.loads(_read_small_text(fs, spark._jvm, marker))
+
+
+def _clear_marker(spark: SparkSession, table_path: str, kind: str) -> None:
+    fs, _ = _fs_and_path(spark, table_path)
+    fs.delete(_marker_jpath(spark, table_path, kind), False)
+
+
+def write_commit_marker(spark: SparkSession, table_path: str, payload: dict) -> None:
+    _write_marker(spark, table_path, payload, "merge")
+
+
+def read_commit_marker(spark: SparkSession, table_path: str) -> dict | None:
+    return _read_marker(spark, table_path, "merge")
 
 
 def clear_commit_marker(spark: SparkSession, table_path: str) -> None:
-    fs, _ = _fs_and_path(spark, table_path)
-    jvm = spark._jvm
-    fs.delete(jvm.org.apache.hadoop.fs.Path(table_path, MERGE_MARKER), False)
+    _clear_marker(spark, table_path, "merge")
 
 
 def list_partition_dirs(spark: SparkSession, root: str, depth: int) -> list[str]:
@@ -538,7 +559,7 @@ def ensure_recovered(spark: SparkSession, path: str) -> None:
     if (
         fs.exists(P(path, MERGE_MARKER))
         or fs.exists(P(path.rstrip("/") + COMPACT_MARKER_SUFFIX))
-        or fs.exists(P(path, TIER_MARKER))
+        or fs.exists(P(path.rstrip("/") + TIER_MARKER_SUFFIX))
     ):
         recover_path(spark, path)
 

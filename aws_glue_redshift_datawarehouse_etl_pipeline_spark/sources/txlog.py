@@ -78,6 +78,32 @@ def _vname(version: int) -> str:
     return f"{version:0{_VERSION_WIDTH}d}.json"
 
 
+def _merge_schema_json(parent_json: str | None, batch_json: str | None) -> str:
+    """Additive schema evolution for append/replace commits: the result
+    keeps every parent column (in order) and appends the batch's new
+    columns. A batch missing a parent column therefore NARROWS NOTHING
+    (old columns keep reading, the batch's rows surface NULL there);
+    a same-name column with a different type is rejected — changing a
+    column's type is an overwrite, not an append."""
+    if parent_json is None:
+        return batch_json
+    parent = T.StructType.fromJson(json.loads(parent_json))
+    batch = T.StructType.fromJson(json.loads(batch_json))
+    by_name = {f.name: f for f in batch.fields}
+    for f in parent.fields:
+        b = by_name.get(f.name)
+        if b is not None and b.dataType != f.dataType:
+            raise ValueError(
+                f"append cannot change column '{f.name}' from "
+                f"{f.dataType.simpleString()} to {b.dataType.simpleString()}; "
+                "use overwrite for type changes"
+            )
+    merged = list(parent.fields) + [
+        f for f in batch.fields if f.name not in {p.name for p in parent.fields}
+    ]
+    return T.StructType(merged).json()
+
+
 def _parse_parts(rel: str) -> dict[str, str]:
     """Hive ``col=value`` segments of a relative file path, as the writer
     escaped them — comparisons stay on the raw segments so partition-value
@@ -95,17 +121,34 @@ class Transaction:
     invisible until ``commit`` claims the next manifest; ``abort`` (or a
     crash) leaves the table untouched."""
 
-    def __init__(self, table: "TxTable", app_txid: str | None = None):
+    def __init__(
+        self,
+        table: "TxTable",
+        app_txid: str | None = None,
+        app_id: str | None = None,
+        app_version: int | None = None,
+    ):
         self.table = table
         self.txid = uuid.uuid4().hex
-        # caller-supplied idempotency key (the public txnAppId pattern):
-        # a commit whose app_txid is already in the retained log becomes
-        # a no-op returning the original version, so an at-least-once
-        # caller (foreachBatch retry, job re-run) gets exactly-once
-        # table effects. Retention caveat: vacuum that drops the
-        # manifest holding an app_txid forgets it — keep_versions must
-        # exceed the caller's maximum replay window.
+        # Two idempotency surfaces (the public txnAppId pattern):
+        # - (app_id, app_version): monotonic per-writer versions (e.g.
+        #   foreachBatch batch ids). The head manifest carries the
+        #   rolling {app_id: [app_version, commit_version]} map, so the
+        #   replay check is ONE map lookup on the already-read head —
+        #   O(1) per commit, bounded by the number of distinct writers.
+        # - app_txid: arbitrary opaque ids, matched by a newest-first
+        #   scan of the retained log — O(versions), for callers whose
+        #   ids aren't monotonic.
+        # Either way a replayed commit becomes a no-op returning the
+        # original version, so an at-least-once caller gets exactly-once
+        # table effects. Retention caveat: vacuum that drops the state
+        # (old manifests / map via keep_versions) forgets it —
+        # retention must exceed the caller's maximum replay window.
+        if app_version is not None and app_id is None:
+            raise ValueError("app_version requires app_id")
         self.app_txid = app_txid
+        self.app_id = app_id
+        self.app_version = app_version
         # snapshot this transaction read; overwrite/replace outcomes
         # depend on it, so their commits conflict if the head moves past
         self.read_version = table.current_version()
@@ -180,16 +223,17 @@ class Transaction:
         if self.app_txid is not None:
             prior = tbl.txid_committed_version(self.app_txid)
             if prior is not None:
-                # replay of an already-committed transaction: drop the
-                # re-staged bytes, report the original commit
-                self.abort()
-                self._aborted, self._committed = False, True
-                return prior
+                return self._finish_as_replay(prior)
         staged = self._staged_files()
         for _ in range(max_retries):
             head = tbl._head_manifest()
             parent_version = -1 if head is None else head["version"]
             parent_files = [] if head is None else head["files"]
+            app_versions = dict((head or {}).get("app_versions") or {})
+            if self.app_id is not None:
+                rec = app_versions.get(self.app_id)
+                if rec is not None and rec[0] >= self.app_version:
+                    return self._finish_as_replay(rec[1])
             if self.op != "append" and parent_version != self.read_version:
                 raise CommitConflictError(
                     f"table advanced from version {self.read_version} to "
@@ -197,23 +241,47 @@ class Transaction:
                 )
             if self.op == "append":
                 files = parent_files + staged
+                schema_json = _merge_schema_json(
+                    (head or {}).get("schema"), self._schema_json
+                )
             elif self.op == "overwrite":
                 files = staged
+                schema_json = self._schema_json
             else:  # replace_partitions
                 keys = self._partition_keys
-                replaced = {tuple(f["parts"].get(k) for k in keys) for f in staged}
+                unlabeled = [
+                    f
+                    for f in parent_files
+                    if any(f["parts"].get(k) is None for k in keys)
+                ]
+                if unlabeled:
+                    raise ValueError(
+                        f"replace_partitions on keys {keys} requires every live "
+                        f"file to carry those partition path segments, but "
+                        f"{len(unlabeled)} parent file(s) (e.g. "
+                        f"{unlabeled[0]['path']}) were written without them — "
+                        "their rows could silently survive the replacement. "
+                        "Compact or rewrite the table partitioned first."
+                    )
+                replaced = {tuple(f["parts"][k] for k in keys) for f in staged}
                 files = [
                     f
                     for f in parent_files
                     if tuple(f["parts"].get(k) for k in keys) not in replaced
                 ] + staged
+                schema_json = _merge_schema_json(
+                    (head or {}).get("schema"), self._schema_json
+                )
+            if self.app_id is not None:
+                app_versions[self.app_id] = [self.app_version, parent_version + 1]
             manifest = {
                 "version": parent_version + 1,
                 "parent": parent_version,
                 "op": self.op,
                 "txid": self.txid,
                 "app_txid": self.app_txid,
-                "schema": self._schema_json,
+                "app_versions": app_versions,
+                "schema": schema_json,
                 "partition_keys": self._partition_keys,
                 "files": files,
                 "committed_at_ms": int(time.time() * 1000),
@@ -221,12 +289,21 @@ class Transaction:
             if tbl._try_write_manifest(manifest):
                 self._committed = True
                 return manifest["version"]
+            if tbl._repair_torn(parent_version + 1):
+                continue  # crashed writer's torn claim removed — retry
             if self.op != "append":
                 raise CommitConflictError(
                     f"version {parent_version + 1} was claimed by another "
                     f"transaction; {self.op} depends on the snapshot it read"
                 )
         raise CommitConflictError(f"append lost {max_retries} commit races")
+
+    def _finish_as_replay(self, prior_version: int) -> int:
+        """Replay of an already-committed transaction: drop the
+        re-staged bytes, report the original commit."""
+        self.abort()
+        self._aborted, self._committed = False, True
+        return prior_version
 
     def abort(self) -> None:
         """Drop the staged bytes; the table never saw them."""
@@ -239,11 +316,20 @@ class Transaction:
 
 
 class TxTable:
-    """Handle on a commit-log table rooted at ``root``."""
+    """Handle on a commit-log table rooted at ``root``.
 
-    def __init__(self, spark: SparkSession, root: str):
+    ``torn_grace_seconds``: a manifest file that exists but does not
+    parse is a crashed writer's torn claim. Writers repair (delete) it
+    once it is older than this grace period — long enough that a LIVE
+    writer's in-flight create/write/close (sub-second) is never
+    mistaken for a crash."""
+
+    def __init__(
+        self, spark: SparkSession, root: str, torn_grace_seconds: float = 60.0
+    ):
         self.spark = spark
         self.root = root.rstrip("/")
+        self.torn_grace_seconds = torn_grace_seconds
 
     # -- log access --------------------------------------------------------
     def _log_path(self) -> str:
@@ -279,6 +365,25 @@ class TxTable:
                 return m
         return None
 
+    def _repair_torn(self, version: int) -> bool:
+        """Delete the manifest file for ``version`` iff it exists, does
+        NOT parse (torn write from a crashed claimer), and is older than
+        the grace period. Without this, a torn head would block every
+        future claim of that version number forever."""
+        if self._read_manifest(version) is not None:
+            return False  # valid manifest — a real concurrent commit
+        fs, _ = _fs_and_path(self.spark, self.root)
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(self._log_path(), _vname(version))
+        if not fs.exists(jpath):
+            return False
+        st = fs.getFileStatus(jpath)
+        age_s = (time.time() * 1000 - st.getModificationTime()) / 1000.0
+        if age_s < self.torn_grace_seconds:
+            return False  # possibly a live writer mid-create
+        fs.delete(jpath, False)
+        return True
+
     def _try_write_manifest(self, manifest: dict) -> bool:
         """Atomic claim of a version: ``create(overwrite=False)`` fails
         if another writer landed the same version first."""
@@ -299,8 +404,15 @@ class TxTable:
         return True
 
     # -- public surface ----------------------------------------------------
-    def begin(self, app_txid: str | None = None) -> Transaction:
-        return Transaction(self, app_txid=app_txid)
+    def begin(
+        self,
+        app_txid: str | None = None,
+        app_id: str | None = None,
+        app_version: int | None = None,
+    ) -> Transaction:
+        return Transaction(
+            self, app_txid=app_txid, app_id=app_id, app_version=app_version
+        )
 
     def txid_committed_version(self, app_txid: str) -> int | None:
         """Version committed under ``app_txid``, or None. Newest-first
@@ -377,7 +489,18 @@ class TxTable:
                 self.spark.read.option("basePath", f"{self.root}/{commit_dir}")
                 .parquet(*sorted(paths))
             )
-            parts.append(df.select(*[F.col(c).cast(schema[c].dataType) for c in cols]))
+            # head-schema columns this (older) commit predates read NULL
+            have = set(df.columns)
+            parts.append(
+                df.select(
+                    *[
+                        F.col(c).cast(schema[c].dataType)
+                        if c in have
+                        else F.lit(None).cast(schema[c].dataType).alias(c)
+                        for c in cols
+                    ]
+                )
+            )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -423,15 +546,18 @@ class TxTable:
 
     def foreach_batch_appender(self, app_prefix: str):
         """Sink function for ``DataStreamWriter.foreachBatch``: each
-        micro-batch appends under app_txid ``{app_prefix}-{batch_id}``,
-        so Structured Streaming's at-least-once batch replay (after a
-        sink failure or checkpoint recovery) commits each batch exactly
-        once — the replayed commit is recognized by its app_txid and
-        becomes a no-op."""
+        micro-batch appends under ``(app_id=app_prefix,
+        app_version=batch_id)`` — batch ids are monotonic, so the
+        replay check is one lookup in the head manifest's rolling
+        app-version map (O(1), not a log scan), and Structured
+        Streaming's at-least-once batch replay (after a sink failure or
+        checkpoint recovery) commits each batch exactly once."""
 
         def _write(batch_df: DataFrame, batch_id: int) -> None:
             tbl = TxTable(batch_df.sparkSession, self.root)
-            tbl.begin(app_txid=f"{app_prefix}-{batch_id}").append(batch_df).commit()
+            tbl.begin(app_id=app_prefix, app_version=int(batch_id)).append(
+                batch_df
+            ).commit()
 
         return _write
 
@@ -456,6 +582,7 @@ class TxTable:
             "op": "restore",
             "txid": tx.txid,
             "app_txid": None,
+            "app_versions": dict(head.get("app_versions") or {}),
             "schema": src["schema"],
             "partition_keys": tx._partition_keys,
             "files": src["files"],
@@ -492,17 +619,28 @@ class TxTable:
         (aborted/crashed stages, overwritten snapshots). Manifests older
         than the ``keep_versions`` newest are dropped first; a stage dir
         must also be older than ``retention_hours`` (mtime) so an
-        in-flight writer's stage is never swept from under it."""
+        in-flight writer's stage is never swept from under it.
+
+        Only PARSEABLE manifests count toward ``keep_versions`` — a
+        torn claim from a crashed writer is repaired (aged) or left
+        (recent), never treated as a retained snapshot; counting it
+        would silently drop the last valid manifest and with it every
+        live data directory."""
         versions = self._manifest_versions()
-        keep = versions[-max(1, keep_versions) :] if versions else []
+        valid = [v for v in versions if self._read_manifest(v) is not None]
+        keep = set(valid[-max(1, keep_versions) :])
         fs, _ = _fs_and_path(self.spark, self.root)
         jvm = self.spark._jvm
         P = jvm.org.apache.hadoop.fs.Path
         for v in versions:
-            if v not in keep:
+            if v in keep:
+                continue
+            if v in set(valid):
                 fs.delete(P(self._log_path(), _vname(v)), False)
+            else:
+                self._repair_torn(v)  # aged torn claims only
         live: set[str] = set()
-        for v in keep:
+        for v in sorted(keep):
             m = self._read_manifest(v)
             if m:
                 for f in m["files"]:

@@ -154,7 +154,7 @@ def test_transition_crash_between_renames_recovers(spark, tmp_path):
     # hidden stage is invisible to a scan even BEFORE recovery
     assert spark.read.parquet(path).count() == 60
     ensure_recovered(spark, path)
-    assert not os.path.exists(os.path.join(path, maintenance.TIER_MARKER))
+    assert not os.path.exists(path + maintenance.TIER_MARKER_SUFFIX)
     assert not os.path.exists(os.path.join(path, ".bucket=1__tier_old"))
     assert spark.read.parquet(path).count() == 90
 
@@ -343,3 +343,52 @@ def test_recover_path_noop_on_clean_table(spark, tmp_path):
     acts = maintenance.recover_path(spark, path)
     assert acts == {"merge_rolled_back": False, "compact_resolved": False, "tier_resolved": False}
     assert _snapshot(spark, path) == before
+
+
+def test_transition_crash_unpartitioned_recovers(spark, tmp_path):
+    """The unpartitioned case renames the table path itself — the
+    intent marker is a SIBLING so it cannot travel away with the
+    rename. Crash between the two renames: path gone, bytes in the
+    hidden .old — recovery must restore them."""
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.sources.maintenance import (
+        ensure_recovered,
+    )
+
+    path = str(tmp_path / "flatcrash")
+    spark.range(40).write.parquet(path)
+    maintenance._write_tier_marker(spark, path, {"op": "tier", "dirs": ["."]})
+    parent, name = os.path.split(path)
+    os.rename(path, os.path.join(parent, f".{name}__tier_old"))
+    assert not os.path.exists(path)
+    ensure_recovered(spark, path)
+    assert os.path.exists(path)
+    assert not os.path.exists(path + maintenance.TIER_MARKER_SUFFIX)
+    assert spark.read.parquet(path).count() == 40
+
+
+def test_transition_keeps_marker_for_failed_dirs(spark, tmp_path, monkeypatch):
+    """If a directory's rewrite fails, its recovery record must stay:
+    clearing the run marker would orphan bytes possibly displaced into
+    the hidden .old stage."""
+    path = str(tmp_path / "partial")
+    df = spark.range(60).withColumn("bucket", (F.col("id") % 2).cast("int"))
+    df.write.partitionBy("bucket").parquet(path)
+    _age_dir_files(path)
+
+    real = maintenance._rewrite_dir_with_codec
+
+    def flaky(spark_, dir_path, codec, fmt):
+        if dir_path.endswith("bucket=1"):
+            raise IOError("injected rewrite failure")
+        return real(spark_, dir_path, codec, fmt)
+
+    monkeypatch.setattr(maintenance, "_rewrite_dir_with_codec", flaky)
+    done = transition_path(spark, path, retention_hours=168, codec="zstd")
+    assert [p.rsplit("/", 1)[1] for p in done] == ["bucket=0"]
+    marker = maintenance._read_marker(spark, path, "tier")
+    assert marker is not None and marker["dirs"] == ["bucket=1"]
+    # table still fully readable; the next reader heals/clears the marker
+    assert spark.read.parquet(path).count() == 60
+    maintenance.ensure_recovered(spark, path)
+    assert maintenance._read_marker(spark, path, "tier") is None
+    assert spark.read.parquet(path).count() == 60

@@ -300,3 +300,79 @@ def test_schema_evolution_add_column(spark, root):
     assert got.count() == 8
     assert got.filter(F.col("score").isNull()).count() == 5
     assert got.filter("score = 12.0").count() == 1   # id 6
+
+
+# ------------------------------------------------- review-hardening regressions
+def test_torn_head_does_not_wedge_future_commits(spark, root):
+    """A crashed claimer's torn manifest must be repaired (after the
+    grace period) instead of blocking its version number forever."""
+    t = TxTable(spark, root, torn_grace_seconds=0.0)
+    t.append(_docs(spark, range(6)))
+    with open(os.path.join(root, "_txlog", f"{1:020d}.json"), "w") as fh:
+        fh.write('{"version": 1, "files": [')  # torn claim for v1
+    v = t.append(_docs(spark, range(6, 9)))
+    assert v == 1
+    assert t.read().count() == 9
+
+
+def test_vacuum_never_counts_torn_manifest_as_retained(spark, root):
+    """keep_versions must count PARSEABLE manifests: with a torn newest
+    file, vacuum used to keep only the torn one, drop the last valid
+    manifest, and sweep every data directory — total data loss."""
+    t = TxTable(spark, root)  # default grace: torn file is 'recent'
+    t.append(_docs(spark, range(10)))
+    with open(os.path.join(root, "_txlog", f"{1:020d}.json"), "w") as fh:
+        fh.write("{not json")
+    removed = t.vacuum(keep_versions=1, retention_hours=0.0)
+    assert removed == []
+    assert t.current_version() == 0
+    assert t.read().count() == 10
+
+
+def test_partitioned_commit_plus_added_column_reads_nulls(spark, root):
+    """Add-column evolution must work for PARTITIONED older commits too
+    (their group read used to select the missing column and throw)."""
+    t = TxTable(spark, root)
+    base = _docs(spark, range(12)).withColumn("bucket", (F.col("id") % 2).cast("int"))
+    t.overwrite(base, partition_by=["bucket"])
+    t.append(
+        _docs(spark, range(100, 103), tag="w")
+        .withColumn("bucket", F.lit(9).cast("int"))
+        .withColumn("score", F.lit(1.5))
+    )
+    got = t.read()
+    assert got.count() == 15
+    assert got.filter(F.col("score").isNull()).count() == 12
+    assert got.filter("score = 1.5").count() == 3
+
+
+def test_append_with_fewer_columns_does_not_narrow_schema(spark, root):
+    t = TxTable(spark, root)
+    t.append(_docs(spark, range(4)).withColumn("score", F.lit(2.0)))
+    t.append(_docs(spark, range(4, 6)))  # no score column
+    got = t.read()
+    assert "score" in got.columns
+    assert got.filter("score = 2.0").count() == 4
+    assert got.filter(F.col("score").isNull()).count() == 2
+
+
+def test_append_type_change_is_rejected(spark, root):
+    t = TxTable(spark, root)
+    t.append(_docs(spark, range(3)))
+    bad = _docs(spark, range(3, 5)).withColumn("val", F.col("val").cast("string"))
+    with pytest.raises(ValueError, match="cannot change column"):
+        t.begin().append(bad).commit()
+
+
+def test_replace_partitions_rejects_mixed_layout(spark, root):
+    """Rows with the replaced partition value hiding in unpartitioned
+    commits would silently survive — the commit must refuse instead."""
+    t = TxTable(spark, root)
+    base = _docs(spark, range(9)).withColumn("bucket", (F.col("id") % 3).cast("int"))
+    t.overwrite(base, partition_by=["bucket"])
+    t.append(_docs(spark, range(50, 52)).withColumn("bucket", F.lit(1).cast("int")))
+    fresh = _docs(spark, range(100, 102), tag="new").withColumn(
+        "bucket", F.lit(1).cast("int")
+    )
+    with pytest.raises(ValueError, match="partition path segments"):
+        t.replace_partitions(fresh, ["bucket"])
