@@ -576,7 +576,9 @@ PRIORITY: tuple[str, ...] = (
     "error_channel_summary",
     # analytics representatives (full family continues below the window)
     "shipping_priority_top10",
-    "topk_customers_per_nation",
+    # data-quality expectations gate (new r6); topk_customers_per_nation
+    # rotates out (driver-green r1-r5)
+    "expectations_orders_quality",
     # temporal / event custom operators
     "asof_purchase_last_click",
     "range_join_error_context",

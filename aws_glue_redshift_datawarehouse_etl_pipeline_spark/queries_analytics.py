@@ -1179,3 +1179,65 @@ def sql_text_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushed filters and the aggregate runs map-side partial."""
     t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_Q6_TEXT)
+
+
+@query(
+    "expectations_orders_quality",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS rows_total,
+           CAST(SUM(CASE WHEN NOT (o_totalprice <= 300000 AND o_orderstatus IN ('O','F'))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+           CAST(SUM(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_failed_price_cap,
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F') THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_failed_final_status,
+           CAST(SUM(CASE WHEN o_totalprice <= 300000 AND o_orderstatus IN ('O','F')
+                         THEN CAST(o_totalprice AS DECIMAL(38,6)) END) AS DOUBLE)
+             AS valid_total_price
+    FROM orders
+    """,
+)
+def expectations_orders_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate (operators/expectations.py): two named rules
+    over orders, quarantine mode — the result row carries the total,
+    the quarantine size, per-rule violation counts recomputed from the
+    quarantined frame's ``failed_expectations`` attribution array, and
+    the exact-decimal price total of the rows that passed. The oracle
+    re-derives every number with plain CASE sums, so the split logic,
+    the per-rule attribution, and the survivor set are all pinned in
+    one row. Single narrow pass per branch; no shuffle until the final
+    1-row aggregates."""
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.expectations import (
+        check_expectations,
+    )
+
+    orders = t(spark, sf_dir, "orders")
+    valid, quarantined, _obs = check_expectations(
+        orders,
+        {
+            "price_cap": F.col("o_totalprice") <= 300000,
+            "final_status": F.col("o_orderstatus").isin("O", "F"),
+        },
+    )
+    v = valid.agg(
+        F.count(F.lit(1)).alias("n_valid"),
+        dsum("o_totalprice").alias("valid_total_price"),
+    )
+    q = quarantined.agg(
+        F.count(F.lit(1)).alias("n_quarantined"),
+        F.sum(
+            F.when(F.array_contains("failed_expectations", "price_cap"), 1).otherwise(0)
+        ).alias("n_failed_price_cap"),
+        F.sum(
+            F.when(
+                F.array_contains("failed_expectations", "final_status"), 1
+            ).otherwise(0)
+        ).alias("n_failed_final_status"),
+    )
+    return v.crossJoin(F.broadcast(q)).select(
+        (F.col("n_valid") + F.col("n_quarantined")).alias("rows_total"),
+        "n_quarantined",
+        "n_failed_price_cap",
+        "n_failed_final_status",
+        "valid_total_price",
+    )

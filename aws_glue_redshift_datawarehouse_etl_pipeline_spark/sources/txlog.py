@@ -596,7 +596,11 @@ class TxTable:
         return manifest["version"]
 
     # -- maintenance -------------------------------------------------------
-    def compact(self, num_files: int | None = None) -> int:
+    def compact(
+        self,
+        num_files: int | None = None,
+        zorder_by: list[str] | None = None,
+    ) -> int:
         """Small-file compaction as a COMMIT: the head snapshot is
         rewritten into ``num_files`` files (default: one per live
         commit directory, collapsing append accretion) and committed as
@@ -604,7 +608,13 @@ class TxTable:
         layout to the compact one, old files stay reachable for time
         travel until ``vacuum``. A concurrent writer conflicts rather
         than being silently clobbered (overwrite semantics); re-run
-        compaction after the conflict, it's idempotent on content."""
+        compaction after the conflict, it's idempotent on content.
+
+        ``zorder_by`` additionally clusters the rewrite on the Z-curve
+        over those (numeric) columns (operators/layout.py), so the
+        compacted files carry tight parquet min/max footers for
+        predicates on ANY of them — the OPTIMIZE ... ZORDER BY shape,
+        done here as an ordinary transactional rewrite."""
         head = self._head_manifest()
         if head is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
@@ -612,7 +622,16 @@ class TxTable:
             num_files = max(
                 1, len({f["path"].split("/")[1] for f in head["files"]})
             )
-        return self.begin().overwrite(self.read().coalesce(num_files)).commit()
+        snap = self.read()
+        if zorder_by:
+            from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.layout import (
+                zorder_layout,
+            )
+
+            snap = zorder_layout(snap, zorder_by, num_partitions=num_files)
+        else:
+            snap = snap.coalesce(num_files)
+        return self.begin().overwrite(snap).commit()
 
     def vacuum(self, keep_versions: int = 1, retention_hours: float = 0.0) -> list[str]:
         """Delete data directories referenced by NO retained manifest

