@@ -553,3 +553,139 @@ def chunk_documents(
             "n_chunk_tokens"
         ),
     )
+
+
+def _repeated_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int, min_docs: int
+):
+    """Shared pipeline for the repeated-span family: returns
+    (base = (id, n_tokens), spans = (id, s, e)) where [s, e) are the
+    maximal merged cross-document repeated k-token spans."""
+    from pyspark.sql import Window
+
+    toks = spread_small_scan(
+        df.select(F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("ts")),
+        "id",
+    )
+    base = toks.select("id", F.size("ts").alias("n_tokens"), "ts")
+    # sequence(0, n-k) is DESCENDING when n < k — guard before building
+    wins = base.filter(F.col("n_tokens") >= k).select(
+        "id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(ts) - {k}), "
+                f"i -> concat_ws(' ', slice(ts, i + 1, {k})))"
+            )
+        ).alias("start", "w"),
+    )
+    bad = (
+        wins.groupBy("w")
+        .agg(F.countDistinct("id").alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("w")
+    )
+    marked = wins.join(bad, "w", "left_semi").select("id", "start")
+    prev = (
+        Window.partitionBy("id").orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = (
+        Window.partitionBy("id").orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    spans = (
+        marked.withColumn(
+            "new_island",
+            (
+                F.col("start")
+                > F.coalesce(F.max(F.col("start") + k).over(prev), F.lit(-1))
+            ).cast("int"),
+        )
+        .withColumn("gid", F.sum("new_island").over(run))
+        .groupBy("id", "gid")
+        .agg(F.min("start").alias("s"), (F.max("start") + k).alias("e"))
+    )
+    return base.select("id", "n_tokens"), spans
+
+
+def repeated_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-span detection — the exact-substring
+    side of dedup (the public train-data recipe: find k-token windows
+    shared across documents, merge overlapping hits into maximal
+    spans). Returns one row per document: ``n_tokens``, ``n_spans``
+    (maximal repeated spans) and ``n_removed`` (tokens those spans
+    cover; 0 for clean docs).
+
+    Plan: windows are materialized per doc (posexplode over a
+    transform/slice expression — ~k× the token bytes, the documented
+    cost of substring-level dedup), counted per window STRING with a
+    map-side-combined distinct-doc aggregate, and only windows whose
+    doc-frequency reaches ``min_docs`` return to the docs via a
+    left-semi join on the window string. Overlapping hits collapse via
+    the gaps-and-islands pattern: one running-max window per doc over
+    the (tiny) marked set — never over all tokens. The quadratic-free
+    invariant: nothing ever compares document PAIRS; the join key is
+    the window content, so cost follows total repeated volume. At PB
+    scale swap the string key for xxhash64 (same plan; the string key
+    is kept for bit-exact cross-engine parity)."""
+    base, spans = _repeated_spans(df, id_col, text_col, k, min_docs)
+    per_doc = spans.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s")).alias("n_removed"),
+    )
+    return (
+        base.join(per_doc, "id", "left")
+        .na.fill({"n_spans": 0, "n_removed": 0})
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            "n_spans",
+            F.col("n_removed").cast("long").alias("n_removed"),
+        )
+    )
+
+
+def excise_repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Boilerplate excision: REMOVE every maximal cross-document
+    repeated span found by ``repeated_span_stats`` from every document
+    (navigation chrome, license headers, templated blurbs — content
+    whose repetition is the signal it isn\'t content). Returns the
+    input rows with ``text_col`` rewritten and ``n_removed`` attached.
+
+    The span → token mapping stays array-native per document: covered
+    positions are collected into one array per doc (a span list is
+    tiny), and the token filter is a single higher-order-function
+    expression — no per-token explode, no Python. Docs with no spans
+    pass through with identical text."""
+    _, spans = _repeated_spans(df, id_col, text_col, k, min_docs)
+    cover = spans.groupBy("id").agg(
+        F.flatten(F.collect_list(F.expr("sequence(s, e - 1)"))).alias("cov"),
+        F.sum(F.col("e") - F.col("s")).cast("long").alias("n_removed"),
+    )
+    out = (
+        df.join(cover, df[id_col] == cover["id"], "left")
+        .drop("id")
+        .withColumn("cov", F.coalesce(F.col("cov"), F.array().cast("array<int>")))
+        .withColumn("n_removed", F.coalesce(F.col("n_removed"), F.lit(0)))
+    )
+    kept = F.expr(
+        f"concat_ws(' ', "
+        f"transform("
+        f"  filter("
+        f"    transform(split({text_col}, ' '), (t, i) -> struct(t AS t, i AS i)),"
+        f"    s -> NOT array_contains(cov, s.i)),"
+        f"  s -> s.t))"
+    )
+    return out.withColumn(text_col, kept).drop("cov")

@@ -595,7 +595,9 @@ PRIORITY: tuple[str, ...] = (
     "streaming_txlog_exactly_once",
     "streaming_running_source_counts",
     # LLM training-data pipeline: text analysis
-    "token_count_documents",
+    # exact-substring (repeated-span) dedup stats, new r6;
+    # token_count_documents rotates out (driver-green r1-r5)
+    "repeated_span_stats_documents",
     "text_quality_scores",
     "language_id_documents",
     # semantic (embedding-space) dedup, new r6; fingerprint_documents

@@ -1497,3 +1497,65 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.withColumn("bucketed_superset_ok", F.lit(superset_ok))
         .orderBy("vec_id")
     )
+
+
+@query(
+    "repeated_span_stats_documents",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS start,
+             array_to_string(ts[CAST(i + 1 AS BIGINT):CAST(i + 8 AS BIGINT)], ' ') AS w
+      FROM toks, UNNEST(range(0, len(ts) - 8 + 1)) AS r(i)
+      WHERE len(ts) >= 8
+    ),
+    bad AS (
+      SELECT w FROM wins GROUP BY w HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    marked AS (
+      SELECT doc_id, start FROM wins WHERE w IN (SELECT w FROM bad)
+    ),
+    flagged AS (
+      SELECT doc_id, start,
+             CASE WHEN start > COALESCE(MAX(start + 8) OVER (
+                    PARTITION BY doc_id ORDER BY start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM marked
+    ),
+    grp AS (
+      SELECT doc_id, start,
+             SUM(new_island) OVER (PARTITION BY doc_id ORDER BY start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+      FROM flagged
+    ),
+    spans AS (
+      SELECT doc_id, gid, MIN(start) AS s, MAX(start) + 8 AS e
+      FROM grp GROUP BY doc_id, gid
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(SUM(e - s) AS BIGINT) AS n_removed
+      FROM spans GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.ts) AS INTEGER) AS n_tokens,
+           CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(p.n_removed, 0) AS BIGINT) AS n_removed
+    FROM toks t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def repeated_span_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup statistics (operators/text.py::
+    repeated_span_stats): per-document count and token volume of
+    maximal cross-document repeated 8-token spans, with overlapping
+    windows merged by the gaps-and-islands pattern. The oracle
+    replicates the FULL pipeline in SQL — window extraction,
+    doc-frequency filter, island merge — so both the detection and the
+    merge arithmetic are hash-exact per document."""
+    return X.repeated_span_stats(
+        t(spark, sf_dir, "documents"), k=8, min_docs=2
+    ).orderBy("doc_id")

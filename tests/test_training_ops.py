@@ -1070,3 +1070,50 @@ def test_semantic_dedup_preserves_all_columns(spark):
     df = _planted_vectors(spark).withColumn("extra", F.lit("x"))
     out = semantic_dedup(df, threshold=0.99, num_buckets=2, probe=2, refine_rounds=0)
     assert out.columns == ["vec_id", "embedding", "extra"]
+
+
+# ----------------------------------------------------- repeated-span excision
+def _span_docs(spark):
+    boiler = "all rights reserved contact us at example site footer text"  # 10 tokens
+    rows = [
+        (0, f"alpha beta gamma {boiler} delta epsilon zeta eta theta"),
+        (1, f"one two three four {boiler} five six seven eight nine"),
+        (2, "totally unique content with no shared windows anywhere in sight at all"),
+        (3, "tiny doc"),  # shorter than k -> no windows, no crash
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def test_repeated_span_stats_finds_and_merges(spark):
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.text import (
+        repeated_span_stats,
+    )
+
+    got = {
+        r.doc_id: r
+        for r in repeated_span_stats(_span_docs(spark), k=8, min_docs=2).collect()
+    }
+    assert len(got) == 4
+    # the 10-token boilerplate yields 3 overlapping 8-grams -> ONE span
+    # of 10 tokens in each of docs 0 and 1
+    assert got[0].n_spans == 1 and got[0].n_removed == 10
+    assert got[1].n_spans == 1 and got[1].n_removed == 10
+    assert got[2].n_spans == 0 and got[2].n_removed == 0
+    assert got[3].n_spans == 0 and got[3].n_removed == 0
+
+
+def test_excise_repeated_spans_removes_only_boilerplate(spark):
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.text import (
+        excise_repeated_spans,
+    )
+
+    out = {
+        r.doc_id: r
+        for r in excise_repeated_spans(_span_docs(spark), k=8, min_docs=2).collect()
+    }
+    assert out[0].text == "alpha beta gamma delta epsilon zeta eta theta"
+    assert out[1].text == "one two three four five six seven eight nine"
+    assert out[0].n_removed == 10 and out[1].n_removed == 10
+    # untouched docs come back byte-identical
+    assert out[2].text.startswith("totally unique") and out[2].n_removed == 0
+    assert out[3].text == "tiny doc" and out[3].n_removed == 0
