@@ -52,10 +52,12 @@ BENCH_QUERIES = [
     # codec-free image-header parse over synthesized binary payloads
     "cobucketed_join_revenue",
     "multimodal_image_dims",
-    # transactional commit log (two commits + head/time-travel reads)
-    # and the Q5-shape 5-way join (round 6)
+    # transactional commit log (two commits + head/time-travel reads),
+    # the Q5-shape 5-way join, and exact-substring (repeated-span)
+    # dedup stats (round 6)
     "txlog_orders_time_travel",
     "local_supplier_volume_by_nation",
+    "repeated_span_stats_documents",
 ]
 
 
