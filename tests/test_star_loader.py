@@ -150,3 +150,25 @@ def test_catalog_schema_lookup_and_write_frame(spark, tmp_path):
     )
     assert errs.count() == 0  # DataSink.writeFrame returns the error companion
     assert spark.read.parquet(str(tmp_path / "out")).count() == 1
+
+
+def test_format_round_trips_through_registry(spark, tmp_path):
+    """Every file format the source registry dispatches (csv/tsv/json/
+    parquet/orc/text round-trip through write_sink → read_source with
+    identical rows — the from_options matrix the reference's format
+    registry promises (avro goes through the jar-less codec path,
+    covered in tests/test_avro_codec.py)."""
+    base = spark.range(50).selectExpr(
+        "id", "concat('name_', id) AS name", "CAST(id * 1.5 AS DOUBLE) AS score"
+    )
+    for fmt in ("csv", "json", "parquet", "orc"):
+        path = str(tmp_path / f"rt_{fmt}")
+        fopts = {"header": "true"} if fmt == "csv" else {}
+        write_sink(base, "file", options={"path": path, **fopts}, fmt=fmt)
+        ropts = {"path": path, **fopts}
+        if fmt == "csv":
+            ropts["inferSchema"] = "true"
+        back = read_source(spark, "file", options=ropts, fmt=fmt)
+        assert back.count() == 50, fmt
+        got = {r.id: (r.name, float(r.score)) for r in back.collect()}
+        assert got[7] == ("name_7", 10.5), fmt
