@@ -556,11 +556,18 @@ def chunk_documents(
 
 
 def _repeated_spans(
-    df: DataFrame, id_col: str, text_col: str, k: int, min_docs: int
+    df: DataFrame, id_col: str, text_col: str, k: int, min_docs: int,
+    keep: str = "none",
 ):
     """Shared pipeline for the repeated-span family: returns
     (base = (id, n_tokens), spans = (id, s, e)) where [s, e) are the
-    maximal merged cross-document repeated k-token spans."""
+    maximal merged cross-document repeated k-token spans.
+
+    ``keep='none'`` marks every occurrence of a repeated window (the
+    boilerplate-strip reading: repetition itself disqualifies the
+    content); ``keep='first'`` exempts each window's lowest doc id, so
+    exactly one copy of every repeated passage survives corpus-wide —
+    the published exact-substring dedup policy."""
     from pyspark.sql import Window
 
     toks = spread_small_scan(
@@ -578,13 +585,22 @@ def _repeated_spans(
             )
         ).alias("start", "w"),
     )
+    if keep not in ("none", "first"):
+        raise ValueError(f"unknown keep policy: {keep!r}")
     bad = (
         wins.groupBy("w")
-        .agg(F.countDistinct("id").alias("df"))
+        .agg(F.countDistinct("id").alias("df"), F.min("id").alias("first_id"))
         .filter(F.col("df") >= min_docs)
-        .select("w")
+        .select("w", "first_id")
     )
-    marked = wins.join(bad, "w", "left_semi").select("id", "start")
+    if keep == "first":
+        marked = (
+            wins.join(bad, "w")
+            .filter(F.col("id") != F.col("first_id"))
+            .select("id", "start")
+        )
+    else:
+        marked = wins.join(bad.select("w"), "w", "left_semi").select("id", "start")
     prev = (
         Window.partitionBy("id").orderBy("start")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -657,6 +673,7 @@ def excise_repeated_spans(
     text_col: str = "text",
     k: int = 8,
     min_docs: int = 2,
+    keep: str = "none",
 ) -> DataFrame:
     """Boilerplate excision: REMOVE every maximal cross-document
     repeated span found by ``repeated_span_stats`` from every document
@@ -668,8 +685,10 @@ def excise_repeated_spans(
     positions are collected into one array per doc (a span list is
     tiny), and the token filter is a single higher-order-function
     expression — no per-token explode, no Python. Docs with no spans
-    pass through with identical text."""
-    _, spans = _repeated_spans(df, id_col, text_col, k, min_docs)
+    pass through with identical text. ``keep='first'`` switches to the
+    published exact-substring dedup policy: each repeated window's
+    lowest doc id keeps its copy, every other occurrence is excised."""
+    _, spans = _repeated_spans(df, id_col, text_col, k, min_docs, keep=keep)
     cover = spans.groupBy("id").agg(
         F.flatten(F.collect_list(F.expr("sequence(s, e - 1)"))).alias("cov"),
         F.sum(F.col("e") - F.col("s")).cast("long").alias("n_removed"),

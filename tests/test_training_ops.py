@@ -1117,3 +1117,20 @@ def test_excise_repeated_spans_removes_only_boilerplate(spark):
     # untouched docs come back byte-identical
     assert out[2].text.startswith("totally unique") and out[2].n_removed == 0
     assert out[3].text == "tiny doc" and out[3].n_removed == 0
+
+
+def test_excise_keep_first_leaves_one_copy(spark):
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.text import (
+        excise_repeated_spans,
+    )
+
+    out = {
+        r.doc_id: r
+        for r in excise_repeated_spans(
+            _span_docs(spark), k=8, min_docs=2, keep="first"
+        ).collect()
+    }
+    # doc 0 is the lowest id containing the boilerplate: it keeps it
+    assert "all rights reserved" in out[0].text and out[0].n_removed == 0
+    assert "all rights reserved" not in out[1].text and out[1].n_removed == 10
+    assert out[1].text == "one two three four five six seven eight nine"
