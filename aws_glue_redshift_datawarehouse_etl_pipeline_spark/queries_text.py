@@ -1559,3 +1559,76 @@ def repeated_span_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     return X.repeated_span_stats(
         t(spark, sf_dir, "documents"), k=8, min_docs=2
     ).orderBy("doc_id")
+
+
+@query(
+    "excise_repeated_spans_documents",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS start,
+             array_to_string(ts[CAST(i + 1 AS BIGINT):CAST(i + 8 AS BIGINT)], ' ') AS w
+      FROM toks, UNNEST(range(0, len(ts) - 8 + 1)) AS r(i)
+      WHERE len(ts) >= 8
+    ),
+    bad AS (
+      SELECT w FROM wins GROUP BY w HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    marked AS (
+      SELECT doc_id, start FROM wins WHERE w IN (SELECT w FROM bad)
+    ),
+    flagged AS (
+      SELECT doc_id, start,
+             CASE WHEN start > COALESCE(MAX(start + 8) OVER (
+                    PARTITION BY doc_id ORDER BY start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM marked
+    ),
+    grp AS (
+      SELECT doc_id, start,
+             SUM(new_island) OVER (PARTITION BY doc_id ORDER BY start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+      FROM flagged
+    ),
+    spans AS (
+      SELECT doc_id, gid, MIN(start) AS s, MAX(start) + 8 AS e
+      FROM grp GROUP BY doc_id, gid
+    ),
+    covered AS (
+      SELECT doc_id, list(DISTINCT p) AS cov
+      FROM spans, UNNEST(range(s, e)) AS u(p)
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           md5(COALESCE(array_to_string(
+             list_filter(
+               list_transform(range(1, len(t.ts) + 1),
+                 i -> CASE WHEN c.cov IS NOT NULL AND list_contains(c.cov, i - 1)
+                           THEN NULL ELSE t.ts[i] END),
+               x -> x IS NOT NULL),
+             ' '), '')) AS text_md5,
+           CAST(COALESCE(len(c.cov), 0) AS BIGINT) AS n_removed
+    FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def excise_repeated_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate excision end to end (operators/text.py::
+    excise_repeated_spans): every cross-document repeated 8-token span
+    is removed from every document, and the oracle REBUILDS each
+    excised text in SQL (window detection → island merge → covered-
+    position filter → token reassembly) and compares md5 per document
+    — so the operator's actual output text, not just its accounting,
+    is hash-exact. n_removed counts covered token positions (equal to
+    summed span lengths; spans never overlap after the merge)."""
+    out = X.excise_repeated_spans(
+        t(spark, sf_dir, "documents"), k=8, min_docs=2
+    )
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+    ).orderBy("doc_id")

@@ -217,3 +217,22 @@ def test_q12_shape_pushes_date_range_to_scan(spark, sf_dir):
         ln for ln in s.splitlines() if "ReadSchema" in ln and "l_shipdate" in ln
     )
     assert "l_extendedprice" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_repeated_span_plans_without_pairwise_join(spark, sf_dir):
+    """Substring dedup must never form document pairs: the only joins
+    are the window-content semi-join and the final per-doc left join —
+    no nested-loop, no cartesian, and the island merge windows over the
+    marked set."""
+    s = plan(spark, sf_dir, "repeated_span_stats_documents")
+    assert "BroadcastNestedLoopJoin" not in s and "CartesianProduct" not in s
+    assert "LeftSemi" in s
+    assert "Window" in s  # gaps-and-islands runs as window functions
+
+
+def test_semantic_dedup_survivors_is_anti_join_shaped(spark, sf_dir):
+    """Survivor selection is a left-anti on the id — never a pairwise
+    re-comparison of survivors."""
+    s = plan(spark, sf_dir, "semantic_dedup_survivors")
+    assert "LeftAnti" in s
+    assert "CartesianProduct" not in s
