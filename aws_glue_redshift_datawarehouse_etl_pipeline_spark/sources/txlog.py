@@ -104,6 +104,22 @@ def _merge_schema_json(parent_json: str | None, batch_json: str | None) -> str:
     return T.StructType(merged).json()
 
 
+def _json_safe_stats(stats: dict) -> dict:
+    """Manifest stats must survive a JSON round trip with comparison
+    semantics intact: numbers and strings pass through; anything else
+    (timestamps, decimals) stringifies, and range pruning falls back to
+    string comparison for it — conservative but documented."""
+    out = {}
+    for c, (lo, hi) in stats.items():
+        conv = (
+            lambda v: v
+            if v is None or isinstance(v, (int, float, str, bool))
+            else str(v)
+        )
+        out[c] = [conv(lo), conv(hi)]
+    return out
+
+
 def _parse_parts(rel: str) -> dict[str, str]:
     """Hive ``col=value`` segments of a relative file path, as the writer
     escaped them — comparisons stay on the raw segments so partition-value
@@ -208,7 +224,52 @@ class Transaction:
             files.append(
                 {"path": f"{_DATA_DIR}/{self.txid}/{rel}", "parts": _parse_parts(rel)}
             )
-        return sorted(files, key=lambda f: f["path"])
+        files.sort(key=lambda f: f["path"])
+        return self._attach_stats(files)
+
+    def _attach_stats(self, files: list[dict]) -> list[dict]:
+        """Per-file min/max for the table's ``stats_columns``, computed
+        DISTRIBUTED in one grouped pass keyed by ``input_file_name``
+        (no driver-side footer reads, engine-agnostic) and stored in
+        the manifest — the data-skipping statistics the public formats
+        keep, enabling manifest-level range pruning in ``read``. Cost:
+        one narrow scan of the just-staged bytes at commit time."""
+        cols = [
+            c
+            for c in self.table.stats_columns
+            if c not in self._partition_keys
+        ]
+        if not cols or not files:
+            return files
+        df = self.table.spark.read.option("basePath", self.stage_path).parquet(
+            self.stage_path
+        )
+        present = [c for c in cols if c in df.columns]
+        if not present:
+            return files
+        aggs = []
+        for c in present:
+            aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+        rows = (
+            df.withColumn("__f", F.input_file_name())
+            .groupBy("__f")
+            .agg(*aggs)
+            .collect()
+        )
+        # part-file names carry a per-job UUID — globally unique, so the
+        # basename is a safe join key even across partition directories
+        # and input_file_name's URI encoding
+        by_name = {
+            r["__f"].rsplit("/", 1)[1]: {
+                c: [r[f"__lo_{c}"], r[f"__hi_{c}"]] for c in present
+            }
+            for r in rows
+        }
+        for f in files:
+            st = by_name.get(f["path"].rsplit("/", 1)[1])
+            if st is not None:
+                f["stats"] = _json_safe_stats(st)
+        return files
 
     # -- commit ------------------------------------------------------------
     def commit(self, max_retries: int = 10) -> int:
@@ -325,11 +386,20 @@ class TxTable:
     mistaken for a crash."""
 
     def __init__(
-        self, spark: SparkSession, root: str, torn_grace_seconds: float = 60.0
+        self,
+        spark: SparkSession,
+        root: str,
+        torn_grace_seconds: float = 60.0,
+        stats_columns: list[str] | None = None,
     ):
         self.spark = spark
         self.root = root.rstrip("/")
         self.torn_grace_seconds = torn_grace_seconds
+        # columns whose per-file min/max are recorded in every commit's
+        # manifest (one extra narrow pass over the staged bytes) and
+        # consulted by read(range_filter=...) for manifest-level file
+        # skipping — the data-skipping statistics of the public formats
+        self.stats_columns = list(stats_columns or [])
 
     # -- log access --------------------------------------------------------
     def _log_path(self) -> str:
@@ -434,6 +504,7 @@ class TxTable:
         self,
         version: int | None = None,
         partition_filter: dict[str, object] | None = None,
+        range_filter: dict[str, tuple] | None = None,
     ) -> DataFrame:
         """Snapshot read: exactly the files the manifest names, with the
         manifest's schema (column order stable across layouts). Files
@@ -450,7 +521,14 @@ class TxTable:
         writer-escaped path segment (str(value)); files from
         unpartitioned commits carry no such segment and are kept only
         when no filter key applies to them — so filter keys must be
-        the table's partition columns to mean what you expect."""
+        the table's partition columns to mean what you expect.
+
+        ``range_filter`` ``{col: (lo, hi)}`` additionally skips files
+        whose recorded min/max (``stats_columns`` at write time) cannot
+        intersect ``[lo, hi]`` — files without stats for a column are
+        conservatively KEPT, and the returned frame is NOT re-filtered
+        (file skipping, not row filtering; apply the row predicate too
+        when exact bounds matter)."""
         m = self._head_manifest() if version is None else self._read_manifest(version)
         if m is None:
             raise FileNotFoundError(
@@ -466,6 +544,19 @@ class TxTable:
                 for f in files
                 if all(f["parts"].get(k, v) == v for k, v in want.items())
             ]
+        if range_filter:
+
+            def may_overlap(f: dict) -> bool:
+                stats = f.get("stats") or {}
+                for c, (lo, hi) in range_filter.items():
+                    st = stats.get(c)
+                    if st is None or st[0] is None or st[1] is None:
+                        continue  # unknown — keep conservatively
+                    if st[1] < lo or st[0] > hi:
+                        return False
+                return True
+
+            files = [f for f in files if may_overlap(f)]
         if not files:
             return self.spark.createDataFrame([], schema)
         cols = [fld.name for fld in schema.fields]
@@ -560,6 +651,21 @@ class TxTable:
             ).commit()
 
         return _write
+
+    def diff(self, from_version: int, to_version: int, keys: list[str]) -> DataFrame:
+        """Row-level change feed between two snapshots: added / removed /
+        changed rows keyed by ``keys`` — ``operators/joins.py::
+        snapshot_diff`` (each side reduced to key + row fingerprint
+        before the one full-outer shuffle) applied to two time-travel
+        reads. The CDC surface a commit log makes possible on plain
+        parquet: any two retained versions, any direction."""
+        from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.joins import (
+            snapshot_diff,
+        )
+
+        return snapshot_diff(
+            self.read(version=from_version), self.read(version=to_version), keys
+        )
 
     def restore(self, version: int) -> int:
         """Roll the table BACK to ``version`` as a NEW commit (the

@@ -407,3 +407,36 @@ def test_compact_zorder_tightens_footers(spark, root):
     # z-ordered files each cover a fraction of the 0-999 x-range
     assert sum(spans) / len(spans) < 999 * 0.8
     assert v == t.current_version()
+
+
+def test_diff_between_versions_labels_changes(spark, root):
+    t = TxTable(spark, root)
+    t.append(_docs(spark, range(10)))                                  # v0
+    t.merge(_docs(spark, range(8, 14), tag="new"), keys=["id"])        # v1
+    d = {r.id: r.change_type for r in t.diff(0, 1, keys=["id"]).collect()}
+    assert all(d[i] == "added" for i in range(10, 14))
+    assert all(d[i] == "changed" for i in (8, 9))                      # tag flipped
+    assert set(d) == {8, 9, 10, 11, 12, 13}                           # 0-7 unchanged
+    # reverse direction flips added -> removed
+    rev = {r.id: r.change_type for r in t.diff(1, 0, keys=["id"]).collect()}
+    assert all(rev[i] == "removed" for i in range(10, 14))
+
+
+def test_stats_columns_enable_manifest_range_pruning(spark, root):
+    t = TxTable(spark, root, stats_columns=["val"])
+    # three commits with disjoint val ranges -> three prunable file sets
+    for base in (0, 100, 200):
+        t.append(
+            spark.range(base, base + 50).selectExpr(
+                "id", "CAST(id AS DOUBLE) AS val"
+            ).coalesce(1)
+        )
+    head = t._head_manifest()
+    assert all("stats" in f and "val" in f["stats"] for f in head["files"])
+    pruned = t.read(range_filter={"val": (120, 130)})
+    assert sorted(r.id for r in pruned.collect()) == list(range(100, 150))
+    assert len(pruned.inputFiles()) == 1          # two of three commits skipped
+    # full-range read unaffected
+    assert t.read().count() == 150
+    # a column never recorded: conservative keep-everything
+    assert t.read(range_filter={"absent": (0, 1)}).count() == 150
