@@ -1241,3 +1241,43 @@ def expectations_orders_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_failed_final_status",
         "valid_total_price",
     )
+
+
+@query(
+    "promo_revenue_share",
+    oracle="""
+    SELECT CAST(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))
+                 ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+               / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+               AS DOUBLE) AS promo_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — promotional revenue share: part broadcasts
+    into the lineitem scan (fact never shuffles), the conditional and
+    total revenue accumulate as exact decimals in ONE partial-agg pass,
+    and the percentage divides the two doubles at the end — identical
+    arithmetic order in both engines."""
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                        F.lit(0).cast(_DEC)
+                    )
+                ).cast("double")
+                / F.sum(rev).cast("double")
+            ).cast("double").alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

@@ -836,6 +836,45 @@ class TransactionalCatalog:
             tx.append(df)
         return tx.commit()
 
+    # -- job bookmarks (transactional high-watermark reads) ---------------
+    # Same surface as WarehouseCatalog's bookmark API, but each commit
+    # of the watermark is itself a transaction on a tiny `_bookmarks`
+    # commit-log table — a crash between data write and bookmark commit
+    # leaves the PREVIOUS watermark, so the re-run re-reads (and the
+    # idempotent loads above absorb) rather than silently skipping.
+
+    _BOOKMARKS = "_bookmarks"
+
+    def get_bookmark(self, source: str):
+        tbl = self.table(self._BOOKMARKS)
+        if not tbl.exists():
+            return None
+        rows = (
+            tbl.read()
+            .filter(F.col("source") == source)
+            .orderBy(F.desc("version"))
+            .limit(1)
+            .collect()
+        )
+        return rows[0]["watermark"] if rows else None
+
+    def commit_bookmark(self, source: str, df: DataFrame, watermark_col: str) -> None:
+        row = df.agg(F.max(watermark_col).alias("wm")).first()
+        if row is None or row.wm is None:
+            return
+        tbl = self.table(self._BOOKMARKS)
+        version = tbl.current_version() + 1
+        entry = self.spark.createDataFrame(
+            [(source, str(row.wm), version)], "source: string, watermark: string, version: long"
+        )
+        tbl.append(entry)
+
+    def incremental_read(self, df: DataFrame, source: str, watermark_col: str) -> DataFrame:
+        wm = self.get_bookmark(source)
+        if wm is None:
+            return df
+        return df.filter(F.col(watermark_col) > F.lit(wm))
+
 
 # -- reference-parity free functions (context.py:676-683 names) -------------
 def start_transaction(table: TxTable) -> Transaction:

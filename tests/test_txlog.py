@@ -440,3 +440,23 @@ def test_stats_columns_enable_manifest_range_pruning(spark, root):
     assert t.read().count() == 150
     # a column never recorded: conservative keep-everything
     assert t.read(range_filter={"absent": (0, 1)}).count() == 150
+
+
+def test_transactional_bookmarks_high_watermark(spark, tmp_path):
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.sources.txlog import (
+        TransactionalCatalog,
+    )
+
+    cat = TransactionalCatalog(spark, str(tmp_path / "bmwh"))
+    batch1 = spark.range(10).selectExpr("id", "CAST(id AS STRING) AS wm")
+    assert cat.get_bookmark("src") is None
+    assert cat.incremental_read(batch1, "src", "id").count() == 10
+    cat.commit_bookmark("src", batch1, "id")
+    assert cat.get_bookmark("src") == "9"
+    # next batch: only rows past the watermark survive the filter
+    batch2 = spark.range(20).selectExpr("id", "CAST(id AS STRING) AS wm")
+    assert cat.incremental_read(batch2, "src", "id").count() == 10  # ids 10-19
+    cat.commit_bookmark("src", batch2, "id")
+    assert cat.get_bookmark("src") == "19"
+    # per-source isolation
+    assert cat.get_bookmark("other") is None
