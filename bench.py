@@ -58,6 +58,10 @@ BENCH_QUERIES = [
     "txlog_orders_time_travel",
     "local_supplier_volume_by_nation",
     "repeated_span_stats_documents",
+    # decorrelated-subquery shapes (Q18/Q16): single fact scan + reused
+    # per-order aggregate, broadcast anti-join supplier exclusion
+    "large_order_customers",
+    "parts_supplier_counts",
 ]
 
 
