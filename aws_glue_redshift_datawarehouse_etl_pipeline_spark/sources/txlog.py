@@ -47,7 +47,7 @@ import os
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -132,6 +132,37 @@ def _parse_parts(rel: str) -> dict[str, str]:
     return out
 
 
+def _prune_files(
+    files: list[dict],
+    partition_filter: dict[str, object] | None,
+    range_filter: dict[str, tuple] | None,
+) -> list[dict]:
+    """Manifest-level file pruning shared by ``read`` and the DML
+    rewrite path: Hive path-segment equality plus min/max stats-range
+    overlap; files without the segment/stats are conservatively kept."""
+    if partition_filter:
+        want = {k: str(v) for k, v in partition_filter.items()}
+        files = [
+            f
+            for f in files
+            if all(f["parts"].get(k, v) == v for k, v in want.items())
+        ]
+    if range_filter:
+
+        def may_overlap(f: dict) -> bool:
+            stats = f.get("stats") or {}
+            for c, (lo, hi) in range_filter.items():
+                st = stats.get(c)
+                if st is None or st[0] is None or st[1] is None:
+                    continue  # unknown — keep conservatively
+                if st[1] < lo or st[0] > hi:
+                    return False
+            return True
+
+        files = [f for f in files if may_overlap(f)]
+    return files
+
+
 class Transaction:
     """One staged write. All bytes land under ``data/<txid>/`` and stay
     invisible until ``commit`` claims the next manifest; ``abort`` (or a
@@ -171,6 +202,7 @@ class Transaction:
         self.op: str | None = None
         self._schema_json: str | None = None
         self._partition_keys: list[str] = []
+        self._drop_paths: set[str] = set()
         self._committed = False
         self._aborted = False
 
@@ -207,6 +239,23 @@ class Transaction:
         if not partition_by:
             raise ValueError("replace_partitions requires partition columns")
         self._stage(df, "replace_partitions", partition_by)
+        return self
+
+    def rewrite(
+        self,
+        df: DataFrame,
+        drop_paths: list[str],
+        partition_by: list[str] | None = None,
+    ) -> "Transaction":
+        """File-level rewrite (the DML primitive): the parent files named
+        in ``drop_paths`` are dropped from the manifest and ``df`` is
+        staged in their place; every other parent file carries over BY
+        REFERENCE — a row-level DELETE/UPDATE commits O(files-touched)
+        bytes, never O(table). Depends on the snapshot it read (the
+        dropped set came from it), so overwrite conflict semantics
+        apply."""
+        self._drop_paths = set(drop_paths)
+        self._stage(df, "rewrite", partition_by)
         return self
 
     def _staged_files(self) -> list[dict]:
@@ -308,6 +357,13 @@ class Transaction:
             elif self.op == "overwrite":
                 files = staged
                 schema_json = self._schema_json
+            elif self.op == "rewrite":
+                files = [
+                    f for f in parent_files if f["path"] not in self._drop_paths
+                ] + staged
+                schema_json = _merge_schema_json(
+                    (head or {}).get("schema"), self._schema_json
+                )
             else:  # replace_partitions
                 keys = self._partition_keys
                 unlabeled = [
@@ -536,27 +592,13 @@ class TxTable:
                 f"at {self.root}"
             )
         schema = T.StructType.fromJson(json.loads(m["schema"]))
-        files = m["files"]
-        if partition_filter:
-            want = {k: str(v) for k, v in partition_filter.items()}
-            files = [
-                f
-                for f in files
-                if all(f["parts"].get(k, v) == v for k, v in want.items())
-            ]
-        if range_filter:
+        files = _prune_files(m["files"], partition_filter, range_filter)
+        return self._files_to_df(files, schema)
 
-            def may_overlap(f: dict) -> bool:
-                stats = f.get("stats") or {}
-                for c, (lo, hi) in range_filter.items():
-                    st = stats.get(c)
-                    if st is None or st[0] is None or st[1] is None:
-                        continue  # unknown — keep conservatively
-                    if st[1] < lo or st[0] > hi:
-                        return False
-                return True
-
-            files = [f for f in files if may_overlap(f)]
+    def _files_to_df(self, files: list[dict], schema: T.StructType) -> DataFrame:
+        """One DataFrame over exactly the manifest files given, with the
+        manifest schema imposed (shared by ``read`` and the DML rewrite
+        path so both see identical rows for the same file set)."""
         if not files:
             return self.spark.createDataFrame([], schema)
         cols = [fld.name for fld in schema.fields]
@@ -634,6 +676,118 @@ class TxTable:
         else:
             merged = df
         return tx.overwrite(merged).commit()
+
+    # -- row-level DML (minimal-file rewrite) ------------------------------
+    def _dml_rewrite(
+        self,
+        condition: Column,
+        transform,
+        partition_filter: dict[str, object] | None,
+        range_filter: dict[str, tuple] | None,
+    ) -> int:
+        """Shared DELETE/UPDATE engine. Three-stage narrowing so the
+        commit is O(files that actually contain matching rows):
+        manifest pruning (partition/stats hints, zero I/O) → one
+        predicate-pushed scan of the candidates tagging each row with
+        its file → rewrite ONLY the hit files through ``transform``,
+        carrying every other live file into the new manifest by
+        reference. The pruning hints follow ``read``'s contract: they
+        must be implied by ``condition``, or rows in pruned files
+        silently escape the DML."""
+        head = self._head_manifest()
+        if head is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        schema = T.StructType.fromJson(json.loads(head["schema"]))
+        cands = _prune_files(head["files"], partition_filter, range_filter)
+        if not cands:
+            return head["version"]
+        # part-file basenames carry a per-job UUID — globally unique, so
+        # basename is a safe key across commit dirs (same invariant
+        # _attach_stats relies on)
+        hits = {
+            r["__f"].rsplit("/", 1)[1]
+            for r in (
+                self._files_to_df(cands, schema)
+                .withColumn("__f", F.input_file_name())
+                .filter(condition)
+                .select("__f")
+                .distinct()
+                .collect()
+            )
+        }
+        touched = [f for f in cands if f["path"].rsplit("/", 1)[1] in hits]
+        if not touched:
+            return head["version"]
+        key_orders = {tuple(f["parts"].keys()) for f in touched}
+        if len(key_orders) != 1:
+            # mixed physical layouts (partitioned + flat commits): no
+            # single partitionBy reproduces both; stage flat. The
+            # replace_partitions unlabeled-file guard keeps this honest.
+            pkeys: list[str] | None = None
+        else:
+            pkeys = list(key_orders.pop()) or None
+        out = transform(self._files_to_df(touched, schema))
+        tx = self.begin()
+        tx.rewrite(out, [f["path"] for f in touched], partition_by=pkeys)
+        return tx.commit()
+
+    def delete(
+        self,
+        condition: Column | str,
+        partition_filter: dict[str, object] | None = None,
+        range_filter: dict[str, tuple] | None = None,
+    ) -> int:
+        """Transactional row-level DELETE: rows matching ``condition``
+        vanish atomically at the committed version; files with no
+        matches survive byte-identical (their manifest paths don't
+        change — time travel to the parent still sees the rows).
+        Returns the current version unchanged when nothing matches —
+        a no-op DELETE should not invalidate snapshot readers."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        return self._dml_rewrite(
+            cond, lambda df: df.filter(~cond), partition_filter, range_filter
+        )
+
+    def update(
+        self,
+        condition: Column | str,
+        assignments: dict[str, Column | str],
+        partition_filter: dict[str, object] | None = None,
+        range_filter: dict[str, tuple] | None = None,
+    ) -> int:
+        """Transactional row-level UPDATE: ``assignments`` maps column
+        name → new-value expression (may reference any column), applied
+        only where ``condition`` holds; every value keeps its declared
+        column type. Updating a partition column re-partitions the
+        rewritten rows naturally — they are staged through the same
+        partitionBy as the files they replace."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        head = self._head_manifest()
+        if head is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        schema = T.StructType.fromJson(json.loads(head["schema"]))
+        types = {f.name: f.dataType for f in schema.fields}
+        unknown = [c for c in assignments if c not in types]
+        if unknown:
+            raise ValueError(f"assignments target unknown columns: {unknown}")
+        exprs = {
+            c: (F.expr(e) if isinstance(e, str) else e)
+            for c, e in assignments.items()
+        }
+
+        def apply(df: DataFrame) -> DataFrame:
+            return df.select(
+                *[
+                    F.when(cond, exprs[c].cast(types[c]))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    if c in exprs
+                    else F.col(c)
+                    for c in df.columns
+                ]
+            )
+
+        return self._dml_rewrite(cond, apply, partition_filter, range_filter)
 
     def foreach_batch_appender(self, app_prefix: str):
         """Sink function for ``DataStreamWriter.foreachBatch``: each

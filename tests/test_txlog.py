@@ -460,3 +460,84 @@ def test_transactional_bookmarks_high_watermark(spark, tmp_path):
     assert cat.get_bookmark("src") == "19"
     # per-source isolation
     assert cat.get_bookmark("other") is None
+
+
+# -- row-level DML (delete/update as minimal-file rewrite) -----------------
+
+
+def test_delete_rewrites_only_hit_files_and_carries_rest_by_reference(spark, root):
+    t = TxTable(spark, root, stats_columns=["id"])
+    # two appends → two disjoint file sets with disjoint id stats
+    t.append(_docs(spark, range(0, 100)).repartition(1))
+    t.append(_docs(spark, range(100, 200), tag="b").repartition(1))
+    before = {f["path"] for f in t._head_manifest()["files"]}
+    v = t.delete("id >= 150", range_filter={"id": (150, 10**9)})
+    after = t._head_manifest()["files"]
+    after_paths = {f["path"] for f in after}
+    # the first commit's file (ids 0..99) must survive UNCHANGED
+    untouched = {p for p in before if p in after_paths}
+    assert len(untouched) == 1
+    # rows gone at the new head, present at the parent snapshot
+    assert t.read().count() == 150
+    assert t.read().filter("id >= 150").count() == 0
+    assert t.read(version=v - 1).count() == 200
+    assert [m["op"] for m in t.history()][-1] == "rewrite"
+
+
+def test_delete_no_match_is_a_noop_version(spark, root):
+    t = TxTable(spark, root)
+    t.append(_docs(spark, range(10)))
+    v0 = t.current_version()
+    assert t.delete("id > 999") == v0
+    assert t.current_version() == v0
+
+
+def test_delete_on_partitioned_layout_keeps_partition_columns(spark, root):
+    t = TxTable(spark, root)
+    df = _docs(spark, range(40)).withColumn("bucket", F.col("id") % 2)
+    t.begin().overwrite(df, partition_by=["bucket"]).commit()
+    t.delete("id < 10")
+    got = t.read()
+    assert got.count() == 30
+    assert set(got.columns) == {"id", "tag", "val", "bucket"}
+    # partition column still reconstructs per row after the rewrite
+    assert got.filter("bucket = (id % 2)").count() == 30
+    # manifest-level pruning still works against the rewritten files
+    assert t.read(partition_filter={"bucket": 1}).filter("bucket = 1").count() == 15
+
+
+def test_update_applies_assignments_and_preserves_types(spark, root):
+    t = TxTable(spark, root)
+    t.append(_docs(spark, range(10)))
+    t.update("id >= 5", {"val": "val * 2", "tag": F.lit("bumped")})
+    got = t.read()
+    assert dict(got.dtypes)["val"] == "double"
+    assert got.filter("id >= 5 AND tag = 'bumped'").count() == 5
+    assert got.filter("id < 5 AND tag = 'a'").count() == 5
+    hi = {r.id: r.val for r in got.filter("id >= 5").collect()}
+    assert hi == {i: i * 1.5 * 2 for i in range(5, 10)}
+
+
+def test_update_unknown_column_rejected(spark, root):
+    t = TxTable(spark, root)
+    t.append(_docs(spark, range(4)))
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.update("id = 1", {"nope": F.lit(1)})
+
+
+def test_dml_conflicts_when_head_moves(spark, root):
+    t = TxTable(spark, root)
+    t.append(_docs(spark, range(10)))
+    tx = t.begin()  # snapshot an older head via a raw transaction
+    tx.rewrite(_docs(spark, range(1)), drop_paths=[])
+    t.append(_docs(spark, range(10, 20)))  # head advances
+    with pytest.raises(CommitConflictError):
+        tx.commit()
+
+
+def test_delete_everything_from_a_file_leaves_table_consistent(spark, root):
+    t = TxTable(spark, root)
+    t.append(_docs(spark, range(0, 5)).repartition(1))
+    t.append(_docs(spark, range(5, 10), tag="b").repartition(1))
+    t.delete("tag = 'b'")
+    assert sorted(r.id for r in t.read().collect()) == [0, 1, 2, 3, 4]
