@@ -1572,3 +1572,208 @@ def inactive_high_balance_customers(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "txlog_dml_orders",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' AND o_totalprice >= 250000.0
+                              THEN o_totalprice * 0.9 ELSE o_totalprice END
+                     AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 1000.0)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def txlog_dml_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DML through the commit log: orders lands in FOUR append
+    transactions keyed by totalprice band (so the manifest carries
+    disjoint per-file min/max stats), then DELETE removes cheap
+    finished orders and UPDATE applies a 10% markdown to expensive
+    finished ones — each committing O(files-touched): the stats
+    range hints prune the untouched price bands at the MANIFEST, and
+    their files survive by reference (same paths, zero bytes
+    rewritten — the property tests/test_txlog.py pins). The oracle is
+    the same DELETE+UPDATE expressed as WHERE + CASE over plain
+    orders — transactional bookkeeping must be invisible to query
+    semantics."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.sources.txlog import (
+        TxTable,
+    )
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "graft_txdml_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = TxTable(spark, root, stats_columns=["o_totalprice"])
+    bands = [(0.0, 1000.0), (1000.0, 150000.0), (150000.0, 250000.0), (250000.0, 1e18)]
+    for lo, hi in bands:
+        table.append(
+            orders.filter(
+                (F.col("o_totalprice") >= lo) & (F.col("o_totalprice") < hi)
+            ).coalesce(4)
+        )
+    table.delete(
+        "o_orderstatus = 'F' AND o_totalprice < 1000.0",
+        range_filter={"o_totalprice": (0.0, 1000.0)},
+    )
+    table.update(
+        "o_orderstatus = 'F' AND o_totalprice >= 250000.0",
+        {"o_totalprice": "o_totalprice * 0.9"},
+        range_filter={"o_totalprice": (250000.0, 1e18)},
+    )
+    return (
+        table.read()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "top_revenue_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS r
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, CAST(rev.r AS DOUBLE) AS total_rev
+    FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+    WHERE rev.r = (SELECT MAX(r) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — supplier(s) hitting the quarter's maximum
+    revenue. The revenue 'view' is computed ONCE and reused for both
+    the scalar max and the equality filter (persist() pins it so the
+    two consumers don't recompute the fact scan); the max is a 1-row
+    broadcast. The equality compares exact DECIMALS — comparing
+    rounded doubles would nondeterministically drop ties, which is
+    exactly the bug Q15 exists to probe."""
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = (
+        l.groupBy("l_suppkey")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC))
+            .alias("r")
+        )
+        .persist()
+    )
+    mx = rev.agg(F.max("r").alias("mx"))
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("r") == F.col("mx"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", F.col("r").cast("double").alias("total_rev"))
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "small_quantity_revenue",
+    oracle="""
+    SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0
+                AS DOUBLE) AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity < (SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(38,6)))
+                                             AS DOUBLE) / CAST(COUNT(l2.l_quantity) AS DOUBLE))
+                          FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — revenue from below-average-quantity line items
+    of one brand. The correlated per-part average decorrelates to a
+    grouped aggregate JOINED back; crucially the brand's part keys
+    broadcast into BOTH lineitem consumers, so the per-part average is
+    computed only over the brand's ~0.1% of parts — the naive
+    decorrelation aggregates all 100 TB of lineitem to use 0.1% of the
+    result. The threshold is exact-decimal avg × 0.2 in both engines."""
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_items = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).persist()
+    per_part = brand_items.groupBy("l_partkey").agg(
+        (F.lit(0.2) * davg("l_quantity")).alias("thresh")
+    )
+    return (
+        brand_items.join(per_part, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("thresh"))
+        .agg(
+            (dsum("l_extendedprice") / F.lit(7.0)).cast("double").alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "sole_problem_supplier",
+    oracle="""
+    WITH per AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_bad,
+             MAX(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS bad_supp
+      FROM lineitem GROUP BY l_orderkey)
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM per JOIN supplier s ON s.s_suppkey = per.bad_supp
+    WHERE per.n_supp >= 2 AND per.n_bad = 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def sole_problem_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — suppliers who were the ONLY problem supplier
+    on multi-supplier orders. The canonical form is an EXISTS plus a
+    NOT-EXISTS correlated on the same table; both collapse into ONE
+    grouped pass over lineitem (distinct-supplier count, problem-
+    supplier count, the problem supplier itself), so the 100 TB fact
+    is scanned once and shuffled once on l_orderkey — instead of the
+    three scans and two correlated semi-join shuffles of the literal
+    translation. Supplier broadcasts into the survivors."""
+    l = t(spark, sf_dir, "lineitem")
+    bad = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+    per = l.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(bad).alias("n_bad"),
+        F.max(bad).alias("bad_supp"),
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per.filter((F.col("n_supp") >= 2) & (F.col("n_bad") == 1))
+        .join(F.broadcast(s), F.col("bad_supp") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )

@@ -227,3 +227,69 @@ def streaming_txlog_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "streaming_click_purchase_join",
+    oracle="""
+    SELECT c.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM events c
+    JOIN events p ON p.user_id = c.user_id
+                 AND p.ts >= c.ts
+                 AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    GROUP BY c.user_id
+    ORDER BY c.user_id
+    """,
+)
+def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join: clicks and purchases
+    are two independent file streams, joined per user on a 30-minute
+    event-time window. Both sides carry a 1-hour watermark plus the
+    time-range join condition, so each side's buffered state evicts
+    once the other side's watermark passes the window — bounded state
+    however long the streams run (an unbounded-state stream-stream
+    join is the streaming analog of a cartesian product). Inner-join
+    matches emit as soon as both rows arrive; availableNow drains the
+    staged table, so the appended pair set must equal the batch join —
+    the per-user counts are then a batch agg over the sink, checked
+    against the DuckDB join oracle."""
+    from pyspark.sql import functions as F
+
+    ev, stage = _stage_events(spark, sf_dir)
+    clicks = (
+        spark.readStream.schema(ev.schema)
+        .parquet(stage)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        spark.readStream.schema(ev.schema)
+        .parquet(stage)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "p_user = c_user AND p_ts >= c_ts "
+            "AND p_ts <= c_ts + interval 30 minutes"
+        ),
+    )
+    sink = f"stream_ssjoin_{uuid.uuid4().hex[:8]}"
+    sq = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy(F.col("c_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("user_id")
+    )
