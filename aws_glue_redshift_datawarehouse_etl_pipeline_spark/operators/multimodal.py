@@ -280,6 +280,147 @@ def synthesize_image_bytes(
     )
 
 
+def _riff_chunk_pos(c: Column, tag_hex: str, max_chunks: int = 8) -> Column:
+    """1-indexed position of the first RIFF subchunk whose 4-byte tag
+    matches ``tag_hex``, walking the chain from byte 13 (after
+    RIFF<size>WAVE): each chunk is tag(4) + le32 size + payload padded
+    to even length. Same bounded ``F.aggregate`` runtime-loop shape as
+    ``_jpeg_sof_pos``; corrupt/truncated chains return NULL."""
+
+    def step(acc: Column, _: Column) -> Column:
+        pos, found = acc["pos"], acc["found"]
+        tag = F.hex(c.substr(pos, F.lit(4)))
+        size = _le_at(c, pos + 4, 4)
+        intact = (F.length(c) >= pos + 7) & size.isNotNull()
+        nxt = (
+            F.when(
+                intact & (tag == F.lit(tag_hex)),
+                F.struct(pos.alias("pos"), pos.alias("found")),
+            )
+            .when(
+                intact,
+                F.struct(
+                    (pos + 8 + size + size % 2).alias("pos"),
+                    F.lit(None).cast("long").alias("found"),
+                ),
+            )
+            .otherwise(
+                F.struct(pos.alias("pos"), F.lit(None).cast("long").alias("found"))
+            )
+        )
+        return F.when(found.isNotNull(), acc).otherwise(nxt)
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(max_chunks)),
+        F.struct(
+            F.lit(13).cast("long").alias("pos"),
+            F.lit(None).cast("long").alias("found"),
+        ),
+        step,
+        lambda acc: acc["found"],
+    )
+
+
+def wav_header_meta(
+    df: DataFrame,
+    content_col: str = "media.content",
+) -> DataFrame:
+    """Attach ``channels`` / ``sample_rate`` / ``bits`` / ``n_frames`` /
+    ``duration_ms`` parsed from WAV (RIFF) header bytes of a binary
+    column — pure Column ops, no codec, the audio analog of
+    ``image_header_meta``. The ``fmt `` and ``data`` chunks are located
+    by a bounded chunk walk (real WAV files interleave LIST/INFO/fact
+    chunks before data, so fixed offsets would be wrong), then:
+    channels le16@+10, sample rate le32@+12, block align le16@+20,
+    bits le16@+22 inside fmt; frame count = data size / block align;
+    duration in integer milliseconds. Non-RIFF or truncated payloads
+    yield NULLs, never errors."""
+    c = F.col(content_col)
+    blen = F.length(c)
+    is_wav = (
+        (blen >= 36)
+        & (F.hex(c.substr(1, 4)) == F.lit("52494646"))  # RIFF
+        & (F.hex(c.substr(9, 4)) == F.lit("57415645"))  # WAVE
+    )
+    fpos = _riff_chunk_pos(c, "666D7420")  # "fmt "
+    dpos = _riff_chunk_pos(c, "64617461")  # "data"
+    ok = is_wav & fpos.isNotNull() & dpos.isNotNull() & (blen >= dpos + 7)
+    channels = F.when(ok, _le_at(c, fpos + 10, 2))
+    rate = F.when(ok, _le_at(c, fpos + 12, 4))
+    block = _le_at(c, fpos + 20, 2)
+    bits = F.when(ok, _le_at(c, fpos + 22, 2))
+    dsize = _le_at(c, dpos + 4, 4)
+    frames = F.when(ok & (block > 0), F.floor(dsize / block).cast("long"))
+    dur = F.when(
+        ok & (rate > 0), F.floor(frames * 1000 / rate).cast("long")
+    )
+    return (
+        df.withColumn("channels", channels)
+        .withColumn("sample_rate", rate)
+        .withColumn("bits", bits)
+        .withColumn("n_frames", frames)
+        .withColumn("duration_ms", dur)
+    )
+
+
+def _le_at(c: Column, pos: Column, nbytes: int) -> Column:
+    """Little-endian unsigned int at a COLUMN position (``_le`` takes a
+    static one)."""
+    total = F.lit(0).cast("long")
+    for i in range(nbytes):
+        total = total + _u8(c, pos + i) * F.lit(1 << (8 * i)).cast("long")
+    return total
+
+
+def synthesize_wav_bytes(
+    sample_rate: Column,
+    channels: Column,
+    bits: Column,
+    n_frames: Column,
+    with_list_chunk: Column | None = None,
+) -> Column:
+    """Spec-correct WAV (RIFF/PCM) HEADER bytes — the audio analog of
+    ``synthesize_image_bytes``, built entirely JVM-side; the data
+    payload itself is omitted (declared sizes only), which is exactly
+    what a header parser may read. ``with_list_chunk`` optionally
+    interleaves a LIST/INFO chunk between fmt and data so a parser
+    must genuinely walk the chunk chain."""
+    sr = sample_rate.cast("long")
+    ch = channels.cast("long")
+    bt = bits.cast("long")
+    nf = n_frames.cast("long")
+    ba = F.floor(ch * bt / 8).cast("long")
+    dsize = nf * ba
+    list_chunk = F.concat(
+        F.unhex(F.lit("4C495354")),  # LIST
+        _le_bytes(F.lit(6).cast("long"), 4),
+        F.unhex(F.lit("494E464F4142")),  # INFO + 2 payload bytes
+    )
+    use_list = (
+        with_list_chunk
+        if with_list_chunk is not None
+        else F.lit(False)
+    )
+    riff_size = F.lit(36).cast("long") + dsize + F.when(use_list, 14).otherwise(0)
+    head = F.concat(
+        F.unhex(F.lit("52494646")),  # RIFF
+        _le_bytes(riff_size, 4),
+        F.unhex(F.lit("57415645")),  # WAVE
+        F.unhex(F.lit("666D7420")),  # "fmt "
+        _le_bytes(F.lit(16).cast("long"), 4),
+        _le_bytes(F.lit(1).cast("long"), 2),  # PCM
+        _le_bytes(ch, 2),
+        _le_bytes(sr, 4),
+        _le_bytes(sr * ba, 4),
+        _le_bytes(ba, 2),
+        _le_bytes(bt, 2),
+    )
+    tail = F.concat(F.unhex(F.lit("64617461")), _le_bytes(dsize, 4))
+    return F.when(use_list, F.concat(head, list_chunk, tail)).otherwise(
+        F.concat(head, tail)
+    )
+
+
 _DECODE_SCHEMA = "id long, height int, width int, channels int, pixel_sum long"
 
 

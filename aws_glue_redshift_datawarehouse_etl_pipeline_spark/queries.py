@@ -565,17 +565,22 @@ def register_all() -> None:
 # rotate OUT — they remain oracle-backed and pytest-green below the
 # window and can rotate back any round.
 PRIORITY: tuple[str, ...] = (
-    # flagship + core relational / ETL transforms
+    # flagship + core relational / ETL transforms. Second r6 rotation:
+    # apply_mapping_part / split_rows_part / antijoin_incremental_orders /
+    # merge_upsert_orders (all driver-green r1-r5) rotate out for the
+    # session's new decorrelated-subquery, stream-stream-join, and
+    # txlog-DML queries — the rotated-out four stay oracle-backed and
+    # pytest-green below the window.
     "pricing_summary",
     "star_revenue_by_nation",
-    "apply_mapping_part",
-    "split_rows_part",
-    "antijoin_incremental_orders",
+    "order_priority_exists",
+    "parts_supplier_counts",
     "antijoin_composite_lineitem",
-    "merge_upsert_orders",
+    "txlog_dml_orders",
     "error_channel_summary",
     # analytics representatives (full family continues below the window)
     "shipping_priority_top10",
+    "streaming_click_purchase_join",
     # data-quality expectations gate (new r6); topk_customers_per_nation
     # rotates out (driver-green r1-r5)
     "expectations_orders_quality",
@@ -621,16 +626,18 @@ PRIORITY: tuple[str, ...] = (
     "simhash_portable_documents",
     "contamination_check_documents",
     # LLM training-data pipeline: similarity / embeddings
-    "embedding_cosine_topk",
+    # (embedding_cosine_topk rotates out, driver-green r1-r5; the family
+    # keeps batch_ann + ivf_recall slots)
     "embedding_near_dup_bucketed",
     "batch_ann_topk_per_query",
     "ivf_recall_check",
     # LLM training-data pipeline: sampling / splits / packing
     "upsample_documents",
     "pack_sequences_documents",
-    # multimodal (header parse new in round 6)
+    # multimodal (image + audio header parse new in round 6)
     "multimodal_media_meta",
     "multimodal_image_dims",
+    "multimodal_audio_meta",
     # fast-path invariants + physical layout
     "fastpath_parity_checks",
     "zorder_keys_orders",

@@ -615,6 +615,58 @@ def multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_audio_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+           CAST(CASE CAST(doc_id % 5 AS INTEGER) WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END AS BIGINT)
+             AS sample_rate,
+           CAST(CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 8 WHEN 1 THEN 16
+                WHEN 2 THEN 24 ELSE 32 END AS BIGINT) AS bits,
+           CAST(100 + doc_id % 9973 AS BIGINT) AS n_frames,
+           (100 + doc_id % 9973) * 1000
+             // CAST(CASE CAST(doc_id % 5 AS INTEGER) WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                     WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END AS BIGINT)
+             AS duration_ms
+    FROM documents
+    """,
+)
+def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-free audio metadata: synthesize spec-correct WAV (RIFF/PCM)
+    header bytes with doc_id-derived parameters — every third payload
+    interleaves a LIST/INFO chunk before data, so the parser must
+    genuinely walk the chunk chain — then parse channels / sample rate
+    / bit depth / frame count / duration back from the RAW BYTES with
+    pure Column ops (``wav_header_meta``). The oracle recomputes the
+    planted parameters from doc_id arithmetic, so a green row proves
+    the parser exactly inverts the byte encoding. Audio analog of
+    ``multimodal_image_dims`` (engine extension, brief's multimodal
+    ask)."""
+    docs = t(spark, sf_dir, "documents")
+    rate = F.element_at(
+        F.array(*[F.lit(v) for v in (8000, 16000, 22050, 44100, 48000)]),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    channels = (F.lit(1) + F.col("doc_id") % 2).cast("long")
+    bits = F.element_at(
+        F.array(*[F.lit(v) for v in (8, 16, 24, 32)]),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    frames = (F.lit(100) + F.col("doc_id") % 9973).cast("long")
+    synth = docs.select(
+        "doc_id",
+        M.synthesize_wav_bytes(
+            rate, channels, bits, frames,
+            with_list_chunk=F.col("doc_id") % 3 == 0,
+        ).alias("content"),
+    )
+    return M.wav_header_meta(synth, "content").select(
+        "doc_id", "channels", "sample_rate", "bits", "n_frames", "duration_ms"
+    )
+
+
 # --- engine-only (rows-only driver check; pytest-verified) --------------
 
 

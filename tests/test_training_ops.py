@@ -1134,3 +1134,67 @@ def test_excise_keep_first_leaves_one_copy(spark):
     assert "all rights reserved" in out[0].text and out[0].n_removed == 0
     assert "all rights reserved" not in out[1].text and out[1].n_removed == 10
     assert out[1].text == "one two three four five six seven eight nine"
+
+
+def test_wav_header_meta_on_genuine_file_bytes(spark):
+    """The WAV parser must invert a REAL wave-module encoding (stdlib
+    `wave` writes canonical RIFF/PCM), a hand-built file with a LIST
+    chunk interposed before data, and yield NULLs for garbage/NULL."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)  # 16-bit
+        wf.setframerate(44100)
+        wf.writeframes(b"\x00\x00" * 2 * 441)  # 441 frames, 10 ms
+    real = buf.getvalue()
+
+    def le16(v): return struct.pack("<H", v)
+    def le32(v): return struct.pack("<I", v)
+    listy = (
+        b"RIFF" + le32(36 + 14 + 800) + b"WAVE"
+        + b"fmt " + le32(16) + le16(1) + le16(1) + le32(8000)
+        + le32(8000 * 1) + le16(1) + le16(8)
+        + b"LIST" + le32(6) + b"INFOxy"
+        + b"data" + le32(800)
+    )
+    rows = [
+        (1, bytearray(real)),
+        (2, bytearray(listy)),
+        (3, bytearray(b"RIFFxxxxNOPE")),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {
+        r["doc_id"]: (r["channels"], r["sample_rate"], r["bits"],
+                      r["n_frames"], r["duration_ms"])
+        for r in M.wav_header_meta(df, "content").collect()
+    }
+    assert got[1] == (2, 44100, 16, 441, 10)
+    assert got[2] == (1, 8000, 8, 800, 100)
+    assert got[3] == (None, None, None, None, None)
+    assert got[4] == (None, None, None, None, None)
+
+
+def test_synthesize_wav_bytes_roundtrip(spark):
+    """Synthesizer and parser agree with and without the LIST chunk."""
+    rows = [(i, 8000 * (1 + i % 6), 1 + i % 2, [8, 16, 24, 32][i % 4],
+             100 + 37 * i, i % 3 == 0) for i in range(24)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, rate long, ch long, bits long, frames long, lst boolean"
+    ).withColumn(
+        "content",
+        M.synthesize_wav_bytes(
+            F.col("rate"), F.col("ch"), F.col("bits"), F.col("frames"),
+            with_list_chunk=F.col("lst"),
+        ),
+    )
+    out = M.wav_header_meta(df, "content").collect()
+    for r in out:
+        assert (r["channels"], r["sample_rate"], r["bits"], r["n_frames"]) == (
+            r["ch"], r["rate"], r["bits"], r["frames"]
+        )
+        assert r["duration_ms"] == r["frames"] * 1000 // r["rate"]
