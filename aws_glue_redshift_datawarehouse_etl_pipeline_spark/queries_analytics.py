@@ -1777,3 +1777,56 @@ def sole_problem_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+@query(
+    "txlog_point_lookup_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    WHERE o_orderkey IN (7, 7777, 11111)
+    ORDER BY o_orderkey
+    """,
+)
+def txlog_point_lookup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned point lookups through the commit log: orders lands
+    in several transactions (disjoint orderkey bands, one file each,
+    per-file Bloom filters on o_orderkey in the manifest), then each
+    point probe opens only the files whose bloom admits the key —
+    min/max stats can't prune equality on high-cardinality keys once
+    files interleave, which is exactly the lookup shape (sample
+    inspection, incident forensics) a 100 TB table serves worst
+    without it. Union of three probes, row-filtered on top of the
+    file skip as the contract requires."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from functools import reduce
+
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.sources.txlog import (
+        TxTable,
+    )
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "graft_txbloom_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = TxTable(spark, root, bloom_columns=["o_orderkey"])
+    for band in range(4):
+        table.append(
+            orders.filter(F.col("o_orderkey") % 4 == band).coalesce(1)
+        )
+    probes = [7, 7777, 11111]
+    parts = [
+        table.read(equality_filter={"o_orderkey": p}).filter(
+            F.col("o_orderkey") == p
+        )
+        for p in probes
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts).orderBy("o_orderkey")

@@ -16,15 +16,18 @@ Layout::
       data/
         <txid>/part-*.parquet        # every transaction writes its own dir
 
-A manifest is the COMPLETE snapshot: the list of live data files
-(relative paths + Hive partition values parsed from the path), the
-schema, the parent version, and the transaction id. Readers list
-``_txlog/``, take the highest parseable version, and read exactly the
-files it names — un-manifested bytes are invisible, so a writer crash
+A manifest names the live data files (relative paths + Hive partition
+values parsed from the path) plus the schema, parent version, and
+transaction id — either as the COMPLETE list (a checkpoint: the first
+version, every ``checkpoint_interval``-th, overwrites, restores) or as
+a DELTA (``adds``/``removes`` against the parent), so a commit to a
+million-file table writes O(files-touched) manifest bytes and a reader
+replays at most interval-1 deltas past the nearest checkpoint — the
+public log-compaction recipe. Readers list ``_txlog/``, take the
+highest parseable version, and read exactly the files its materialized
+snapshot names — un-manifested bytes are invisible, so a writer crash
 at ANY point before the manifest lands leaves only garbage for
-``vacuum``, never a torn table. (Production logs add periodic
-checkpoints so the manifest is a delta, not a full list; at this
-engine's manifest sizes the full list keeps recovery trivial.)
+``vacuum``, never a torn table.
 
 Commit = atomically claiming the next version file: the manifest is
 written with ``FileSystem.create(path, overwrite=False)``, which fails
@@ -136,10 +139,13 @@ def _prune_files(
     files: list[dict],
     partition_filter: dict[str, object] | None,
     range_filter: dict[str, tuple] | None,
+    bloom_probe: dict[str, list[int]] | None = None,
 ) -> list[dict]:
     """Manifest-level file pruning shared by ``read`` and the DML
-    rewrite path: Hive path-segment equality plus min/max stats-range
-    overlap; files without the segment/stats are conservatively kept."""
+    rewrite path: Hive path-segment equality, min/max stats-range
+    overlap, and Bloom membership (``bloom_probe`` maps column → the k
+    probe bit positions of the sought value); files without the
+    segment/stats/bloom are conservatively kept."""
     if partition_filter:
         want = {k: str(v) for k, v in partition_filter.items()}
         files = [
@@ -160,6 +166,25 @@ def _prune_files(
             return True
 
         files = [f for f in files if may_overlap(f)]
+    if bloom_probe:
+
+        def may_contain(f: dict) -> bool:
+            bl = f.get("bloom")
+            if not bl:
+                return True  # no filter recorded — keep conservatively
+            if bl.get("m") != bloom_probe["m"] or bl.get("k") != bloom_probe["k"]:
+                return True  # written under different sizing — keep
+            for c, positions in bloom_probe["cols"].items():
+                words = (bl.get("cols") or {}).get(c)
+                if words is None:
+                    continue
+                for bit in positions:
+                    w = words.get(str(bit // 64), 0)
+                    if not (int(w) >> (bit % 64)) & 1:
+                        return False  # definitely absent from this file
+            return True
+
+        files = [f for f in files if may_contain(f)]
     return files
 
 
@@ -288,36 +313,78 @@ class Transaction:
             for c in self.table.stats_columns
             if c not in self._partition_keys
         ]
-        if not cols or not files:
+        if not files or not (cols or self.table.bloom_columns):
             return files
         df = self.table.spark.read.option("basePath", self.stage_path).parquet(
             self.stage_path
         )
         present = [c for c in cols if c in df.columns]
-        if not present:
-            return files
-        aggs = []
-        for c in present:
-            aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
-        rows = (
-            df.withColumn("__f", F.input_file_name())
-            .groupBy("__f")
-            .agg(*aggs)
-            .collect()
-        )
-        # part-file names carry a per-job UUID — globally unique, so the
-        # basename is a safe join key even across partition directories
-        # and input_file_name's URI encoding
-        by_name = {
-            r["__f"].rsplit("/", 1)[1]: {
-                c: [r[f"__lo_{c}"], r[f"__hi_{c}"]] for c in present
+        if present:
+            aggs = []
+            for c in present:
+                aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+            rows = (
+                df.withColumn("__f", F.input_file_name())
+                .groupBy("__f")
+                .agg(*aggs)
+                .collect()
+            )
+            # part-file names carry a per-job UUID — globally unique, so
+            # the basename is a safe join key even across partition
+            # directories and input_file_name's URI encoding
+            by_name = {
+                r["__f"].rsplit("/", 1)[1]: {
+                    c: [r[f"__lo_{c}"], r[f"__hi_{c}"]] for c in present
+                }
+                for r in rows
             }
-            for r in rows
-        }
+            for f in files:
+                st = by_name.get(f["path"].rsplit("/", 1)[1])
+                if st is not None:
+                    f["stats"] = _json_safe_stats(st)
+        return self._attach_blooms(files, df)
+
+    def _attach_blooms(self, files: list[dict], df: DataFrame) -> list[dict]:
+        """Per-file Bloom filters for the table's ``bloom_columns``,
+        built DISTRIBUTED: each row contributes k = ``bloom_k`` bit
+        positions (xxhash64 with k seeds, mod ``bloom_bits``), OR-folded
+        into 64-bit words by a (file, word) ``bit_or`` aggregate — the
+        collected result is ≤ bits/64 words per file, stored sparse in
+        the manifest. min/max stats answer range probes; blooms answer
+        the high-cardinality EQUALITY probe ('is doc 123456 in this
+        file?') that ranges can't prune on unsorted data."""
+        tbl = self.table
+        cols = [c for c in tbl.bloom_columns if c not in self._partition_keys]
+        present = [c for c in cols if c in df.columns]
+        if not present or not files:
+            return files
+        m, k = tbl.bloom_bits, tbl.bloom_k
+        blooms: dict[str, dict[str, dict]] = {}
+        for c in present:
+            bits = F.array(
+                *[F.pmod(F.xxhash64(F.col(c), F.lit(i)), F.lit(m)) for i in range(k)]
+            )
+            rows = (
+                df.withColumn("__f", F.input_file_name())
+                .select("__f", F.explode(bits).alias("__bit"))
+                .select(
+                    "__f",
+                    (F.col("__bit") / 64).cast("long").alias("__w"),
+                    F.expr("shiftleft(1L, CAST(__bit % 64 AS INT))").alias("__m"),
+                )
+                .groupBy("__f", "__w")
+                .agg(F.bit_or("__m").alias("__v"))
+                .collect()
+            )
+            for r in rows:
+                name = r["__f"].rsplit("/", 1)[1]
+                blooms.setdefault(name, {}).setdefault(c, {})[str(r["__w"])] = (
+                    r["__v"] & 0xFFFFFFFFFFFFFFFF
+                )
         for f in files:
-            st = by_name.get(f["path"].rsplit("/", 1)[1])
-            if st is not None:
-                f["stats"] = _json_safe_stats(st)
+            b = blooms.get(f["path"].rsplit("/", 1)[1])
+            if b is not None:
+                f["bloom"] = {"m": m, "k": k, "cols": b}
         return files
 
     # -- commit ------------------------------------------------------------
@@ -338,7 +405,7 @@ class Transaction:
         for _ in range(max_retries):
             head = tbl._head_manifest()
             parent_version = -1 if head is None else head["version"]
-            parent_files = [] if head is None else head["files"]
+            parent_files = [] if head is None else tbl._snapshot_files(head)
             app_versions = dict((head or {}).get("app_versions") or {})
             if self.app_id is not None:
                 rec = app_versions.get(self.app_id)
@@ -350,14 +417,17 @@ class Transaction:
                     f"{parent_version} since this {self.op} transaction began"
                 )
             if self.op == "append":
+                removes: list[str] = []
                 files = parent_files + staged
                 schema_json = _merge_schema_json(
                     (head or {}).get("schema"), self._schema_json
                 )
             elif self.op == "overwrite":
+                removes = [f["path"] for f in parent_files]
                 files = staged
                 schema_json = self._schema_json
             elif self.op == "rewrite":
+                removes = sorted(self._drop_paths)
                 files = [
                     f for f in parent_files if f["path"] not in self._drop_paths
                 ] + staged
@@ -381,6 +451,11 @@ class Transaction:
                         "Compact or rewrite the table partitioned first."
                     )
                 replaced = {tuple(f["parts"][k] for k in keys) for f in staged}
+                removes = [
+                    f["path"]
+                    for f in parent_files
+                    if tuple(f["parts"].get(k) for k in keys) in replaced
+                ]
                 files = [
                     f
                     for f in parent_files
@@ -391,8 +466,19 @@ class Transaction:
                 )
             if self.app_id is not None:
                 app_versions[self.app_id] = [self.app_version, parent_version + 1]
+            next_version = parent_version + 1
+            # checkpoint policy: the first commit, overwrites (their full
+            # list IS the delta), and every interval-th version carry the
+            # complete list; everything else writes O(touched) deltas
+            ival = tbl.checkpoint_interval
+            full = (
+                head is None
+                or self.op == "overwrite"
+                or ival <= 0
+                or next_version % ival == 0
+            )
             manifest = {
-                "version": parent_version + 1,
+                "version": next_version,
                 "parent": parent_version,
                 "op": self.op,
                 "txid": self.txid,
@@ -400,9 +486,13 @@ class Transaction:
                 "app_versions": app_versions,
                 "schema": schema_json,
                 "partition_keys": self._partition_keys,
-                "files": files,
                 "committed_at_ms": int(time.time() * 1000),
             }
+            if full:
+                manifest["files"] = files
+            else:
+                manifest["adds"] = staged
+                manifest["removes"] = removes
             if tbl._try_write_manifest(manifest):
                 self._committed = True
                 return manifest["version"]
@@ -447,6 +537,10 @@ class TxTable:
         root: str,
         torn_grace_seconds: float = 60.0,
         stats_columns: list[str] | None = None,
+        bloom_columns: list[str] | None = None,
+        bloom_bits: int = 4096,
+        bloom_k: int = 5,
+        checkpoint_interval: int = 10,
     ):
         self.spark = spark
         self.root = root.rstrip("/")
@@ -456,6 +550,48 @@ class TxTable:
         # consulted by read(range_filter=...) for manifest-level file
         # skipping — the data-skipping statistics of the public formats
         self.stats_columns = list(stats_columns or [])
+        # columns carrying a per-file Bloom filter in the manifest
+        # (~bloom_bits/8 bytes per file per column), consulted by
+        # read(equality_filter=...) — prunes high-cardinality equality
+        # probes min/max can't. Size m for the expected distinct values
+        # per file: FPR ≈ (1 - e^(-k·n/m))^k; the 4096/5 default stays
+        # under ~2% at n ≈ 500.
+        self.bloom_columns = list(bloom_columns or [])
+        self.bloom_bits = bloom_bits
+        self.bloom_k = bloom_k
+        # manifests are DELTAS (adds/removes against the parent) except
+        # every checkpoint_interval-th version, overwrites, and restores,
+        # which carry the full file list — so a commit to a million-file
+        # table writes O(files-touched) manifest bytes, not O(table), and
+        # a reader replays at most interval-1 deltas past a checkpoint.
+        # 0 disables deltas (every manifest full).
+        self.checkpoint_interval = checkpoint_interval
+
+    def _snapshot_files(self, m: dict) -> list[dict]:
+        """Materialize the complete live-file list for a manifest:
+        full manifests return theirs; delta manifests replay the chain
+        forward from the nearest checkpoint ancestor (removes then adds
+        per delta, insertion order preserved — identical to the list a
+        full manifest would have recorded)."""
+        chain: list[dict] = []
+        cur = m
+        while "files" not in cur:
+            chain.append(cur)
+            parent = self._read_manifest(cur["parent"])
+            if parent is None:
+                raise IOError(
+                    f"manifest chain broken: version {cur['version']}'s parent "
+                    f"{cur['parent']} is missing — vacuum retention must keep "
+                    "every delta back to a checkpoint"
+                )
+            cur = parent
+        files = {f["path"]: f for f in cur["files"]}
+        for d in reversed(chain):
+            for p in d.get("removes", ()):
+                files.pop(p, None)
+            for f in d.get("adds", ()):
+                files[f["path"]] = f
+        return list(files.values())
 
     # -- log access --------------------------------------------------------
     def _log_path(self) -> str:
@@ -556,11 +692,39 @@ class TxTable:
     def exists(self) -> bool:
         return self.current_version() >= 0
 
+    def _bloom_probe(
+        self, schema: T.StructType, equality_filter: dict[str, object]
+    ) -> dict:
+        """Probe bit positions for each sought value, computed by the
+        SAME expression the build used (xxhash64 over the column's
+        declared type, k seeds, mod m) — a 1-row Spark job, so the two
+        sides can never disagree on hashing."""
+        m, k = self.bloom_bits, self.bloom_k
+        exprs = []
+        for c, v in equality_filter.items():
+            dt = schema[c].dataType
+            exprs += [
+                F.pmod(F.xxhash64(F.lit(v).cast(dt), F.lit(i)), F.lit(m)).alias(
+                    f"{c}__{i}"
+                )
+                for i in range(k)
+            ]
+        row = self.spark.range(1).select(*exprs).collect()[0]
+        return {
+            "m": m,
+            "k": k,
+            "cols": {
+                c: [row[f"{c}__{i}"] for i in range(k)]
+                for c in equality_filter
+            },
+        }
+
     def read(
         self,
         version: int | None = None,
         partition_filter: dict[str, object] | None = None,
         range_filter: dict[str, tuple] | None = None,
+        equality_filter: dict[str, object] | None = None,
     ) -> DataFrame:
         """Snapshot read: exactly the files the manifest names, with the
         manifest's schema (column order stable across layouts). Files
@@ -581,10 +745,13 @@ class TxTable:
 
         ``range_filter`` ``{col: (lo, hi)}`` additionally skips files
         whose recorded min/max (``stats_columns`` at write time) cannot
-        intersect ``[lo, hi]`` — files without stats for a column are
-        conservatively KEPT, and the returned frame is NOT re-filtered
-        (file skipping, not row filtering; apply the row predicate too
-        when exact bounds matter)."""
+        intersect ``[lo, hi]``; ``equality_filter`` ``{col: value}``
+        skips files whose Bloom filter (``bloom_columns`` at write
+        time) proves the value absent — the high-cardinality point-
+        lookup complement to ranges. Files without stats/bloom for a
+        column are conservatively KEPT, and the returned frame is NOT
+        re-filtered (file skipping, not row filtering; apply the row
+        predicate too when exact bounds matter)."""
         m = self._head_manifest() if version is None else self._read_manifest(version)
         if m is None:
             raise FileNotFoundError(
@@ -592,7 +759,12 @@ class TxTable:
                 f"at {self.root}"
             )
         schema = T.StructType.fromJson(json.loads(m["schema"]))
-        files = _prune_files(m["files"], partition_filter, range_filter)
+        probe = (
+            self._bloom_probe(schema, equality_filter) if equality_filter else None
+        )
+        files = _prune_files(
+            self._snapshot_files(m), partition_filter, range_filter, probe
+        )
         return self._files_to_df(files, schema)
 
     def _files_to_df(self, files: list[dict], schema: T.StructType) -> DataFrame:
@@ -684,6 +856,7 @@ class TxTable:
         transform,
         partition_filter: dict[str, object] | None,
         range_filter: dict[str, tuple] | None,
+        equality_filter: dict[str, object] | None = None,
     ) -> int:
         """Shared DELETE/UPDATE engine. Three-stage narrowing so the
         commit is O(files that actually contain matching rows):
@@ -698,7 +871,12 @@ class TxTable:
         if head is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
         schema = T.StructType.fromJson(json.loads(head["schema"]))
-        cands = _prune_files(head["files"], partition_filter, range_filter)
+        probe = (
+            self._bloom_probe(schema, equality_filter) if equality_filter else None
+        )
+        cands = _prune_files(
+            self._snapshot_files(head), partition_filter, range_filter, probe
+        )
         if not cands:
             return head["version"]
         # part-file basenames carry a per-job UUID — globally unique, so
@@ -736,6 +914,7 @@ class TxTable:
         condition: Column | str,
         partition_filter: dict[str, object] | None = None,
         range_filter: dict[str, tuple] | None = None,
+        equality_filter: dict[str, object] | None = None,
     ) -> int:
         """Transactional row-level DELETE: rows matching ``condition``
         vanish atomically at the committed version; files with no
@@ -745,7 +924,11 @@ class TxTable:
         a no-op DELETE should not invalidate snapshot readers."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
         return self._dml_rewrite(
-            cond, lambda df: df.filter(~cond), partition_filter, range_filter
+            cond,
+            lambda df: df.filter(~cond),
+            partition_filter,
+            range_filter,
+            equality_filter,
         )
 
     def update(
@@ -754,6 +937,7 @@ class TxTable:
         assignments: dict[str, Column | str],
         partition_filter: dict[str, object] | None = None,
         range_filter: dict[str, tuple] | None = None,
+        equality_filter: dict[str, object] | None = None,
     ) -> int:
         """Transactional row-level UPDATE: ``assignments`` maps column
         name → new-value expression (may reference any column), applied
@@ -787,7 +971,9 @@ class TxTable:
                 ]
             )
 
-        return self._dml_rewrite(cond, apply, partition_filter, range_filter)
+        return self._dml_rewrite(
+            cond, apply, partition_filter, range_filter, equality_filter
+        )
 
     def foreach_batch_appender(self, app_prefix: str):
         """Sink function for ``DataStreamWriter.foreachBatch``: each
@@ -821,6 +1007,32 @@ class TxTable:
             self.read(version=from_version), self.read(version=to_version), keys
         )
 
+    def read_added_since(self, version: int) -> DataFrame:
+        """Incremental change-stream read: the rows in files ADDED by
+        commits after ``version`` that are still live at head —
+        computed entirely from manifests (set difference of two
+        materialized snapshots, zero data I/O for discovery), so an
+        incremental consumer processes O(new data) however large the
+        table. Pairs with ``TransactionalCatalog`` bookmarks: store the
+        last-processed version, read what landed since, commit the new
+        version — the streaming-source pattern over the commit log.
+        Rows REMOVED since ``version`` (DML, replace) don't appear;
+        use ``diff`` for a keyed changed/removed feed."""
+        head = self._head_manifest()
+        if head is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        base = self._read_manifest(version)
+        if base is None:
+            raise FileNotFoundError(
+                f"no committed version {version} at {self.root}"
+            )
+        schema = T.StructType.fromJson(json.loads(head["schema"]))
+        old = {f["path"] for f in self._snapshot_files(base)}
+        fresh = [
+            f for f in self._snapshot_files(head) if f["path"] not in old
+        ]
+        return self._files_to_df(fresh, schema)
+
     def restore(self, version: int) -> int:
         """Roll the table BACK to ``version`` as a NEW commit (the
         public RESTORE semantics): the head becomes a manifest with the
@@ -845,7 +1057,7 @@ class TxTable:
             "app_versions": dict(head.get("app_versions") or {}),
             "schema": src["schema"],
             "partition_keys": tx._partition_keys,
-            "files": src["files"],
+            "files": self._snapshot_files(src),
             "restored_from": version,
             "committed_at_ms": int(time.time() * 1000),
         }
@@ -880,7 +1092,8 @@ class TxTable:
             raise FileNotFoundError(f"no committed version at {self.root}")
         if num_files is None:
             num_files = max(
-                1, len({f["path"].split("/")[1] for f in head["files"]})
+                1,
+                len({f["path"].split("/")[1] for f in self._snapshot_files(head)}),
             )
         snap = self.read()
         if zorder_by:
@@ -908,6 +1121,19 @@ class TxTable:
         versions = self._manifest_versions()
         valid = [v for v in versions if self._read_manifest(v) is not None]
         keep = set(valid[-max(1, keep_versions) :])
+        # delta manifests replay from their checkpoint ancestor, so the
+        # retained set extends DOWN to the nearest full manifest at or
+        # below the oldest kept version — dropping any link of that
+        # chain would orphan every kept delta above it. Bounded extra
+        # retention: at most checkpoint_interval - 1 manifests.
+        if keep:
+            anchor = min(keep)
+            while anchor in valid:
+                m = self._read_manifest(anchor)
+                if m is None or "files" in m:
+                    break
+                anchor = m["parent"]
+            keep |= {v for v in valid if anchor <= v <= min(keep)}
         fs, _ = _fs_and_path(self.spark, self.root)
         jvm = self.spark._jvm
         P = jvm.org.apache.hadoop.fs.Path
@@ -922,7 +1148,7 @@ class TxTable:
         for v in sorted(keep):
             m = self._read_manifest(v)
             if m:
-                for f in m["files"]:
+                for f in self._snapshot_files(m):
                     live.add(f["path"].split("/")[1])  # txid component
         data_root = P(f"{self.root}/{_DATA_DIR}")
         removed: list[str] = []

@@ -200,11 +200,11 @@ def test_compact_collapses_files_preserving_snapshot(spark, root):
     t = TxTable(spark, root)
     for i in range(4):  # 4 append commits -> >= 4 data dirs
         t.append(_docs(spark, range(i * 10, (i + 1) * 10)))
-    files_before = len(t._head_manifest()["files"])
+    files_before = len(t._snapshot_files(t._head_manifest()))
     v = t.compact(num_files=1)
     assert v == 4
     m = t._head_manifest()
-    assert len(m["files"]) == 1 < files_before
+    assert len(t._snapshot_files(m)) == 1 < files_before
     assert t.read().count() == 40
     assert t.read(version=3).count() == 40   # pre-compaction snapshot intact
     assert t.read(version=1).count() == 20
@@ -395,7 +395,7 @@ def test_compact_zorder_tightens_footers(spark, root):
     t.overwrite(df.repartition(8))
     v = t.compact(num_files=8, zorder_by=["x", "y"])
     assert t.read().count() == 4000
-    live = [f["path"] for f in t._head_manifest()["files"]]
+    live = [f["path"] for f in t._snapshot_files(t._head_manifest())]
     spans = []
     for rel in live:
         md = pq.ParquetFile(os.path.join(root, rel)).metadata
@@ -432,7 +432,7 @@ def test_stats_columns_enable_manifest_range_pruning(spark, root):
             ).coalesce(1)
         )
     head = t._head_manifest()
-    assert all("stats" in f and "val" in f["stats"] for f in head["files"])
+    assert all("stats" in f and "val" in f["stats"] for f in t._snapshot_files(head))
     pruned = t.read(range_filter={"val": (120, 130)})
     assert sorted(r.id for r in pruned.collect()) == list(range(100, 150))
     assert len(pruned.inputFiles()) == 1          # two of three commits skipped
@@ -470,9 +470,9 @@ def test_delete_rewrites_only_hit_files_and_carries_rest_by_reference(spark, roo
     # two appends → two disjoint file sets with disjoint id stats
     t.append(_docs(spark, range(0, 100)).repartition(1))
     t.append(_docs(spark, range(100, 200), tag="b").repartition(1))
-    before = {f["path"] for f in t._head_manifest()["files"]}
+    before = {f["path"] for f in t._snapshot_files(t._head_manifest())}
     v = t.delete("id >= 150", range_filter={"id": (150, 10**9)})
-    after = t._head_manifest()["files"]
+    after = t._snapshot_files(t._head_manifest())
     after_paths = {f["path"] for f in after}
     # the first commit's file (ids 0..99) must survive UNCHANGED
     untouched = {p for p in before if p in after_paths}
@@ -541,3 +541,145 @@ def test_delete_everything_from_a_file_leaves_table_consistent(spark, root):
     t.append(_docs(spark, range(5, 10), tag="b").repartition(1))
     t.delete("tag = 'b'")
     assert sorted(r.id for r in t.read().collect()) == [0, 1, 2, 3, 4]
+
+
+# -- manifest-level Bloom filters (equality file skipping) -----------------
+
+
+def test_bloom_equality_filter_prunes_files_but_loses_no_rows(spark, root):
+    t = TxTable(spark, root, bloom_columns=["id"])
+    # three appends → three disjoint id populations, one file each
+    for lo in (0, 1000, 2000):
+        t.append(_docs(spark, range(lo, lo + 300)).repartition(1))
+    m = t._head_manifest()
+    assert all("bloom" in f for f in t._snapshot_files(m))
+    # a point lookup must prune to (almost) one file and keep the row
+    full = t.read(equality_filter={"id": 1100})
+    assert full.filter("id = 1100").count() == 1
+    # count files actually scanned via the pruned frame's inputFiles
+    assert len(full.inputFiles()) < 3
+    # a value in NO file: bloom may prune everything (empty frame ok)
+    absent = t.read(equality_filter={"id": 999_999})
+    assert absent.filter("id = 999999").count() == 0
+
+
+def test_bloom_probe_matches_build_hashing(spark, root):
+    """Every present value must pass its own file's bloom (zero false
+    negatives by construction — probe and build share the hash job)."""
+    t = TxTable(spark, root, bloom_columns=["tag"])
+    t.append(
+        spark.createDataFrame([Row(id=i, tag=f"tag_{i % 7}") for i in range(70)])
+        .repartition(1)
+    )
+    for v in range(7):
+        got = t.read(equality_filter={"tag": f"tag_{v}"})
+        assert got.filter(F.col("tag") == f"tag_{v}").count() == 10
+
+
+def test_bloom_absent_on_unindexed_files_keeps_conservatively(spark, root):
+    # first commit WITHOUT bloom config, second with
+    t0 = TxTable(spark, root)
+    t0.append(_docs(spark, range(100)).repartition(1))
+    t1 = TxTable(spark, root, bloom_columns=["id"])
+    t1.append(_docs(spark, range(100, 200)).repartition(1))
+    m = t1._head_manifest()
+    assert sum(1 for f in t1._snapshot_files(m) if "bloom" in f) == 1
+    # probing for an id in the UNindexed file must keep that file
+    assert t1.read(equality_filter={"id": 50}).filter("id = 50").count() == 1
+
+
+def test_bloom_delete_hint_prunes_candidates(spark, root):
+    t = TxTable(spark, root, bloom_columns=["id"])
+    for lo in (0, 500):
+        t.append(_docs(spark, range(lo, lo + 100)).repartition(1))
+    before = {f["path"] for f in t._snapshot_files(t._head_manifest())}
+    t.delete("id = 550", equality_filter={"id": 550})
+    after = {f["path"] for f in t._snapshot_files(t._head_manifest())}
+    # the file holding 0..99 must survive by reference
+    assert len(before & after) >= 1
+    assert t.read().count() == 199
+
+
+# -- delta manifests + checkpoints -----------------------------------------
+
+
+def test_append_manifests_are_deltas_with_periodic_checkpoints(spark, root):
+    t = TxTable(spark, root, checkpoint_interval=4)
+    for i in range(9):
+        t.append(_docs(spark, range(i * 10, i * 10 + 10)).repartition(1))
+    kinds = {}
+    for v in range(9):
+        m = t._read_manifest(v)
+        kinds[v] = "full" if "files" in m else "delta"
+        if kinds[v] == "delta":
+            assert len(m["adds"]) == 1 and m["removes"] == []
+    # v0 full (first), v4 and v8 full (interval), everything else delta
+    assert [v for v, k in kinds.items() if k == "full"] == [0, 4, 8]
+    # every version still materializes the right snapshot
+    for v in range(9):
+        assert t.read(version=v).count() == (v + 1) * 10
+
+
+def test_delta_manifest_bytes_stay_o_of_touched(spark, root):
+    """The manifest growth that motivated deltas: appending to a table
+    with many live files must not rewrite the whole list."""
+    t = TxTable(spark, root, checkpoint_interval=100)
+    t.append(_docs(spark, range(200)).repartition(20))  # 20 live files
+    t.append(_docs(spark, range(200, 210)).repartition(1))
+    m0 = os.path.getsize(os.path.join(root, "_txlog", f"{0:020d}.json"))
+    m1 = os.path.getsize(os.path.join(root, "_txlog", f"{1:020d}.json"))
+    assert m1 < m0 / 3  # one-file delta ≪ twenty-file checkpoint
+
+
+def test_dml_and_replace_write_remove_deltas(spark, root):
+    t = TxTable(spark, root, checkpoint_interval=100)
+    df = _docs(spark, range(40)).withColumn("bucket", F.col("id") % 2)
+    t.begin().overwrite(df, partition_by=["bucket"]).commit()  # v0 full
+    t.delete("id < 5")  # v1: rewrite delta
+    m1 = t._read_manifest(1)
+    assert "files" not in m1 and len(m1["removes"]) >= 1
+    fresh = _docs(spark, range(100, 104)).withColumn("bucket", F.lit(0).cast("bigint"))
+    t.replace_partitions(fresh, ["bucket"])  # v2: replace delta
+    m2 = t._read_manifest(2)
+    assert "files" not in m2 and len(m2["removes"]) >= 1
+    snap = t.read()
+    assert snap.filter("bucket = 0").count() == 4
+    assert snap.filter("bucket = 1").count() == 18  # 20 minus ids 1,3
+
+
+def test_vacuum_keeps_checkpoint_chain_for_retained_deltas(spark, root):
+    t = TxTable(spark, root, checkpoint_interval=100)  # only v0 is full
+    for i in range(6):
+        t.append(_docs(spark, range(i * 5, i * 5 + 5)).repartition(1))
+    # keep_versions=2 nominally keeps v4, v5 — both deltas; the chain
+    # down to checkpoint v0 must survive or they're unreadable
+    t.vacuum(keep_versions=2, retention_hours=0.0)
+    assert t.read(version=4).count() == 25
+    assert t.read(version=5).count() == 30
+    assert t.read().count() == 30
+
+
+def test_restore_from_delta_version_writes_full_manifest(spark, root):
+    t = TxTable(spark, root, checkpoint_interval=100)
+    for i in range(4):
+        t.append(_docs(spark, range(i * 5, i * 5 + 5)).repartition(1))
+    v = t.restore(2)  # a delta version
+    m = t._read_manifest(v)
+    assert "files" in m  # restore materializes
+    assert t.read().count() == 15
+
+
+def test_read_added_since_returns_only_new_live_rows(spark, root):
+    t = TxTable(spark, root)
+    t.append(_docs(spark, range(10)))            # v0
+    t.append(_docs(spark, range(10, 25), tag="b"))  # v1
+    t.append(_docs(spark, range(25, 30), tag="c"))  # v2
+    inc = t.read_added_since(0)
+    assert inc.count() == 20
+    assert set(r.tag for r in inc.select("tag").distinct().collect()) == {"b", "c"}
+    assert t.read_added_since(2).count() == 0
+    # a file deleted after being added must NOT reappear in the feed
+    t.delete("tag = 'c'")                        # v3 rewrites v2's file
+    inc2 = t.read_added_since(0)
+    assert inc2.filter("tag = 'c'").count() == 0
+    assert inc2.filter("tag = 'b'").count() == 15
