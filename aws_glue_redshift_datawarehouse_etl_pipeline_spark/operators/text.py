@@ -723,3 +723,53 @@ def excise_repeated_spans(
         f"  s -> s.t))"
     )
     return out.withColumn(text_col, kept).drop("cov")
+
+
+def token_frequency_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rare_count: int = 2,
+) -> DataFrame:
+    """Per-document corpus-frequency quality signals: the mean corpus
+    term frequency of the doc's tokens (gibberish and OCR noise score
+    low — every token is near-unique) and the share of rare tokens
+    (corpus count ≤ ``rare_count``). The unigram-LM filtering idea with
+    RATIONAL arithmetic instead of log-probabilities — same ranking
+    intent, but every engine computes identical doubles (one division
+    at the end), so the scores are exactly reproducible cross-engine.
+
+    Skew-safe shape: tokens reduce to per-(doc, token) counts BEFORE
+    joining the corpus vocabulary, so a stopword appearing a billion
+    times joins as one row per document containing it, never a billion
+    rows onto one reducer; the vocabulary join key is the token, the
+    reduce side is vocabulary-sized."""
+    ex = spread_small_scan(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t")), "doc"
+    ).select("doc", F.explode(tokens("__t")).alias("token"))
+    tf = ex.groupBy("doc", "token").agg(F.count(F.lit(1)).alias("tf"))
+    freq = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("n_total"))
+    return (
+        tf.join(freq, "token")
+        .groupBy("doc")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("tf")).alias("sum_cnt"),
+            F.sum(F.when(F.col("cnt") <= rare_count, F.col("tf")).otherwise(0)).alias(
+                "n_rare"
+            ),
+        )
+        .join(F.broadcast(total))
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (
+                F.col("sum_cnt").cast("double")
+                / (F.col("n_tokens") * F.col("n_total")).cast("double")
+            ).alias("mean_tok_freq"),
+            (F.col("n_rare").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "rare_ratio"
+            ),
+        )
+    )

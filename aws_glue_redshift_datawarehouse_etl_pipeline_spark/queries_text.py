@@ -1684,3 +1684,33 @@ def excise_repeated_spans_documents(spark: SparkSession, sf_dir: str) -> DataFra
         F.md5("text").alias("text_md5"),
         F.col("n_removed").cast("long").alias("n_removed"),
     ).orderBy("doc_id")
+
+
+@query(
+    "token_frequency_stats_documents",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+    ), freq AS (
+      SELECT token, SUM(tf) AS cnt FROM tf GROUP BY token
+    ), tot AS (
+      SELECT SUM(cnt) AS n FROM freq
+    )
+    SELECT tf.doc_id,
+           CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+           CAST(SUM(freq.cnt * tf.tf) AS DOUBLE)
+             / CAST(SUM(tf.tf) * (SELECT n FROM tot) AS DOUBLE) AS mean_tok_freq,
+           CAST(SUM(CASE WHEN freq.cnt <= 2 THEN tf.tf ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(tf.tf) AS DOUBLE) AS rare_ratio
+    FROM tf JOIN freq USING (token)
+    GROUP BY tf.doc_id
+    """,
+)
+def token_frequency_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM-style quality scoring over the documents corpus (see
+    operators/text.py::token_frequency_stats): low mean corpus term
+    frequency or high rare-token share flags gibberish / OCR noise /
+    wrong-language content for the curation gate."""
+    return X.token_frequency_stats(t(spark, sf_dir, "documents"))

@@ -62,16 +62,21 @@ def main() -> None:
 
     tbl = cat.table("dim_part")
 
-    # 2. price revision upsert through the log: +2% on one brand,
-    #    committed atomically; readers see old or new prices, never a mix
-    revised = (
-        tbl.read()
-        .filter(F.col("Brand") == "Brand#11")
-        .withColumn("RetailPrice", F.col("RetailPrice") * 1.02)
+    # 2. price revision as row-level UPDATE: +2% on one brand, committed
+    #    atomically as a minimal-file rewrite — only files containing
+    #    Brand#11 rows are rewritten, the rest carry by reference;
+    #    readers see old or new prices, never a mix
+    v = tbl.update(
+        F.col("Brand") == "Brand#11",
+        {"RetailPrice": F.col("RetailPrice") * 1.02},
     )
-    if revised.take(1):
-        v = tbl.merge(revised, keys=["PartKey"])
-        log.info(f"price revision committed as version {v}")
+    log.info(f"price revision committed as version {v}")
+
+    # 2b. retire a discontinued brand with row-level DELETE (same
+    #     minimal-rewrite machinery; a no-match delete is a no-op
+    #     version, so replays don't churn the log)
+    v = tbl.delete(F.col("Brand") == "Brand#13")
+    log.info(f"brand retirement committed as version {v}")
 
     # 3. maintenance as commits: compact the accreted files, then drop
     #    data no retained version references

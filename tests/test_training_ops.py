@@ -1220,3 +1220,16 @@ def test_repeated_span_hash_windows_parity(spark):
     eb = sorted(map(tuple, excise_repeated_spans(
         docs, k=8, min_docs=2, keep="first", hash_windows=True).collect()))
     assert ea == eb
+
+
+def test_token_frequency_stats_flags_gibberish(spark):
+    """A doc of corpus-unique junk tokens must score lower mean corpus
+    frequency and higher rare-ratio than docs of shared vocabulary."""
+    rows = [(i, "the cat sat on the mat and the dog ran") for i in range(5)]
+    rows.append((99, "xq7zk vprw9 qqjjx zzt0p wkvnm"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in X.token_frequency_stats(df).collect()}
+    junk, normal = got[99], got[0]
+    assert junk.mean_tok_freq < normal.mean_tok_freq
+    assert junk.rare_ratio == 1.0
+    assert normal.rare_ratio < 0.5
