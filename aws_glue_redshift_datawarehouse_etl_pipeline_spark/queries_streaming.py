@@ -293,3 +293,48 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("user_id")
     )
+
+
+@query(
+    "streaming_segment_event_values",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def streaming_segment_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC enrichment join: the event stream joins a static
+    customer dimension loaded in batch — the dimension broadcasts into
+    every micro-batch (no stream state, no watermark needed; the
+    static side is re-resolvable per batch, which is exactly how a
+    slowly-changing dim behaves under Structured Streaming), then a
+    stateful aggregation rolls up per segment. availableNow over the
+    staged events must equal the batch join+group — the third join
+    mode (batch-batch, stream-stream, stream-static) closing the
+    §2.10 surface."""
+    from pyspark.sql import functions as F
+
+    ev, stage = _stage_events(spark, sf_dir)
+    stream = spark.readStream.schema(ev.schema).parquet(stage)
+    dim = (
+        t(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("cust"), "c_mktsegment")
+    )
+    joined = stream.join(F.broadcast(dim), stream.user_id == F.col("cust"))
+    agg = joined.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
+    )
+    sink = f"stream_segjoin_{uuid.uuid4().hex[:8]}"
+    sq = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    return spark.table(sink).orderBy("mktsegment")

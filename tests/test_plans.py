@@ -236,3 +236,61 @@ def test_semantic_dedup_survivors_is_anti_join_shaped(spark, sf_dir):
     s = plan(spark, sf_dir, "semantic_dedup_survivors")
     assert "LeftAnti" in s
     assert "CartesianProduct" not in s
+
+
+def test_q4_shape_semi_join_carries_key_only(spark, sf_dir):
+    s = plan(spark, sf_dir, "order_priority_exists")
+    assert "LeftSemi" in s
+    assert "BroadcastNestedLoopJoin" not in s and "CartesianProduct" not in s
+    # the EXISTS probe side reads ONLY the join key + filter column
+    li_schema = next(
+        ln for ln in s.splitlines()
+        if "ReadSchema" in ln and "lineitem" in ln
+    )
+    assert "l_orderkey" in li_schema and "l_extendedprice" not in li_schema
+
+
+def test_q16_shape_anti_join_and_pushed_part_filters(spark, sf_dir):
+    s = plan(spark, sf_dir, "parts_supplier_counts")
+    assert "LeftAnti" in s
+    assert "In(p_size" in s  # size IN-list pushed to the part scan
+    assert "CartesianProduct" not in s
+
+
+def test_q18_shape_scans_lineitem_once(spark, sf_dir):
+    """The IN-subquery aggregate is reused, so the fact table appears
+    exactly once in the plan — the literal translation scans it twice."""
+    s = plan(spark, sf_dir, "large_order_customers")
+    assert s.count("lineitem.parquet") == 1
+    assert "TakeOrderedAndProject" in s
+
+
+def test_q21_shape_single_grouped_pass_over_lineitem(spark, sf_dir):
+    """EXISTS + NOT EXISTS collapse into ONE grouped scan of lineitem
+    (vs three scans + two semi-join shuffles in the literal form)."""
+    s = plan(spark, sf_dir, "sole_problem_supplier")
+    assert s.count("lineitem.parquet") == 1
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+
+
+def test_q19_shape_disjunct_envelopes_reach_both_scans(spark, sf_dir):
+    s = plan(spark, sf_dir, "disjunctive_part_revenue")
+    li_schema = next(
+        ln for ln in s.splitlines() if "PushedFilters" in ln and "l_quantity" in ln
+    )
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in li_schema
+    part_line = next(
+        ln for ln in s.splitlines() if "PushedFilters" in ln and "p_brand" in ln
+    )
+    assert "In(p_brand" in part_line
+
+
+def test_q17_shape_brand_filter_precedes_per_part_average(spark, sf_dir):
+    """The correlated average is computed only over the brand's parts:
+    the broadcast brand join must sit BELOW the per-part aggregate, so
+    lineitem rows of other brands never reach it."""
+    s = plan(spark, sf_dir, "small_quantity_revenue")
+    assert "BroadcastHashJoin" in s
+    assert "CartesianProduct" not in s
+    # part's brand filter is pushed to its scan
+    assert "EqualTo(p_brand,Brand#23)" in s

@@ -683,3 +683,20 @@ def test_read_added_since_returns_only_new_live_rows(spark, root):
     inc2 = t.read_added_since(0)
     assert inc2.filter("tag = 'c'").count() == 0
     assert inc2.filter("tag = 'b'").count() == 15
+
+
+def test_diff_labels_dml_changes(spark, root):
+    """The CDC feed must see THROUGH the minimal-file rewrite: a DELETE
+    shows as removed rows, an UPDATE as changed — even though untouched
+    files carried over by reference between the two snapshots."""
+    t = TxTable(spark, root)
+    t.append(_docs(spark, range(20)).repartition(2))      # v0
+    t.delete("id >= 18")                                   # v1
+    t.update("id = 0", {"val": F.lit(999.0)})              # v2
+    d = {r.id: r.change_type for r in t.diff(0, 2, keys=["id"]).collect()}
+    assert d[18] == d[19] == "removed"
+    assert d[0] == "changed"
+    assert len(d) == 3  # everything else untouched
+    # and the reverse direction inverts
+    rev = {r.id: r.change_type for r in t.diff(2, 0, keys=["id"]).collect()}
+    assert rev[18] == rev[19] == "added"
