@@ -258,3 +258,80 @@ def pack_sequences(
         )
 
     return base.groupBy("__shard").applyInPandas(pack, out_schema)
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    budget_docs: int,
+    alpha: float = 0.5,
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-based source re-weighting — the multinomial mixing
+    rule of multilingual/multi-source pretraining: sampling weight
+    ``n_s^alpha`` per source, so ``alpha < 1`` upweights small sources
+    relative to their raw share and ``alpha = 1`` is proportional.
+    Each source contributes ``floor(budget_docs * w_s / W)`` documents,
+    chosen in deterministic portable-hash order (reproducible across
+    runs, partitionings, and engines — same md5 gate as the samplers).
+
+    Cross-engine exactness: ``alpha`` 0.5 and 1.0 compute via sqrt /
+    identity, which IEEE 754 requires correctly rounded, and the
+    weight total ``W`` is a RUNNING sum ordered by source name (a
+    window max of the cumulative), so both engines add the same
+    doubles in the same order — floor() boundaries can't flip. Other
+    alphas go through pow(), which is not correctly-rounded-guaranteed;
+    fine for real mixing, not for bit-exact oracle checks.
+
+    One narrow aggregate (counts), a broadcast of the per-source
+    targets, and one per-source window for the rank — the fact scan
+    shuffles once on the source key; at 100 TB the per-source ordering
+    is the only wide operation and it partitions by source."""
+    from pyspark.sql import Window
+
+    if alpha == 0.5:
+        w_expr = F.sqrt(F.col("n_available").cast("double"))
+    elif alpha == 1.0:
+        w_expr = F.col("n_available").cast("double")
+    else:
+        w_expr = F.pow(F.col("n_available").cast("double"), F.lit(alpha))
+    counts = (
+        df.groupBy(F.col(source_col).alias("__src"))
+        .agg(F.count(F.lit(1)).alias("n_available"))
+        .withColumn("__w", w_expr)
+    )
+    run = Window.orderBy("__src").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.orderBy("__src").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # the cumulative is its OWN column before the max, and the total is
+    # named __wtot, NOT __W: identifier resolution is case-insensitive
+    # in both Spark and ANSI SQL, so __w/__W would silently be ONE
+    # column (and a nested max(sum().over()).over() mis-resolves too)
+    targets = (
+        counts.withColumn("__cum", F.sum("__w").over(run))
+        .withColumn("__wtot", F.max("__cum").over(tot))
+        .withColumn(
+            "target_docs",
+            F.floor(
+                F.lit(float(budget_docs)) * F.col("__w") / F.col("__wtot")
+            ).cast("long"),
+        )
+    )
+    ranked = df.withColumn(
+        "__rk",
+        F.row_number().over(
+            Window.partitionBy(source_col).orderBy(
+                _portable_hash(seed, F.col(key_col).cast("string")), key_col
+            )
+        ),
+    )
+    return (
+        ranked.join(
+            F.broadcast(targets.select("__src", "n_available", "target_docs")),
+            ranked[source_col] == F.col("__src"),
+        )
+        .filter(F.col("__rk") <= F.col("target_docs"))
+        .drop("__src", "__rk")
+    )

@@ -1714,3 +1714,65 @@ def token_frequency_stats_documents(spark: SparkSession, sf_dir: str) -> DataFra
     frequency or high rare-token share flags gibberish / OCR noise /
     wrong-language content for the curation gate."""
     return X.token_frequency_stats(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "temperature_mix_documents",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_available FROM documents GROUP BY source
+    ), weighted AS (
+      SELECT source, n_available, sqrt(CAST(n_available AS DOUBLE)) AS wgt
+      FROM counts
+    ), run AS (
+      SELECT source, n_available, wgt,
+             SUM(wgt) OVER (ORDER BY source ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+      FROM weighted
+    ), tot AS (
+      SELECT source, n_available, wgt,
+             MAX(cum) OVER (ORDER BY source ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING) AS wtot
+      FROM run
+    ), targets AS (
+      SELECT source, n_available,
+             CAST(FLOOR(200.0 * wgt / wtot) AS BIGINT) AS target_docs
+      FROM tot
+    ), ranked AS (
+      SELECT d.doc_id, d.source,
+             ROW_NUMBER() OVER (PARTITION BY d.source
+                 ORDER BY {_DUCK_PHASH.format(seed=0, v='d.doc_id')}, d.doc_id)
+               AS rk
+      FROM documents d
+    )
+    SELECT r.source, MAX(t.n_available) AS n_available,
+           MAX(t.target_docs) AS target_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_selected,
+           CAST(SUM(r.doc_id) AS BIGINT) AS sum_ids
+    FROM ranked r JOIN targets t ON r.source = t.source
+    WHERE r.rk <= t.target_docs
+    GROUP BY r.source ORDER BY r.source
+    """,
+)
+def temperature_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixing (alpha = 0.5) of the documents corpus into a
+    200-doc budget — per-source membership summarized as counts + the
+    exact id sum, so the oracle pins WHICH documents were selected,
+    not just how many (operators/sampling.py::temperature_mix)."""
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    mixed = temperature_mix(
+        t(spark, sf_dir, "documents"), "source", "doc_id", budget_docs=200
+    )
+    return (
+        mixed.groupBy("source")
+        .agg(
+            F.max("n_available").alias("n_available"),
+            F.max("target_docs").alias("target_docs"),
+            F.count(F.lit(1)).alias("n_selected"),
+            F.sum("doc_id").alias("sum_ids"),
+        )
+        .orderBy("source")
+    )

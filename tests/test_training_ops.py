@@ -1233,3 +1233,27 @@ def test_token_frequency_stats_flags_gibberish(spark):
     assert junk.mean_tok_freq < normal.mean_tok_freq
     assert junk.rare_ratio == 1.0
     assert normal.rare_ratio < 0.5
+
+
+def test_temperature_mix_upweights_small_sources(spark):
+    """alpha=0.5 must give a small source MORE than its proportional
+    share and a dominant source less; alpha=1.0 is proportional; the
+    selection is deterministic across re-runs."""
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    rows = [(i, "big") for i in range(900)] + [(1000 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    mixed = temperature_mix(df, "source", "doc_id", budget_docs=100, alpha=0.5)
+    by_src = {r.source: r for r in mixed.groupBy("source").count().collect()}
+    # proportional would give small 10 of 100; sqrt-weights give 25
+    assert by_src["small"]["count"] == 25
+    assert by_src["big"]["count"] == 75
+    prop = temperature_mix(df, "source", "doc_id", budget_docs=100, alpha=1.0)
+    by_prop = {r.source: r["count"] for r in prop.groupBy("source").count().collect()}
+    assert by_prop == {"big": 90, "small": 10}
+    again = temperature_mix(df, "source", "doc_id", budget_docs=100, alpha=0.5)
+    assert sorted(r.doc_id for r in again.collect()) == sorted(
+        r.doc_id for r in mixed.collect()
+    )

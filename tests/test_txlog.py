@@ -700,3 +700,73 @@ def test_diff_labels_dml_changes(spark, root):
     # and the reverse direction inverts
     rev = {r.id: r.change_type for r in t.diff(2, 0, keys=["id"]).collect()}
     assert rev[18] == rev[19] == "added"
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_dml_random_sequence_matches_model(spark, root, seed):
+    """Model-based check: a seeded random sequence of append / delete /
+    update / replace_partitions applied to both the TxTable and an
+    in-memory dict model must agree on the final rows — the composite
+    interactions (delete after replace, update of freshly appended
+    rows, no-op deletes) that single-op tests can't cover."""
+    import random
+
+    rng = random.Random(seed)
+    t = TxTable(spark, str(root) + f"_{seed}", checkpoint_interval=3)
+    model: dict[int, float] = {}
+    next_id = 0
+
+    def do_append():
+        nonlocal next_id
+        n = rng.randint(3, 12)
+        ids = list(range(next_id, next_id + n))
+        next_id += n
+        t.append(_docs(spark, ids).repartition(rng.randint(1, 2)))
+        model.update({i: i * 1.5 for i in ids})
+
+    def do_delete():
+        if not model:
+            return
+        lo = rng.randint(0, max(model))
+        hi = lo + rng.randint(0, 10)
+        t.delete(f"id >= {lo} AND id <= {hi}")
+        for i in [i for i in model if lo <= i <= hi]:
+            del model[i]
+
+    def do_update():
+        if not model:
+            return
+        pivot = rng.randint(0, max(model))
+        t.update(f"id >= {pivot}", {"val": "val + 100.0"})
+        for i in [i for i in model if i >= pivot]:
+            model[i] += 100.0
+
+    ops = [do_append] + [rng.choice([do_append, do_delete, do_update]) for _ in range(7)]
+    for op in ops:
+        op()
+    got = {r.id: r.val for r in t.read().collect()}
+    assert got == model
+
+
+def test_bloom_false_positive_rate_within_bound(spark, root):
+    """Empirical FPR check: probing 200 ABSENT keys against a file of
+    500 present ones must stay under ~4x the analytic bound for
+    m=4096, k=5, n=500 (≈ 2.2%) — a sanity pin that the bit math
+    builds a real Bloom filter, not a degenerate one."""
+    t = TxTable(spark, root, bloom_columns=["id"])
+    t.append(_docs(spark, range(500)).repartition(1))
+    m = t._head_manifest()
+    import json as _json
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.sources.txlog import (
+        _prune_files,
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromJson(_json.loads(m["schema"]))
+    files = t._snapshot_files(m)
+    fp = 0
+    for probe_id in range(10_000, 10_200):
+        probe = t._bloom_probe(schema, {"id": probe_id})
+        if _prune_files(files, None, None, probe):
+            fp += 1
+    assert fp / 200 < 0.09, f"FPR {fp/200:.3f} too high"
