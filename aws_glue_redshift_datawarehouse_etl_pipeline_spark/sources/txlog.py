@@ -249,8 +249,15 @@ class Transaction:
         # reconstruct identical frames regardless of physical layout
         self._schema_json = df.schema.json()
 
-    def append(self, df: DataFrame) -> "Transaction":
-        self._stage(df, "append", None)
+    def append(
+        self, df: DataFrame, partition_by: list[str] | None = None
+    ) -> "Transaction":
+        """``partition_by`` lays the appended files out under Hive
+        ``col=value`` segments — REQUIRED when the table is partitioned
+        and later ``replace_partitions`` / partition-scoped compaction
+        must see every file labeled (both guard against unlabeled
+        files)."""
+        self._stage(df, "append", partition_by)
         return self
 
     def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> "Transaction":
@@ -821,8 +828,8 @@ class TxTable:
         return out
 
     # -- convenience one-shot writes --------------------------------------
-    def append(self, df: DataFrame) -> int:
-        return self.begin().append(df).commit()
+    def append(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
+        return self.begin().append(df, partition_by).commit()
 
     def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
         return self.begin().overwrite(df, partition_by).commit()
@@ -1069,6 +1076,49 @@ class TxTable:
 
     # -- maintenance -------------------------------------------------------
     def compact(
+        self,
+        num_files: int | None = None,
+        zorder_by: list[str] | None = None,
+        partition_filter: dict[str, object] | None = None,
+    ) -> int:
+        """See the overwrite path below; ``partition_filter`` switches
+        to a PARTITION-SCOPED compaction — only the matching files are
+        rewritten (through the same file-level rewrite op the DML
+        uses), every other file carries into the new manifest by
+        reference. Compacting one hot partition of a million-file
+        table commits O(that partition)."""
+        if partition_filter:
+            head = self._head_manifest()
+            if head is None:
+                raise FileNotFoundError(f"no committed version at {self.root}")
+            schema = T.StructType.fromJson(json.loads(head["schema"]))
+            files = _prune_files(
+                self._snapshot_files(head), partition_filter, None
+            )
+            if len(files) <= 1:
+                return head["version"]  # nothing to collapse
+            key_orders = {tuple(f["parts"].keys()) for f in files}
+            if len(key_orders) != 1:
+                raise ValueError(
+                    "partition-scoped compaction needs a uniform partition "
+                    f"layout under the filter; saw key sets {key_orders}"
+                )
+            pkeys = list(key_orders.pop()) or None
+            snap = self._files_to_df(files, schema)
+            if zorder_by:
+                from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.layout import (
+                    zorder_layout,
+                )
+
+                snap = zorder_layout(snap, zorder_by, num_partitions=num_files or 1)
+            else:
+                snap = snap.coalesce(num_files or 1)
+            tx = self.begin()
+            tx.rewrite(snap, [f["path"] for f in files], partition_by=pkeys)
+            return tx.commit()
+        return self._compact_full(num_files, zorder_by)
+
+    def _compact_full(
         self,
         num_files: int | None = None,
         zorder_by: list[str] | None = None,

@@ -770,3 +770,32 @@ def test_bloom_false_positive_rate_within_bound(spark, root):
         if _prune_files(files, None, None, probe):
             fp += 1
     assert fp / 200 < 0.09, f"FPR {fp/200:.3f} too high"
+
+
+def test_partition_scoped_compact_touches_only_filtered_partition(spark, root):
+    t = TxTable(spark, root)
+    df = _docs(spark, range(60)).withColumn("bucket", F.col("id") % 3)
+    t.begin().overwrite(df.repartition(4), partition_by=["bucket"]).commit()
+    # accrete small PARTITIONED files into bucket 1 only
+    for i in range(3):
+        t.append(
+            _docs(spark, range(100 + i * 5, 105 + i * 5))
+            .withColumn("bucket", F.lit(1).cast("bigint"))
+            .repartition(1),
+            partition_by=["bucket"],
+        )
+    before = t._snapshot_files(t._head_manifest())
+    b1_before = [f for f in before if f["parts"].get("bucket") == "1"]
+    other_before = {f["path"] for f in before if f["parts"].get("bucket") != "1"}
+    assert len(b1_before) > 1
+    v = t.compact(partition_filter={"bucket": 1})
+    after = t._snapshot_files(t._head_manifest())
+    b1_after = [f for f in after if f["parts"].get("bucket") == "1"]
+    other_after = {f["path"] for f in after if f["parts"].get("bucket") != "1"}
+    assert len(b1_after) == 1
+    assert other_after == other_before  # untouched partitions by reference
+    got = t.read()
+    assert got.count() == 75
+    assert got.filter("bucket = 1").count() == 20 + 15
+    # a second scoped compact is a no-op version
+    assert t.compact(partition_filter={"bucket": 1}) == v
