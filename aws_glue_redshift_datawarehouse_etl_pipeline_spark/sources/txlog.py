@@ -135,6 +135,14 @@ def _parse_parts(rel: str) -> dict[str, str]:
     return out
 
 
+def _map_keys(d: dict | None, mapping: dict[str, str]) -> dict | None:
+    """Translate a user-facing filter dict's LOGICAL column keys to the
+    PHYSICAL names the manifest records (path segments, stats, blooms)."""
+    if not d or not mapping:
+        return d
+    return {mapping.get(k, k): v for k, v in d.items()}
+
+
 def _prune_files(
     files: list[dict],
     partition_filter: dict[str, object] | None,
@@ -224,6 +232,14 @@ class Transaction:
         # snapshot this transaction read; overwrite/replace outcomes
         # depend on it, so their commits conflict if the head moves past
         self.read_version = table.current_version()
+        head = table._head_manifest()
+        # logical→physical column map at the snapshot: staged frames
+        # arrive with LOGICAL names and are written under PHYSICAL ones
+        # (frozen at each column's first write), so a rename commit
+        # never rewrites data. A concurrent rename conflicts at commit.
+        self._mapping: dict[str, str] = dict(
+            (head or {}).get("column_mapping") or {}
+        )
         self.op: str | None = None
         self._schema_json: str | None = None
         self._partition_keys: list[str] = []
@@ -240,14 +256,31 @@ class Transaction:
         if self.op is not None:
             raise ValueError("a transaction stages exactly one write")
         self.op = op
-        self._partition_keys = list(partition_by or [])
+        # schema of the FULL row (partition columns included), in
+        # LOGICAL names, so reads reconstruct identical frames
+        # regardless of physical layout or later renames
+        self._schema_json = df.schema.json()
+        # write under PHYSICAL names (identity unless renamed). Keys
+        # already physical (the DML/compact paths derive them from file
+        # path segments) pass through: rename_column refuses to reuse
+        # any recorded physical name as a new logical one, so a name is
+        # never both.
+        renames = {
+            c: self._mapping[c]
+            for c in df.columns
+            if self._mapping.get(c, c) != c
+        }
+        if renames:
+            df = df.select(
+                *[F.col(c).alias(renames.get(c, c)) for c in df.columns]
+            )
+        self._partition_keys = [
+            self._mapping.get(k, k) for k in (partition_by or [])
+        ]
         writer = df.write.format("parquet").mode("errorifexists")
         if self._partition_keys:
             writer = writer.partitionBy(*self._partition_keys)
         writer.save(self.stage_path)
-        # schema of the FULL row (partition columns included) so reads
-        # reconstruct identical frames regardless of physical layout
-        self._schema_json = df.schema.json()
 
     def append(
         self, df: DataFrame, partition_by: list[str] | None = None
@@ -315,9 +348,11 @@ class Transaction:
         the manifest — the data-skipping statistics the public formats
         keep, enabling manifest-level range pruning in ``read``. Cost:
         one narrow scan of the just-staged bytes at commit time."""
+        # stats/blooms are recorded under PHYSICAL names — stable across
+        # renames, so pre-rename statistics keep pruning forever
         cols = [
             c
-            for c in self.table.stats_columns
+            for c in (self._mapping.get(c0, c0) for c0 in self.table.stats_columns)
             if c not in self._partition_keys
         ]
         if not files or not (cols or self.table.bloom_columns):
@@ -361,7 +396,11 @@ class Transaction:
         the high-cardinality EQUALITY probe ('is doc 123456 in this
         file?') that ranges can't prune on unsorted data."""
         tbl = self.table
-        cols = [c for c in tbl.bloom_columns if c not in self._partition_keys]
+        cols = [
+            c
+            for c in (self._mapping.get(c0, c0) for c0 in tbl.bloom_columns)
+            if c not in self._partition_keys
+        ]
         present = [c for c in cols if c in df.columns]
         if not present or not files:
             return files
@@ -414,6 +453,32 @@ class Transaction:
             parent_version = -1 if head is None else head["version"]
             parent_files = [] if head is None else tbl._snapshot_files(head)
             app_versions = dict((head or {}).get("app_versions") or {})
+            head_mapping = dict((head or {}).get("column_mapping") or {})
+            if head_mapping != self._mapping:
+                # a rename landed since this transaction staged: its
+                # bytes were written under the OLD logical→physical view
+                raise CommitConflictError(
+                    "column mapping changed concurrently (rename committed "
+                    "since this transaction began); restage against the "
+                    "new head"
+                )
+            retired = set((head or {}).get("retired_columns") or [])
+            if retired and self._schema_json:
+                staged_logical = T.StructType.fromJson(
+                    json.loads(self._schema_json)
+                ).fields
+                clash = {
+                    f.name
+                    for f in staged_logical
+                    if self._mapping.get(f.name, f.name).lower()
+                    in {r.lower() for r in retired}
+                }
+                if clash:
+                    raise ValueError(
+                        f"columns {sorted(clash)} reuse a RETIRED physical "
+                        "name (a dropped column's bytes still live in old "
+                        "files and would resurrect); pick different names"
+                    )
             if self.app_id is not None:
                 rec = app_versions.get(self.app_id)
                 if rec is not None and rec[0] >= self.app_version:
@@ -493,6 +558,8 @@ class Transaction:
                 "app_versions": app_versions,
                 "schema": schema_json,
                 "partition_keys": self._partition_keys,
+                "column_mapping": self._mapping,
+                "retired_columns": sorted(retired),
                 "committed_at_ms": int(time.time() * 1000),
             }
             if full:
@@ -700,19 +767,25 @@ class TxTable:
         return self.current_version() >= 0
 
     def _bloom_probe(
-        self, schema: T.StructType, equality_filter: dict[str, object]
+        self,
+        schema: T.StructType,
+        equality_filter: dict[str, object],
+        mapping: dict[str, str] | None = None,
     ) -> dict:
         """Probe bit positions for each sought value, computed by the
         SAME expression the build used (xxhash64 over the column's
         declared type, k seeds, mod m) — a 1-row Spark job, so the two
-        sides can never disagree on hashing."""
+        sides can never disagree on hashing. Probe keys are PHYSICAL
+        names (blooms are recorded under them; physical names never
+        change, so pre-rename blooms stay valid)."""
+        mapping = mapping or {}
         m, k = self.bloom_bits, self.bloom_k
         exprs = []
-        for c, v in equality_filter.items():
+        for idx, (c, v) in enumerate(equality_filter.items()):
             dt = schema[c].dataType
             exprs += [
                 F.pmod(F.xxhash64(F.lit(v).cast(dt), F.lit(i)), F.lit(m)).alias(
-                    f"{c}__{i}"
+                    f"c{idx}__{i}"
                 )
                 for i in range(k)
             ]
@@ -721,8 +794,8 @@ class TxTable:
             "m": m,
             "k": k,
             "cols": {
-                c: [row[f"{c}__{i}"] for i in range(k)]
-                for c in equality_filter
+                mapping.get(c, c): [row[f"c{idx}__{i}"] for i in range(k)]
+                for idx, c in enumerate(equality_filter)
             },
         }
 
@@ -766,21 +839,41 @@ class TxTable:
                 f"at {self.root}"
             )
         schema = T.StructType.fromJson(json.loads(m["schema"]))
+        mapping = dict(m.get("column_mapping") or {})
         probe = (
-            self._bloom_probe(schema, equality_filter) if equality_filter else None
+            self._bloom_probe(schema, equality_filter, mapping)
+            if equality_filter
+            else None
         )
         files = _prune_files(
-            self._snapshot_files(m), partition_filter, range_filter, probe
+            self._snapshot_files(m),
+            _map_keys(partition_filter, mapping),
+            _map_keys(range_filter, mapping),
+            probe,
         )
-        return self._files_to_df(files, schema)
+        return self._files_to_df(files, schema, mapping)
 
-    def _files_to_df(self, files: list[dict], schema: T.StructType) -> DataFrame:
+    def _files_to_df(
+        self,
+        files: list[dict],
+        schema: T.StructType,
+        mapping: dict[str, str] | None = None,
+    ) -> DataFrame:
         """One DataFrame over exactly the manifest files given, with the
         manifest schema imposed (shared by ``read`` and the DML rewrite
-        path so both see identical rows for the same file set)."""
+        path so both see identical rows for the same file set).
+        ``mapping`` is the manifest's logical→physical column map: the
+        files carry PHYSICAL names (frozen at each column's first
+        write), the returned frame LOGICAL ones — a renamed column
+        reads correctly from every file ever written."""
+        mapping = mapping or {}
         if not files:
             return self.spark.createDataFrame([], schema)
         cols = [fld.name for fld in schema.fields]
+        phys = {c: mapping.get(c, c) for c in cols}
+        phys_schema = T.StructType(
+            [T.StructField(phys[f.name], f.dataType, f.nullable) for f in schema.fields]
+        )
         parts: list[DataFrame] = []
         # ALL unpartitioned files are one multi-path scan with the
         # manifest schema imposed (missing columns from older commits
@@ -789,7 +882,11 @@ class TxTable:
         # for col=value reconstruction.
         flat = sorted(f"{self.root}/{f['path']}" for f in files if not f["parts"])
         if flat:
-            parts.append(self.spark.read.schema(schema).parquet(*flat))
+            parts.append(
+                self.spark.read.schema(phys_schema)
+                .parquet(*flat)
+                .select(*[F.col(phys[c]).alias(c) for c in cols])
+            )
         by_commit: dict[str, list[str]] = {}
         for f in files:
             if not f["parts"]:
@@ -806,8 +903,8 @@ class TxTable:
             parts.append(
                 df.select(
                     *[
-                        F.col(c).cast(schema[c].dataType)
-                        if c in have
+                        F.col(phys[c]).cast(schema[c].dataType).alias(c)
+                        if phys[c] in have
                         else F.lit(None).cast(schema[c].dataType).alias(c)
                         for c in cols
                     ]
@@ -878,11 +975,17 @@ class TxTable:
         if head is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
         schema = T.StructType.fromJson(json.loads(head["schema"]))
+        mapping = dict(head.get("column_mapping") or {})
         probe = (
-            self._bloom_probe(schema, equality_filter) if equality_filter else None
+            self._bloom_probe(schema, equality_filter, mapping)
+            if equality_filter
+            else None
         )
         cands = _prune_files(
-            self._snapshot_files(head), partition_filter, range_filter, probe
+            self._snapshot_files(head),
+            _map_keys(partition_filter, mapping),
+            _map_keys(range_filter, mapping),
+            probe,
         )
         if not cands:
             return head["version"]
@@ -892,7 +995,7 @@ class TxTable:
         hits = {
             r["__f"].rsplit("/", 1)[1]
             for r in (
-                self._files_to_df(cands, schema)
+                self._files_to_df(cands, schema, mapping)
                 .withColumn("__f", F.input_file_name())
                 .filter(condition)
                 .select("__f")
@@ -911,7 +1014,7 @@ class TxTable:
             pkeys: list[str] | None = None
         else:
             pkeys = list(key_orders.pop()) or None
-        out = transform(self._files_to_df(touched, schema))
+        out = transform(self._files_to_df(touched, schema, mapping))
         tx = self.begin()
         tx.rewrite(out, [f["path"] for f in touched], partition_by=pkeys)
         return tx.commit()
@@ -1014,6 +1117,118 @@ class TxTable:
             self.read(version=from_version), self.read(version=to_version), keys
         )
 
+    def rename_column(self, old: str, new: str) -> int:
+        """RENAME COLUMN as a METADATA-ONLY commit: the logical name in
+        the schema changes, the physical name in every parquet file
+        stays frozen at what the column was first written as — zero
+        bytes of data rewritten, and every snapshot (past and future)
+        reads correctly through the manifest's logical→physical map.
+        Pre-rename stats and Bloom filters keep pruning (they are
+        recorded under physical names). A ``new`` name that collides
+        case-insensitively with any current logical OR any recorded
+        physical name is refused — identifier resolution is
+        case-insensitive in SQL engines, and reusing a physical name
+        would make the logical→physical translation ambiguous.
+        Conflicts like an overwrite if the head moves concurrently;
+        concurrent writers staged under the old mapping conflict at
+        their commit."""
+        head = self._head_manifest()
+        if head is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        schema = T.StructType.fromJson(json.loads(head["schema"]))
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"no column {old!r}; have {names}")
+        mapping = dict(head.get("column_mapping") or {})
+        taken = {n.lower() for n in names if n != old}
+        taken |= {p.lower() for p in mapping.values()}
+        taken |= {mapping.get(c, c).lower() for c in names}
+        taken |= {r.lower() for r in head.get("retired_columns") or []}
+        if new.lower() in taken:
+            raise ValueError(
+                f"{new!r} collides (case-insensitively) with a current "
+                "logical or recorded physical column name"
+            )
+        physical = mapping.pop(old, old)
+        if physical != new:
+            mapping[new] = physical
+        new_schema = T.StructType(
+            [
+                T.StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+        tx = self.begin()
+        manifest = {
+            "version": head["version"] + 1,
+            "parent": head["version"],
+            "op": "rename_column",
+            "txid": tx.txid,
+            "app_txid": None,
+            "app_versions": dict(head.get("app_versions") or {}),
+            "schema": new_schema.json(),
+            "partition_keys": list(head.get("partition_keys") or []),
+            "column_mapping": mapping,
+            "retired_columns": list(head.get("retired_columns") or []),
+            "files": self._snapshot_files(head),
+            "committed_at_ms": int(time.time() * 1000),
+        }
+        if not self._try_write_manifest(manifest):
+            raise CommitConflictError(
+                f"version {manifest['version']} was claimed concurrently"
+            )
+        return manifest["version"]
+
+    def drop_column(self, name: str) -> int:
+        """DROP COLUMN as a METADATA-ONLY commit: the column leaves the
+        logical schema; the physical bytes stay in every existing file
+        and are simply never read (vacuumed away as those files age
+        out through compaction/overwrite). The dropped column's
+        PHYSICAL name is recorded as retired: appending a new column
+        under it (or renaming onto it) is refused, because old files
+        still carry values under that physical name and a re-added
+        column would silently resurrect them."""
+        head = self._head_manifest()
+        if head is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        schema = T.StructType.fromJson(json.loads(head["schema"]))
+        names = [f.name for f in schema.fields]
+        if name not in names:
+            raise ValueError(f"no column {name!r}; have {names}")
+        if len(names) == 1:
+            raise ValueError("cannot drop the only column")
+        mapping = dict(head.get("column_mapping") or {})
+        physical = mapping.pop(name, name)
+        retired = sorted(set(head.get("retired_columns") or []) | {physical})
+        new_schema = T.StructType(
+            [f for f in schema.fields if f.name != name]
+        )
+        pkeys = list(head.get("partition_keys") or [])
+        if physical in pkeys:
+            raise ValueError(
+                f"{name!r} is a partition column; rewrite the layout first"
+            )
+        tx = self.begin()
+        manifest = {
+            "version": head["version"] + 1,
+            "parent": head["version"],
+            "op": "drop_column",
+            "txid": tx.txid,
+            "app_txid": None,
+            "app_versions": dict(head.get("app_versions") or {}),
+            "schema": new_schema.json(),
+            "partition_keys": pkeys,
+            "column_mapping": mapping,
+            "retired_columns": retired,
+            "files": self._snapshot_files(head),
+            "committed_at_ms": int(time.time() * 1000),
+        }
+        if not self._try_write_manifest(manifest):
+            raise CommitConflictError(
+                f"version {manifest['version']} was claimed concurrently"
+            )
+        return manifest["version"]
+
     def read_added_since(self, version: int) -> DataFrame:
         """Incremental change-stream read: the rows in files ADDED by
         commits after ``version`` that are still live at head —
@@ -1038,7 +1253,9 @@ class TxTable:
         fresh = [
             f for f in self._snapshot_files(head) if f["path"] not in old
         ]
-        return self._files_to_df(fresh, schema)
+        return self._files_to_df(
+            fresh, schema, dict(head.get("column_mapping") or {})
+        )
 
     def restore(self, version: int) -> int:
         """Roll the table BACK to ``version`` as a NEW commit (the
@@ -1064,6 +1281,13 @@ class TxTable:
             "app_versions": dict(head.get("app_versions") or {}),
             "schema": src["schema"],
             "partition_keys": tx._partition_keys,
+            "column_mapping": dict(src.get("column_mapping") or {}),
+            # retired names stay retired across a restore: old files
+            # carrying those bytes remain live in SOME snapshot
+            "retired_columns": sorted(
+                set(head.get("retired_columns") or [])
+                | set(src.get("retired_columns") or [])
+            ),
             "files": self._snapshot_files(src),
             "restored_from": version,
             "committed_at_ms": int(time.time() * 1000),
@@ -1092,8 +1316,9 @@ class TxTable:
             if head is None:
                 raise FileNotFoundError(f"no committed version at {self.root}")
             schema = T.StructType.fromJson(json.loads(head["schema"]))
+            mapping = dict(head.get("column_mapping") or {})
             files = _prune_files(
-                self._snapshot_files(head), partition_filter, None
+                self._snapshot_files(head), _map_keys(partition_filter, mapping), None
             )
             if len(files) <= 1:
                 return head["version"]  # nothing to collapse
@@ -1104,7 +1329,7 @@ class TxTable:
                     f"layout under the filter; saw key sets {key_orders}"
                 )
             pkeys = list(key_orders.pop()) or None
-            snap = self._files_to_df(files, schema)
+            snap = self._files_to_df(files, schema, mapping)
             if zorder_by:
                 from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.layout import (
                     zorder_layout,

@@ -799,3 +799,118 @@ def test_partition_scoped_compact_touches_only_filtered_partition(spark, root):
     assert got.filter("bucket = 1").count() == 20 + 15
     # a second scoped compact is a no-op version
     assert t.compact(partition_filter={"bucket": 1}) == v
+
+
+# -- column mapping (metadata-only RENAME COLUMN) --------------------------
+
+
+def test_rename_column_is_metadata_only_and_reads_all_history(spark, root):
+    t = TxTable(spark, root, stats_columns=["val"])
+    t.append(_docs(spark, range(10)).repartition(1))
+    files_before = {f["path"] for f in t._snapshot_files(t._head_manifest())}
+    v = t.rename_column("val", "score")
+    m = t._read_manifest(v)
+    assert m["op"] == "rename_column"
+    # zero data movement: the exact same file paths
+    assert {f["path"] for f in t._snapshot_files(m)} == files_before
+    got = t.read()
+    assert got.columns == ["id", "tag", "score"]
+    assert {r.id: r.score for r in got.collect()} == {i: i * 1.5 for i in range(10)}
+    # time travel BEFORE the rename shows the old name
+    assert t.read(version=0).columns == ["id", "tag", "val"]
+
+
+def test_writes_after_rename_mix_with_prerename_files(spark, root):
+    t = TxTable(spark, root)
+    t.append(_docs(spark, range(5)).repartition(1))
+    t.rename_column("val", "score")
+    # new writes arrive with the NEW logical name
+    newer = spark.createDataFrame(
+        [Row(id=100 + i, tag="n", score=float(i)) for i in range(3)]
+    )
+    t.append(newer.repartition(1))
+    got = t.read()
+    assert got.count() == 8
+    assert got.filter("score = 1.0").count() == 1  # from the new batch
+    assert got.filter("id < 5 AND score >= 0").count() == 5  # pre-rename rows
+    # physical files still carry the ORIGINAL name
+    m = t._head_manifest()
+    assert m["column_mapping"] == {"score": "val"}
+
+
+def test_dml_and_filters_work_through_renamed_column(spark, root):
+    t = TxTable(spark, root, stats_columns=["val"], bloom_columns=["id"])
+    for lo in (0, 100):
+        t.append(_docs(spark, range(lo, lo + 50)).repartition(1))
+    t.rename_column("val", "score")
+    # range filter under the NEW name must still prune via old stats
+    pruned = t.read(range_filter={"score": (0.0, 50.0)})
+    assert len(pruned.inputFiles()) == 1
+    # bloom equality under unchanged name still works post-rename
+    assert t.read(equality_filter={"id": 120}).filter("id = 120").count() == 1
+    # DML conditions use the new name
+    t.delete("score > 200.0")  # ids >= 134 (id*1.5 > 200)
+    assert t.read().filter("score > 200.0").count() == 0
+    t.update("id < 2", {"score": "score + 1.0"})
+    got = {r.id: r.score for r in t.read().filter("id < 3").collect()}
+    assert got == {0: 1.0, 1: 2.5, 2: 3.0}
+
+
+def test_rename_collision_and_case_insensitive_refusal(spark, root):
+    t = TxTable(spark, root)
+    t.append(_docs(spark, range(3)))
+    with pytest.raises(ValueError, match="collides"):
+        t.rename_column("val", "TAG")  # case-insensitive logical clash
+    t.rename_column("val", "score")
+    with pytest.raises(ValueError, match="collides"):
+        t.rename_column("score", "VAL")  # physical name reuse refused
+    with pytest.raises(ValueError, match="no column"):
+        t.rename_column("val", "other")  # old logical name is gone
+
+
+def test_concurrent_writer_conflicts_with_rename(spark, root):
+    t = TxTable(spark, root)
+    t.append(_docs(spark, range(5)))
+    tx = t.begin().append(_docs(spark, range(10, 15)))  # staged pre-rename
+    t.rename_column("val", "score")
+    with pytest.raises(CommitConflictError, match="mapping changed"):
+        tx.commit()
+
+
+def test_restore_across_rename_recovers_old_logical_schema(spark, root):
+    t = TxTable(spark, root)
+    t.append(_docs(spark, range(6)))
+    t.rename_column("val", "score")
+    t.delete("score > 4.0")
+    v = t.restore(0)  # back to pre-rename snapshot
+    got = t.read()
+    assert got.columns == ["id", "tag", "val"]
+    assert got.count() == 6
+    assert t._read_manifest(v)["column_mapping"] == {}
+
+
+def test_drop_column_is_metadata_only_with_resurrection_guard(spark, root):
+    t = TxTable(spark, root)
+    t.append(_docs(spark, range(6)).repartition(1))
+    files_before = {f["path"] for f in t._snapshot_files(t._head_manifest())}
+    v = t.drop_column("tag")
+    m = t._read_manifest(v)
+    assert {f["path"] for f in t._snapshot_files(m)} == files_before  # no rewrite
+    assert t.read().columns == ["id", "val"]
+    assert t.read(version=0).columns == ["id", "tag", "val"]  # time travel intact
+    # appends under the retired name are refused (old bytes would resurrect)
+    with pytest.raises(ValueError, match="RETIRED"):
+        t.append(_docs(spark, range(10, 12)))  # _docs carries a 'tag' column
+    # an append WITHOUT the retired column is fine
+    t.append(
+        spark.createDataFrame([Row(id=100, val=1.0)]).select("id", "val")
+    )
+    assert t.read().count() == 7
+    # renaming another column ONTO the retired name is refused too
+    with pytest.raises(ValueError, match="collides"):
+        t.rename_column("val", "tag")
+    # dropping a renamed column retires its PHYSICAL name
+    t.rename_column("val", "score")
+    t.drop_column("score")
+    with pytest.raises(ValueError, match="RETIRED"):
+        t.append(spark.createDataFrame([Row(id=1, val=2.0)]))
