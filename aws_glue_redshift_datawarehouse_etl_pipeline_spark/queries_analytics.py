@@ -1830,3 +1830,66 @@ def txlog_point_lookup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         for p in probes
     ]
     return reduce(lambda a, b: a.unionByName(b), parts).orderBy("o_orderkey")
+
+
+@query(
+    "txlog_schema_evolution_orders",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def txlog_schema_evolution_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution through the commit log: orders lands in two
+    transactions, o_totalprice is RENAMED to price (metadata-only — no
+    data rewritten), a third batch arrives under the NEW name, the
+    unused o_orderstatus column is DROPPED, and the final aggregate
+    reads pre-rename, post-rename, and post-drop files through one
+    logical schema. The oracle is plain SQL over orders with the
+    ORIGINAL names — physical bytes never moved, so the numbers must
+    be identical; only the logical label changed (aliased back for
+    the comparison)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.sources.txlog import (
+        TxTable,
+    )
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "graft_txevo_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = TxTable(spark, root)
+    table.append(orders.filter(F.col("o_orderkey") % 3 == 0))
+    table.append(orders.filter(F.col("o_orderkey") % 3 == 1))
+    table.rename_column("o_totalprice", "price")
+    table.append(
+        orders.filter(F.col("o_orderkey") % 3 == 2).withColumnRenamed(
+            "o_totalprice", "price"
+        )
+    )
+    table.drop_column("o_orderstatus")
+    return (
+        table.read()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("price").alias("total_price"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.col("total_price").alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
