@@ -1776,3 +1776,90 @@ def temperature_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "curation_mix_pipeline_documents",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+    ), freq AS (
+      SELECT token, SUM(tf) AS cnt FROM tf GROUP BY token
+    ), per_doc AS (
+      SELECT tf.doc_id,
+             CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN freq.cnt <= 2 THEN tf.tf ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(tf.tf) AS DOUBLE) AS rare_ratio
+      FROM tf JOIN freq USING (token) GROUP BY tf.doc_id
+    ), kept AS (
+      SELECT d.doc_id, d.source, p.n_tokens
+      FROM documents d JOIN per_doc p ON d.doc_id = p.doc_id
+      WHERE p.rare_ratio <= 0.35
+    ), counts AS (
+      SELECT source, COUNT(*) AS n_available FROM kept GROUP BY source
+    ), weighted AS (
+      SELECT source, n_available, sqrt(CAST(n_available AS DOUBLE)) AS wgt
+      FROM counts
+    ), runcte AS (
+      SELECT source, n_available, wgt,
+             SUM(wgt) OVER (ORDER BY source ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+      FROM weighted
+    ), tot AS (
+      SELECT source, n_available, wgt,
+             MAX(cum) OVER (ORDER BY source ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING) AS wtot
+      FROM runcte
+    ), targets AS (
+      SELECT source, n_available,
+             CAST(FLOOR(150.0 * wgt / wtot) AS BIGINT) AS target_docs
+      FROM tot
+    ), ranked AS (
+      SELECT k.doc_id, k.source, k.n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY k.source
+                 ORDER BY {_DUCK_PHASH.format(seed=0, v='k.doc_id')}, k.doc_id)
+               AS rk
+      FROM kept k
+    )
+    SELECT r.source,
+           MAX(t.n_available) AS n_available,
+           MAX(t.target_docs) AS target_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_selected,
+           CAST(SUM(r.n_tokens) AS BIGINT) AS total_tokens
+    FROM ranked r JOIN targets t ON r.source = t.source
+    WHERE r.rk <= t.target_docs
+    GROUP BY r.source ORDER BY r.source
+    """,
+)
+def curation_mix_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite curation-v2 pipeline over the round-6 operators:
+    unigram-LM rare-token gate (documents whose vocabulary is mostly
+    corpus-unique are dropped as gibberish) → temperature mixing
+    (alpha = 0.5) of the SURVIVORS into a 150-doc budget → per-source
+    doc and token accounting. One oracle row per source pins the whole
+    chain: the gate membership, the mix targets, and exactly which
+    documents were selected (token totals are content-derived)."""
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    stats = X.token_frequency_stats(docs)
+    kept = (
+        docs.join(stats.select("doc_id", "n_tokens", "rare_ratio"), "doc_id")
+        .filter(F.col("rare_ratio") <= 0.35)
+        .select("doc_id", "source", "n_tokens")
+    )
+    mixed = temperature_mix(kept, "source", "doc_id", budget_docs=150)
+    return (
+        mixed.groupBy("source")
+        .agg(
+            F.max("n_available").alias("n_available"),
+            F.max("target_docs").alias("target_docs"),
+            F.count(F.lit(1)).alias("n_selected"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
