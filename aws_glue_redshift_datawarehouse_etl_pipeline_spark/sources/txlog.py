@@ -915,6 +915,55 @@ class TxTable:
             out = out.unionByName(p)
         return out
 
+    def detail(self) -> dict:
+        """DESCRIBE DETAIL: operational metadata of the head snapshot —
+        version, file count, total bytes, partition columns (logical),
+        column mapping, retired columns, live transaction dirs — all
+        from the manifest plus one file-status pass, no data read."""
+        head = self._head_manifest()
+        if head is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        files = self._snapshot_files(head)
+        fs, _ = _fs_and_path(self.spark, self.root)
+        P = self.spark._jvm.org.apache.hadoop.fs.Path
+        total = 0
+        for f in files:
+            p = P(f"{self.root}/{f['path']}")
+            if fs.exists(p):
+                total += fs.getFileStatus(p).getLen()
+        mapping = dict(head.get("column_mapping") or {})
+        inv = {v: k for k, v in mapping.items()}
+        return {
+            "version": head["version"],
+            "num_files": len(files),
+            "size_bytes": total,
+            "partition_columns": [
+                inv.get(k, k) for k in (head.get("partition_keys") or [])
+            ],
+            "column_mapping": mapping,
+            "retired_columns": list(head.get("retired_columns") or []),
+            "num_live_txids": len({f["path"].split("/")[1] for f in files}),
+            "checkpoint_interval": self.checkpoint_interval,
+        }
+
+    def maybe_compact(
+        self,
+        max_files: int = 64,
+        num_files: int | None = None,
+        zorder_by: list[str] | None = None,
+    ) -> int | None:
+        """Auto-compaction policy: compact only when the live file
+        count exceeds ``max_files`` (the OPTIMIZE-on-threshold loop a
+        scheduler runs after every ingest burst). Returns the new
+        version, or None when below threshold — a no-op costs one
+        manifest read."""
+        head = self._head_manifest()
+        if head is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        if len(self._snapshot_files(head)) <= max_files:
+            return None
+        return self.compact(num_files=num_files, zorder_by=zorder_by)
+
     def history(self) -> list[dict]:
         """Commit metadata per version (no file lists), oldest first."""
         out = []

@@ -914,3 +914,33 @@ def test_drop_column_is_metadata_only_with_resurrection_guard(spark, root):
     t.drop_column("score")
     with pytest.raises(ValueError, match="RETIRED"):
         t.append(spark.createDataFrame([Row(id=1, val=2.0)]))
+
+
+def test_detail_and_maybe_compact_policy(spark, root):
+    t = TxTable(spark, root)
+    for i in range(5):
+        t.append(_docs(spark, range(i * 4, i * 4 + 4)).repartition(2))
+    d = t.detail()
+    assert d["version"] == 4 and d["num_files"] == 10 and d["size_bytes"] > 0
+    assert d["num_live_txids"] == 5 and d["partition_columns"] == []
+    # below threshold: no commit
+    assert t.maybe_compact(max_files=64) is None
+    assert t.current_version() == 4
+    # above threshold: compacts
+    v = t.maybe_compact(max_files=4, num_files=1)
+    assert v == 5 and t.detail()["num_files"] == 1
+    assert t.read().count() == 20
+    # detail reports the rename mapping
+    t.rename_column("val", "score")
+    assert t.detail()["column_mapping"] == {"score": "val"}
+
+
+def test_read_of_many_appends_plans_single_scan(spark, root):
+    """The flat-file group read: N unpartitioned appends must plan ONE
+    parquet scan node, not N — the property that keeps a 200-commit
+    table readable (pinned numerically in the scale smoke)."""
+    t = TxTable(spark, root)
+    for i in range(6):
+        t.append(_docs(spark, range(i * 3, i * 3 + 3)).repartition(1))
+    plan = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
