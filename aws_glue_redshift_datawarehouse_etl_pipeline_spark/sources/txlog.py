@@ -70,6 +70,10 @@ __all__ = [
 _LOG_DIR = "_txlog"
 _DATA_DIR = "data"
 _VERSION_WIDTH = 20
+# manifest format this engine writes and the highest it can read; a
+# manifest stamped with a HIGHER version fails loudly instead of being
+# misread (the public formats' minReaderVersion protocol)
+_FORMAT_VERSION = 1
 
 
 class CommitConflictError(RuntimeError):
@@ -447,6 +451,7 @@ class Transaction:
             prior = tbl.txid_committed_version(self.app_txid)
             if prior is not None:
                 return self._finish_as_replay(prior)
+        self._enforce_constraints()
         staged = self._staged_files()
         for _ in range(max_retries):
             head = tbl._head_manifest()
@@ -550,6 +555,7 @@ class Transaction:
                 or next_version % ival == 0
             )
             manifest = {
+                "format_version": _FORMAT_VERSION,
                 "version": next_version,
                 "parent": parent_version,
                 "op": self.op,
@@ -578,6 +584,32 @@ class Transaction:
                     f"transaction; {self.op} depends on the snapshot it read"
                 )
         raise CommitConflictError(f"append lost {max_retries} commit races")
+
+    def _enforce_constraints(self) -> None:
+        """Validate the table's CHECK constraints against the STAGED
+        rows (one scan of the just-written local bytes, logical-name
+        view). ANY violation aborts the transaction — the table never
+        sees the bytes. NULL evaluates as pass (SQL CHECK semantics)."""
+        cons = self.table.constraints
+        if not cons:
+            return
+        inv = {p: l for l, p in self._mapping.items()}
+        df = self.table.spark.read.option("basePath", self.stage_path).parquet(
+            self.stage_path
+        )
+        df = df.select(*[F.col(c).alias(inv.get(c, c)) for c in df.columns])
+        aggs = [
+            F.sum(F.when(~F.expr(e), 1).otherwise(0)).alias(n)
+            for n, e in cons.items()
+        ]
+        row = df.agg(*aggs).collect()[0]
+        bad = {n: int(row[n]) for n in cons if (row[n] or 0) > 0}
+        if bad:
+            self.abort()
+            raise ValueError(
+                f"CHECK constraint(s) violated by staged rows: {bad} "
+                "(violating-row counts); transaction aborted"
+            )
 
     def _finish_as_replay(self, prior_version: int) -> int:
         """Replay of an already-committed transaction: drop the
@@ -615,6 +647,7 @@ class TxTable:
         bloom_bits: int = 4096,
         bloom_k: int = 5,
         checkpoint_interval: int = 10,
+        constraints: dict[str, str] | None = None,
     ):
         self.spark = spark
         self.root = root.rstrip("/")
@@ -633,6 +666,13 @@ class TxTable:
         self.bloom_columns = list(bloom_columns or [])
         self.bloom_bits = bloom_bits
         self.bloom_k = bloom_k
+        # CHECK constraints: name → SQL boolean over LOGICAL column
+        # names, enforced on every transaction's STAGED rows at commit
+        # (one scan of the just-written local bytes — carried-over
+        # files were validated when they were written; a DML rewrite
+        # re-validates its rewritten output). A violation aborts the
+        # transaction: the table never sees the bytes.
+        self.constraints = dict(constraints or {})
         # manifests are DELTAS (adds/removes against the parent) except
         # every checkpoint_interval-th version, overwrites, and restores,
         # which carry the full file list — so a commit to a million-file
@@ -692,6 +732,14 @@ class TxTable:
             m = json.loads(_read_small_text(fs, jvm, jpath))
         except ValueError:
             return None  # torn write of the head — treated as uncommitted
+        if m is not None and int(m.get("format_version", 1)) > _FORMAT_VERSION:
+            # NOT torn: a future writer's manifest. Falling back to an
+            # older version would silently serve a stale snapshot.
+            raise IOError(
+                f"manifest {version} requires reader format "
+                f"{m.get('format_version')}; this engine reads up to "
+                f"{_FORMAT_VERSION}"
+            )
         return m if m.get("version") == version else None
 
     def _head_manifest(self) -> dict | None:
@@ -1209,6 +1257,7 @@ class TxTable:
         )
         tx = self.begin()
         manifest = {
+            "format_version": _FORMAT_VERSION,
             "version": head["version"] + 1,
             "parent": head["version"],
             "op": "rename_column",
@@ -1259,6 +1308,7 @@ class TxTable:
             )
         tx = self.begin()
         manifest = {
+            "format_version": _FORMAT_VERSION,
             "version": head["version"] + 1,
             "parent": head["version"],
             "op": "drop_column",
@@ -1322,6 +1372,7 @@ class TxTable:
         tx._partition_keys = list(src.get("partition_keys") or [])
         head = self._head_manifest()
         manifest = {
+            "format_version": _FORMAT_VERSION,
             "version": head["version"] + 1,
             "parent": head["version"],
             "op": "restore",

@@ -944,3 +944,43 @@ def test_read_of_many_appends_plans_single_scan(spark, root):
         t.append(_docs(spark, range(i * 3, i * 3 + 3)).repartition(1))
     plan = t.read()._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1
+
+
+# -- CHECK constraints + format version ------------------------------------
+
+
+def test_check_constraints_abort_violating_transactions(spark, root):
+    t = TxTable(
+        spark, root,
+        constraints={"val_nonneg": "val >= 0", "tag_known": "tag IN ('a','b')"},
+    )
+    t.append(_docs(spark, range(5)))  # all valid
+    assert t.read().count() == 5
+    bad = spark.createDataFrame([Row(id=99, tag="a", val=-1.0)])
+    with pytest.raises(ValueError, match="val_nonneg"):
+        t.append(bad)
+    # the violating stage left NO trace: same version, same rows, no orphans
+    assert t.current_version() == 0
+    assert t.read().count() == 5
+    assert t.vacuum(keep_versions=5, retention_hours=0.0) == []
+    # an UPDATE whose rewritten output violates is blocked too
+    with pytest.raises(ValueError, match="val_nonneg"):
+        t.update("id = 1", {"val": F.lit(-5.0)})
+    assert t.read().filter("val < 0").count() == 0
+    # NULL passes (SQL CHECK semantics)
+    t2 = TxTable(spark, str(root) + "_n", constraints={"pos": "val > 0"})
+    t2.append(spark.createDataFrame([Row(id=1, tag="a", val=None)],
+                                    "id long, tag string, val double"))
+    assert t2.read().count() == 1
+
+
+def test_future_format_version_fails_loudly_not_stale(spark, root):
+    t = TxTable(spark, root)
+    t.append(_docs(spark, range(4)))
+    m = json.load(open(os.path.join(root, "_txlog", f"{0:020d}.json")))
+    m["version"], m["parent"], m["format_version"] = 1, 0, 99
+    with open(os.path.join(root, "_txlog", f"{1:020d}.json"), "w") as fh:
+        json.dump(m, fh)
+    # reading must raise, NOT silently serve version 0 as the head
+    with pytest.raises(IOError, match="format"):
+        t.read()
