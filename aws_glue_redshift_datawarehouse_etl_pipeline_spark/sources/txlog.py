@@ -847,12 +847,33 @@ class TxTable:
             },
         }
 
+    def version_as_of(self, timestamp_ms: int) -> int:
+        """Highest committed version whose commit time is at or before
+        ``timestamp_ms`` — timestamp-based time travel (`AS OF
+        TIMESTAMP`). Raises if the table didn't exist yet at that time
+        or the version has been vacuumed; commit times come from the
+        writer's clock, so cross-writer skew blurs at clock-skew
+        granularity (same caveat as the public formats)."""
+        best = None
+        for v in self._manifest_versions():
+            m = self._read_manifest(v)
+            if m is not None and m.get("committed_at_ms", 0) <= timestamp_ms:
+                best = v
+        if best is None:
+            raise FileNotFoundError(
+                f"no version committed at or before {timestamp_ms} ms at "
+                f"{self.root} (earliest retained commit is newer, or the "
+                "table did not exist)"
+            )
+        return best
+
     def read(
         self,
         version: int | None = None,
         partition_filter: dict[str, object] | None = None,
         range_filter: dict[str, tuple] | None = None,
         equality_filter: dict[str, object] | None = None,
+        as_of_ms: int | None = None,
     ) -> DataFrame:
         """Snapshot read: exactly the files the manifest names, with the
         manifest's schema (column order stable across layouts). Files
@@ -880,6 +901,10 @@ class TxTable:
         column are conservatively KEPT, and the returned frame is NOT
         re-filtered (file skipping, not row filtering; apply the row
         predicate too when exact bounds matter)."""
+        if as_of_ms is not None:
+            if version is not None:
+                raise ValueError("pass version OR as_of_ms, not both")
+            version = self.version_as_of(as_of_ms)
         m = self._head_manifest() if version is None else self._read_manifest(version)
         if m is None:
             raise FileNotFoundError(

@@ -984,3 +984,36 @@ def test_future_format_version_fails_loudly_not_stale(spark, root):
     # reading must raise, NOT silently serve version 0 as the head
     with pytest.raises(IOError, match="format"):
         t.read()
+
+
+def test_read_as_of_timestamp(spark, root):
+    t = TxTable(spark, root)
+    t.append(_docs(spark, range(5)))
+    ts0 = t._read_manifest(0)["committed_at_ms"]
+    t.append(_docs(spark, range(5, 9)))
+    ts1 = t._read_manifest(1)["committed_at_ms"]
+    assert t.read(as_of_ms=ts0).count() == 5
+    assert t.read(as_of_ms=ts1 + 10_000).count() == 9
+    assert t.version_as_of(ts0) == 0
+    with pytest.raises(FileNotFoundError, match="no version committed"):
+        t.read(as_of_ms=ts0 - 1_000_000)
+    with pytest.raises(ValueError, match="not both"):
+        t.read(version=0, as_of_ms=ts0)
+
+
+def test_read_select_prunes_columns_through_union(spark, root):
+    """Column pruning must reach the parquet scans even though read()
+    unions flat and partitioned file groups: selecting one column from
+    the snapshot shows a one-column ReadSchema, not the full row."""
+    t = TxTable(spark, root)
+    t.append(_docs(spark, range(10)).repartition(1))
+    t.begin().append(
+        _docs(spark, range(10, 20)).withColumn("bucket", F.lit(1).cast("int")),
+        partition_by=["bucket"],
+    ).commit()
+    plan = (
+        t.read().select("id")._jdf.queryExecution().executedPlan().toString()
+    )
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "val" not in line and "tag" not in line, line
