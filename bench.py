@@ -62,6 +62,13 @@ BENCH_QUERIES = [
     # per-order aggregate, broadcast anti-join supplier exclusion
     "large_order_customers",
     "parts_supplier_counts",
+    # transactional DML throughput (4 banded appends + stats-pruned
+    # DELETE + UPDATE) and embedding-space semantic dedup. The
+    # stream-stream join query stays out: its wall-clock is micro-batch
+    # framework overhead (two file streams + state store), which the
+    # hourly-counts entry already represents for streaming.
+    "txlog_dml_orders",
+    "semantic_dedup_survivors",
 ]
 
 
