@@ -1893,3 +1893,80 @@ def txlog_schema_evolution_orders(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "market_share_by_year",
+    oracle="""
+    WITH all_orders AS (
+      SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6)) AS volume,
+             ns.n_regionkey AS supp_region
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+      JOIN region rc  ON nc.n_regionkey = rc.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+      JOIN part p     ON l.l_partkey = p.p_partkey
+      WHERE rc.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    )
+    SELECT o_year,
+           CAST(CAST(SUM(CASE WHEN supp_region = 3 THEN volume
+                              ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+                / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS eu_share,
+           CAST(SUM(volume) AS DOUBLE) AS total_volume
+    FROM all_orders
+    GROUP BY o_year ORDER BY o_year
+    """,
+)
+def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — a supplier region's share of one part type's
+    sales into one customer region, by year: the deepest join tree in
+    the suite (lineitem × orders × customer × nation × region ×
+    supplier × nation × part). Every true dimension (part, nations,
+    region-filtered nation set, supplier) broadcasts with its
+    selective filter applied BEFORE the broadcast, so at 100 TB the
+    only shuffled join is lineitem × orders — one exchange on the
+    order key, everything else rides along — and the conditional
+    share accumulates as exact decimals in ONE pass (no self-join on
+    the numerator)."""
+    rc = (
+        t(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    nc = t(spark, sf_dir, "nation").join(
+        F.broadcast(rc), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("c_nk"))
+    ns = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_regionkey").alias("supp_region")
+    )
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+    eu = F.when(F.col("supp_region") == 3, vol).otherwise(F.lit(0).cast(_DEC))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), c.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), s.s_nationkey == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (F.sum(eu).cast("double") / F.sum(vol).cast("double")).alias("eu_share"),
+            F.sum(vol).cast("double").alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
