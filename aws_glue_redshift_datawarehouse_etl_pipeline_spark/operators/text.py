@@ -259,7 +259,29 @@ def language_id_trigram(
     return joined.withColumn(out_col, pred).drop("__pred")
 
 
-def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+def language_id(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "lang_pred",
+    method: str = "trigram",
+) -> DataFrame:
+    """Default language-ID entry point. Dispatches to the
+    Cavnar-Trenkle trigram rank-profile classifier (the accurate
+    path; :func:`language_id_trigram`); ``method="stopword"`` selects
+    the cheaper single-pass stopword heuristic
+    (:func:`language_id_stopword`) for scans that cannot afford the
+    per-document trigram shuffle and don't need its accuracy."""
+    if method == "stopword":
+        return language_id_stopword(df, text_col=text_col, out_col=out_col)
+    if method != "trigram":
+        raise ValueError(f"unknown language_id method: {method!r}")
+    return language_id_trigram(df, id_col=id_col, text_col=text_col, out_col=out_col)
+
+
+def language_id_stopword(
+    df: DataFrame, text_col: str = "text", out_col: str = "lang_pred"
+) -> DataFrame:
     """Heuristic language ID, two tiers (deterministic, no model):
 
     1. script detection — ≥5% CJK-ideograph characters → ``zh``

@@ -906,29 +906,55 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "curation_pipeline_documents",
     oracle=f"""
-    WITH f AS (
+    WITH prof(plang, tg, prank) AS (VALUES {_lang_profile_values()}),
+    langs(plang, priority) AS (VALUES ('en', 1), ('de', 2), ('fr', 3), ('es', 4)),
+    f AS (
       SELECT doc_id, lang, source, text,
              CAST(length(text) AS DOUBLE) AS n_chars_obs,
              CAST(len({_DUCK_TOKS}) AS DOUBLE) AS n_tokens,
              CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS n_punct,
              CAST(len(list_filter({_DUCK_TOKS},
-                  tk -> list_contains(['the','and','of','to','a','in','is','it','you','that'], tk))) AS DOUBLE) AS sw,
-             len(list_filter({_DUCK_TOKS}, w -> list_contains(['the','and','of','to','a','in','is','it','you','that'], w))) AS h_en,
-             len(list_filter({_DUCK_TOKS}, w -> list_contains(['der','die','das','und','ist','ich','nicht','mit','ein','zu'], w))) AS h_de,
-             len(list_filter({_DUCK_TOKS}, w -> list_contains(['le','la','les','et','un','une','est','que','pour','dans'], w))) AS h_fr,
-             len(list_filter({_DUCK_TOKS}, w -> list_contains(['el','los','las','y','que','en','un','es','por','con'], w))) AS h_es
+                  tk -> list_contains(['the','and','of','to','a','in','is','it','you','that'], tk))) AS DOUBLE) AS sw
       FROM documents
+    ), norm AS (
+      SELECT doc_id,
+             ' ' || trim(regexp_replace(lower(text), '[^\\p{{L}}]+', ' ', 'g')) || ' ' AS s,
+             20 * len(regexp_extract_all(text, '[一-鿿]')) >= length(text)
+               AND length(text) > 0 AS is_zh
+      FROM documents
+    ), tgs AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, CAST(length(s) - 1 AS BIGINT)),
+                                   i -> substr(s, CAST(i AS INTEGER), 3))) AS tg
+      FROM norm WHERE length(s) >= 3
+    ), cnts AS (SELECT doc_id, tg, COUNT(*) AS n FROM tgs GROUP BY doc_id, tg),
+    ranked AS (
+      SELECT doc_id, tg,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, tg ASC) AS rd
+      FROM cnts QUALIFY rd <= {X.DOC_TOP_TRIGRAMS}
+    ), dists AS (
+      SELECT r.doc_id, l.plang, l.priority,
+             SUM(COALESCE(ABS(r.rd - p.prank), {X.PROFILE_SIZE})) AS dist
+      FROM ranked r CROSS JOIN langs l
+      LEFT JOIN prof p ON p.plang = l.plang AND p.tg = r.tg
+      GROUP BY r.doc_id, l.plang, l.priority
+    ), best AS (
+      SELECT doc_id, plang
+      FROM dists
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY dist ASC, priority ASC) = 1
+    ), pred AS (
+      SELECT n.doc_id,
+             CASE WHEN n.is_zh THEN 'zh'
+                  ELSE COALESCE(b.plang, 'und') END AS lang_pred
+      FROM norm n LEFT JOIN best b ON b.doc_id = n.doc_id
     ), scored AS (
-      SELECT *,
+      SELECT f.*,
              0.4 * least(n_tokens / 100.0, 1.0)
                + 0.3 * (1.0 - least((CASE WHEN n_chars_obs > 0 THEN n_punct / n_chars_obs ELSE 0.0 END) * 10, 1.0))
                + 0.3 * least((CASE WHEN n_tokens > 0 THEN sw / n_tokens ELSE 0.0 END) * 4, 1.0) AS quality_score,
-             CASE WHEN h_en = greatest(h_en, h_de, h_fr, h_es) AND greatest(h_en, h_de, h_fr, h_es) > 0 THEN 'en'
-                  WHEN h_de = greatest(h_en, h_de, h_fr, h_es) AND greatest(h_en, h_de, h_fr, h_es) > 0 THEN 'de'
-                  WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) AND greatest(h_en, h_de, h_fr, h_es) > 0 THEN 'fr'
-                  WHEN h_es = greatest(h_en, h_de, h_fr, h_es) AND greatest(h_en, h_de, h_fr, h_es) > 0 THEN 'es'
-                  ELSE 'und' END AS lang_pred
-      FROM f
+             p.lang_pred
+      FROM f JOIN pred p USING (doc_id)
     ), kept AS (
       SELECT * FROM scored WHERE quality_score >= 0.5 AND lang_pred = lang
     ), dedup AS (
@@ -941,17 +967,20 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang, source,
            COUNT(*) AS n_docs,
-           SUM(CAST(n_tokens AS BIGINT)) AS total_tokens
+           CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens
     FROM dedup
     GROUP BY lang, source
     """,
 )
 def curation_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation pipeline: quality-score filter → predicted
-    language must match the labeled one → exact dedup → per-(lang,
-    source) doc and token budget. Single lineage, no collects; every
-    stage before the final agg is narrow, so the only shuffles are the
-    dedup fingerprint and the final group-by."""
+    language (Cavnar-Trenkle trigram classifier, the default
+    `language_id` path since round 7) must match the labeled one →
+    exact dedup → per-(lang, source) doc and token budget. Single
+    lineage, no collects; the shuffles are the per-doc trigram count,
+    the dedup fingerprint, and the final group-by. The oracle replays
+    the full trigram out-of-place-distance classification against the
+    same broadcast profile literals."""
     docs = X.language_id(
         X.quality_features(X.spread_small_scan(t(spark, sf_dir, "documents"), "doc_id"))
     )

@@ -184,7 +184,7 @@ def test_language_id_on_clear_samples(spark):
         (8, ""),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    pred = {r.doc_id: r.lang_pred for r in X.language_id(df).collect()}
+    pred = {r.doc_id: r.lang_pred for r in X.language_id_stopword(df).collect()}
     assert pred == {
         1: "en", 2: "de", 3: "fr", 4: "es", 5: "und", 6: "zh", 7: "en", 8: "und",
     }
@@ -921,12 +921,15 @@ def test_trigram_language_id_beats_stopword_tier(spark):
     ]
     df = spark.createDataFrame(rows, "doc_id long, truth string, text string")
     tri = {r.doc_id: r.lang_pred for r in X.language_id_trigram(df).collect()}
-    sw = {r.doc_id: r.lang_pred for r in X.language_id(df).collect()}
+    sw = {r.doc_id: r.lang_pred for r in X.language_id_stopword(df).collect()}
     truth = {i: t for i, t, _ in rows}
     tri_ok = sum(tri[i] == truth[i] for i in truth)
     sw_ok = sum(sw[i] == truth[i] for i in truth)
     assert tri_ok == 10, (tri, truth)
     assert tri_ok > sw_ok, (tri_ok, sw_ok)
+    # the default entry point dispatches to the trigram path
+    dflt = {r.doc_id: r.lang_pred for r in X.language_id(df).collect()}
+    assert dflt == tri
 
 
 def test_trigram_profiles_are_well_formed():
