@@ -227,6 +227,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     portable: bool = False,
     cache: bool = True,
+    eager_cache: bool = True,
     cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: split the signature into ``bands`` bands of
@@ -248,14 +249,18 @@ def minhash_lsh_pairs(
         # signature aggregation doesn't canonicalize to a reused
         # exchange (one side becomes a broadcast), so cache it instead
         # of computing signatures twice
-        # persist stays LAZY: an eager count() here costs one extra full
-        # pipeline pass per call (~2x on the bench) and best-of-N runs
-        # absorb the first-run cache-population race it would prevent;
-        # concurrent consumers at worst recompute partitions, never
-        # produce wrong answers
         sigs = sigs.persist()
         if cache_registry is not None:
             cache_registry.append(sigs)
+        if eager_cache:
+            # materialize before the self-join: with a lazy persist,
+            # both join sides can race cache population and each
+            # recompute the full shingle+minhash pipeline on first run
+            # (3-5x run-to-run swings). The eager pass costs one extra
+            # read of the pipeline but makes first-run latency
+            # predictable; benchmarks that amortize over best-of-N may
+            # pass eager_cache=False to skip it.
+            sigs.count()
     banded = sigs.select(
         "doc",
         F.posexplode(
@@ -292,6 +297,7 @@ def minhash_lsh_dedup(
     verify_threshold: float | None = 0.8,
     portable: bool = False,
     transitive: bool = False,
+    eager_cache: bool = True,
     cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Near-dup removal: LSH candidates (optionally verified with true
@@ -313,7 +319,7 @@ def minhash_lsh_dedup(
     pinned signature/pair caches."""
     pairs = minhash_lsh_pairs(
         df, id_col, text_col, num_hashes, bands, n, portable,
-        cache_registry=cache_registry,
+        eager_cache=eager_cache, cache_registry=cache_registry,
     )
     if verify_threshold is not None:
         # Verify ONLY the LSH candidates, and shingle ONLY the docs that

@@ -557,20 +557,18 @@ def register_all() -> None:
 # resolution, streaming, custom temporal ops, and the full LLM
 # training-data family (text stats, exact/LSH/SimHash/embedding dedup,
 # ANN, sampling) — one representative per family, variants afterwards.
-# Round-6 rotation: every oracle-backed query that had NEVER held a
-# driver slot (16 of them) is in the window this round, plus the two
-# new round-6 queries (image-header parse, co-bucketed join). To make
-# room, long-stable queries green in multiple prior driver rounds
-# (rollup/pivot/setops/sessionize/relationalize/sampling wrappers, ...)
-# rotate OUT — they remain oracle-backed and pytest-green below the
-# window and can rotate back any round.
+# Round-7 rotation: the 20 oracle-backed queries minted in round 6
+# that have never held a driver slot (TPC-H Q5/Q7/Q8/Q12/Q14/Q15/Q17/
+# Q19/Q21/Q22 shapes, txlog point-lookup + schema evolution, HLL
+# sketch union, SQL passthrough, span excision, token frequency,
+# temperature mix, curation-v2) all enter the window. To make room,
+# 20 queries driver-green in r6 AND at least one earlier round rotate
+# OUT (asof/range joins, unbox, resolve_choice, hourly streaming
+# windows, the text-stats family, signatures/simhash, upsample,
+# media-meta, zorder, heavy-hitters) — they remain oracle-backed and
+# pytest-green below the window and can rotate back any round.
 PRIORITY: tuple[str, ...] = (
-    # flagship + core relational / ETL transforms. Second r6 rotation:
-    # apply_mapping_part / split_rows_part / antijoin_incremental_orders /
-    # merge_upsert_orders (all driver-green r1-r5) rotate out for the
-    # session's new decorrelated-subquery, stream-stream-join, and
-    # txlog-DML queries — the rotated-out four stay oracle-backed and
-    # pytest-green below the window.
+    # flagship + core relational / ETL transforms
     "pricing_summary",
     "star_revenue_by_nation",
     "order_priority_exists",
@@ -581,67 +579,61 @@ PRIORITY: tuple[str, ...] = (
     # analytics representatives (full family continues below the window)
     "shipping_priority_top10",
     "streaming_click_purchase_join",
-    # data-quality expectations gate (new r6); topk_customers_per_nation
-    # rotates out (driver-green r1-r5)
     "expectations_orders_quality",
-    # temporal / event custom operators
-    "asof_purchase_last_click",
-    "range_join_error_context",
-    # governed-transaction surface (txlog commit protocol, new r6);
-    # funnel_view_click_purchase rotates out (driver-green r1-r3, r5)
+    # TPC-H subquery-shape family (new r6, first driver check):
+    # Q5 local-supplier join cycle, Q12 two-way CASE counts, Q14 promo
+    # share, Q7 bilateral volume, Q18 large orders, Q19 disjunctive
+    # pushdown, Q22 anti-join on inactive customers, Q15 top revenue
+    # view, Q17 avg-quantity correlated scalar, Q21 sole-problem
+    # multi-EXISTS, Q8 market share
+    "local_supplier_volume_by_nation",
+    "returnflag_priority_counts",
+    "promo_revenue_share",
+    "volume_shipping_nations",
+    "large_order_customers",
+    "disjunctive_part_revenue",
+    "inactive_high_balance_customers",
+    "top_revenue_supplier",
+    "small_quantity_revenue",
+    "sole_problem_supplier",
+    "market_share_by_year",
+    # governed-transaction surface
     "txlog_orders_time_travel",
-    # semi-structured + schema resolution
-    "unbox_events_props",
-    "resolve_choice_mixed",
+    "txlog_point_lookup_orders",
+    "txlog_schema_evolution_orders",
+    # approx sketches + SQL front door (first driver check)
+    "hll_sketch_union_users",
+    "sql_text_passthrough",
     # streaming
-    "streaming_hourly_event_counts",
-    # exactly-once txlog ingest (new r6); streaming_dedup_fingerprints
-    # rotates out (driver-green r1-r3, r5)
+    "streaming_segment_event_values",
     "streaming_txlog_exactly_once",
     "streaming_running_source_counts",
     # LLM training-data pipeline: text analysis
-    # exact-substring (repeated-span) dedup stats, new r6;
-    # token_count_documents rotates out (driver-green r1-r5)
     "repeated_span_stats_documents",
-    "text_quality_scores",
+    "excise_repeated_spans_documents",
+    "token_frequency_stats_documents",
     "language_id_documents",
-    # semantic (embedding-space) dedup, new r6; fingerprint_documents
-    # rotates out (driver-green r1-r5)
     "semantic_dedup_survivors",
-    "bpe_token_count_documents",
-    "repetition_stats_documents",
-    "vocab_stats_documents",
-    "distinctive_terms_documents",
-    "quality_top_quartile_per_lang",
-    "chunk_documents_overlap",
-    "winnow_fingerprints_documents",
-    "token_budget_per_source",
     "curation_pipeline_documents",
+    "curation_mix_pipeline_documents",
     # LLM training-data pipeline: dedup + contamination
     "dedup_exact_documents",
     "dedup_keep_best_documents",
     "ngram_jaccard_near_dups",
     "minhash_lsh_dedup_transitive",
-    "minhash_signatures_documents",
-    "simhash_portable_documents",
     "contamination_check_documents",
     # LLM training-data pipeline: similarity / embeddings
-    # (embedding_cosine_topk rotates out, driver-green r1-r5; the family
-    # keeps batch_ann + ivf_recall slots)
     "embedding_near_dup_bucketed",
     "batch_ann_topk_per_query",
     "ivf_recall_check",
     # LLM training-data pipeline: sampling / splits / packing
-    "upsample_documents",
+    "temperature_mix_documents",
     "pack_sequences_documents",
-    # multimodal (image + audio header parse new in round 6)
-    "multimodal_media_meta",
+    # multimodal
     "multimodal_image_dims",
     "multimodal_audio_meta",
     # fast-path invariants + physical layout
     "fastpath_parity_checks",
-    "zorder_keys_orders",
-    "heavy_hitters_event_types",
     "cobucketed_join_revenue",
 )
 

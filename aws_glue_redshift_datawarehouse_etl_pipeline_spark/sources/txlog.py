@@ -139,6 +139,64 @@ def _parse_parts(rel: str) -> dict[str, str]:
     return out
 
 
+def _check_dml_hints(condition, hint_groups: dict[str, dict | None]) -> None:
+    """Guard for DELETE/UPDATE pruning hints: every hinted column must
+    appear (word-boundary, case-insensitive) in the condition's SQL
+    text. A hint on a column the predicate never mentions cannot be
+    implied by it, and would make matching rows in pruned files
+    silently survive the DML. This catches the plainly-wrong hints;
+    proving implication for hints that DO mention the column remains
+    the caller's contract (documented on delete()/update())."""
+    import re
+
+    text = str(condition)
+    bad = {
+        f"{group}[{col!r}]"
+        for group, hints in hint_groups.items()
+        if hints
+        for col in hints
+        if not re.search(
+            r"(?<![\w`])" + re.escape(str(col)) + r"(?![\w`])", text, re.IGNORECASE
+        )
+    }
+    if bad:
+        raise ValueError(
+            f"pruning hint(s) {sorted(bad)} reference column(s) that never "
+            f"appear in the DML condition {text!r} — such a hint cannot be "
+            "implied by the predicate and would silently exempt rows in "
+            "pruned files; drop the hint or fold it into the condition"
+        )
+
+
+def _refuse_if_constrained(head: dict, column: str, action: str) -> None:
+    """Refuse a metadata-only rename/drop of a column that a persisted
+    CHECK constraint references — the constraint expression would
+    silently stop binding (rename) or fail to evaluate (drop). A
+    conservative word-boundary scan of each expression: false
+    positives (the name inside a string literal) err on the safe side.
+    Drop or rewrite the constraint first via set_constraints()."""
+    import re
+
+    cons = dict(head.get("constraints") or {})
+    pat = re.compile(r"(?<![\w`])" + re.escape(column) + r"(?![\w`])", re.IGNORECASE)
+    hits = sorted(n for n, e in cons.items() if pat.search(e))
+    if hits:
+        raise ValueError(
+            f"cannot {action} column {column!r}: referenced by CHECK "
+            f"constraint(s) {hits}; drop or rewrite them first via "
+            "set_constraints()"
+        )
+
+
+def _live_physical_names(manifest: dict) -> set[str]:
+    """Lowercased physical names of every column live in a manifest's
+    logical schema (logical name unless the column mapping says
+    otherwise)."""
+    mapping = dict(manifest.get("column_mapping") or {})
+    fields = T.StructType.fromJson(json.loads(manifest["schema"])).fields
+    return {mapping.get(f.name, f.name).lower() for f in fields}
+
+
 def _map_keys(d: dict | None, mapping: dict[str, str]) -> dict | None:
     """Translate a user-facing filter dict's LOGICAL column keys to the
     PHYSICAL names the manifest records (path segments, stats, blooms)."""
@@ -467,7 +525,15 @@ class Transaction:
                     "since this transaction began); restage against the "
                     "new head"
                 )
-            retired = set((head or {}).get("retired_columns") or [])
+            # An overwrite clears retirement: the new snapshot consists
+            # solely of this transaction's staged files, so no live file
+            # carries a dropped column's bytes and the physical names are
+            # free for reuse (older snapshots keep their own manifests).
+            retired = (
+                set()
+                if self.op == "overwrite"
+                else set((head or {}).get("retired_columns") or [])
+            )
             if retired and self._schema_json:
                 staged_logical = T.StructType.fromJson(
                     json.loads(self._schema_json)
@@ -566,6 +632,7 @@ class Transaction:
                 "partition_keys": self._partition_keys,
                 "column_mapping": self._mapping,
                 "retired_columns": sorted(retired),
+                "constraints": tbl.effective_constraints(head),
                 "committed_at_ms": int(time.time() * 1000),
             }
             if full:
@@ -588,9 +655,13 @@ class Transaction:
     def _enforce_constraints(self) -> None:
         """Validate the table's CHECK constraints against the STAGED
         rows (one scan of the just-written local bytes, logical-name
-        view). ANY violation aborts the transaction — the table never
-        sees the bytes. NULL evaluates as pass (SQL CHECK semantics)."""
-        cons = self.table.constraints
+        view). The enforced set is the EFFECTIVE one — the handle's
+        declared constraints if it was constructed with any, else the
+        set persisted in the head manifest — so a writer that knows
+        nothing about the constraints still enforces them. ANY
+        violation aborts the transaction — the table never sees the
+        bytes. NULL evaluates as pass (SQL CHECK semantics)."""
+        cons = self.table.effective_constraints()
         if not cons:
             return
         inv = {p: l for l, p in self._mapping.items()}
@@ -672,7 +743,16 @@ class TxTable:
         # files were validated when they were written; a DML rewrite
         # re-validates its rewritten output). A violation aborts the
         # transaction: the table never sees the bytes.
-        self.constraints = dict(constraints or {})
+        #
+        # Constraints are TABLE METADATA, persisted in every commit's
+        # manifest so EVERY writer enforces them — a handle constructed
+        # without constraints= picks up the set persisted at head. A
+        # non-None constructor arg is the initial/ALTER declaration: the
+        # handle enforces and records that set on its next commit
+        # (pass {} to drop all constraints; see also set_constraints()).
+        self._constraints_arg = (
+            None if constraints is None else dict(constraints)
+        )
         # manifests are DELTAS (adds/removes against the parent) except
         # every checkpoint_interval-th version, overwrites, and restores,
         # which carry the full file list — so a commit to a million-file
@@ -748,6 +828,53 @@ class TxTable:
             if m is not None:
                 return m
         return None
+
+    def effective_constraints(self, head: dict | None = None) -> dict[str, str]:
+        """The CHECK constraint set this handle enforces and records:
+        the constructor's declaration if one was given (the
+        initial/ALTER value), else the set persisted in the head
+        manifest — so constraints bind every writer of the table, not
+        just the handle that declared them."""
+        if self._constraints_arg is not None:
+            return dict(self._constraints_arg)
+        if head is None:
+            head = self._head_manifest()
+        return dict((head or {}).get("constraints") or {})
+
+    def set_constraints(self, constraints: dict[str, str]) -> int:
+        """ALTER the persisted CHECK constraint set as a METADATA-ONLY
+        commit (no data touched; pass ``{}`` to drop all constraints).
+        Existing rows are NOT re-validated — like the public formats'
+        ADD CONSTRAINT, validating history is the caller's choice
+        (``read()`` + the same expressions). Subsequent commits by ANY
+        handle enforce the new set. Conflicts like an overwrite if the
+        head moves concurrently."""
+        head = self._head_manifest()
+        if head is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        tx = self.begin()
+        manifest = {
+            "format_version": _FORMAT_VERSION,
+            "version": head["version"] + 1,
+            "parent": head["version"],
+            "op": "set_constraints",
+            "txid": tx.txid,
+            "app_txid": None,
+            "app_versions": dict(head.get("app_versions") or {}),
+            "schema": head["schema"],
+            "partition_keys": list(head.get("partition_keys") or []),
+            "column_mapping": dict(head.get("column_mapping") or {}),
+            "retired_columns": list(head.get("retired_columns") or []),
+            "constraints": dict(constraints),
+            "files": self._snapshot_files(head),
+            "committed_at_ms": int(time.time() * 1000),
+        }
+        if not self._try_write_manifest(manifest):
+            raise CommitConflictError(
+                f"version {manifest['version']} was claimed concurrently"
+            )
+        self._constraints_arg = dict(constraints)
+        return manifest["version"]
 
     def _repair_torn(self, version: int) -> bool:
         """Delete the manifest file for ``version`` iff it exists, does
@@ -1015,6 +1142,7 @@ class TxTable:
             ],
             "column_mapping": mapping,
             "retired_columns": list(head.get("retired_columns") or []),
+            "constraints": dict(head.get("constraints") or {}),
             "num_live_txids": len({f["path"].split("/")[1] for f in files}),
             "checkpoint_interval": self.checkpoint_interval,
         }
@@ -1092,7 +1220,18 @@ class TxTable:
         carrying every other live file into the new manifest by
         reference. The pruning hints follow ``read``'s contract: they
         must be implied by ``condition``, or rows in pruned files
-        silently escape the DML."""
+        silently escape the DML — as a guard, every hint column must at
+        least APPEAR in the condition (word-boundary scan of its SQL
+        text; refuses hints the predicate plainly cannot imply, though
+        it cannot prove implication)."""
+        _check_dml_hints(
+            condition,
+            {
+                "partition_filter": partition_filter,
+                "range_filter": range_filter,
+                "equality_filter": equality_filter,
+            },
+        )
         head = self._head_manifest()
         if head is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
@@ -1153,7 +1292,14 @@ class TxTable:
         matches survive byte-identical (their manifest paths don't
         change — time travel to the parent still sees the rows).
         Returns the current version unchanged when nothing matches —
-        a no-op DELETE should not invalidate snapshot readers."""
+        a no-op DELETE should not invalidate snapshot readers.
+
+        The optional pruning hints MUST be implied by ``condition``
+        (they narrow which files are even scanned for matches): a hint
+        that excludes a file containing matching rows silently leaves
+        those rows in the table. Hints naming columns absent from the
+        condition are refused outright; implication for hints that do
+        mention the column is the caller's responsibility."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
         return self._dml_rewrite(
             cond,
@@ -1176,7 +1322,10 @@ class TxTable:
         only where ``condition`` holds; every value keeps its declared
         column type. Updating a partition column re-partitions the
         rewritten rows naturally — they are staged through the same
-        partitionBy as the files they replace."""
+        partitionBy as the files they replace. The pruning hints carry
+        the same MUST-be-implied-by-``condition`` contract as
+        ``delete`` (hints naming columns absent from the condition are
+        refused; see there)."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
         head = self._head_manifest()
         if head is None:
@@ -1271,6 +1420,7 @@ class TxTable:
                 f"{new!r} collides (case-insensitively) with a current "
                 "logical or recorded physical column name"
             )
+        _refuse_if_constrained(head, old, "rename")
         physical = mapping.pop(old, old)
         if physical != new:
             mapping[new] = physical
@@ -1293,6 +1443,7 @@ class TxTable:
             "partition_keys": list(head.get("partition_keys") or []),
             "column_mapping": mapping,
             "retired_columns": list(head.get("retired_columns") or []),
+            "constraints": dict(head.get("constraints") or {}),
             "files": self._snapshot_files(head),
             "committed_at_ms": int(time.time() * 1000),
         }
@@ -1320,6 +1471,7 @@ class TxTable:
             raise ValueError(f"no column {name!r}; have {names}")
         if len(names) == 1:
             raise ValueError("cannot drop the only column")
+        _refuse_if_constrained(head, name, "drop")
         mapping = dict(head.get("column_mapping") or {})
         physical = mapping.pop(name, name)
         retired = sorted(set(head.get("retired_columns") or []) | {physical})
@@ -1344,6 +1496,7 @@ class TxTable:
             "partition_keys": pkeys,
             "column_mapping": mapping,
             "retired_columns": retired,
+            "constraints": dict(head.get("constraints") or {}),
             "files": self._snapshot_files(head),
             "committed_at_ms": int(time.time() * 1000),
         }
@@ -1407,12 +1560,26 @@ class TxTable:
             "schema": src["schema"],
             "partition_keys": tx._partition_keys,
             "column_mapping": dict(src.get("column_mapping") or {}),
-            # retired names stay retired across a restore: old files
-            # carrying those bytes remain live in SOME snapshot
+            # Retired names carry forward EXCEPT where the restored
+            # schema makes the column live again: restoring to a
+            # pre-drop version resurrects the dropped column by design,
+            # and keeping its physical name retired would wedge every
+            # subsequent full-schema append against the RETIRED-name
+            # check in commit(). Names retired in BOTH the head and the
+            # restored snapshot (dropped before `version`) stay retired.
             "retired_columns": sorted(
-                set(head.get("retired_columns") or [])
-                | set(src.get("retired_columns") or [])
+                {
+                    r
+                    for r in (
+                        set(head.get("retired_columns") or [])
+                        | set(src.get("retired_columns") or [])
+                    )
+                    if r.lower() not in _live_physical_names(src)
+                }
             ),
+            # table POLICY survives a data restore: the head's
+            # constraint set carries forward, not the old version's
+            "constraints": dict(head.get("constraints") or {}),
             "files": self._snapshot_files(src),
             "restored_from": version,
             "committed_at_ms": int(time.time() * 1000),

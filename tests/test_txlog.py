@@ -1017,3 +1017,119 @@ def test_read_select_prunes_columns_through_union(spark, root):
     for line in plan.splitlines():
         if "ReadSchema" in line:
             assert "val" not in line and "tag" not in line, line
+
+
+# -- round-7 fixes: restore across drop, persisted constraints, DML hints --
+
+
+def test_restore_across_drop_column_unwedges_full_schema_appends(spark, root):
+    """Restoring to a pre-drop version resurrects the dropped column
+    into the live schema BY DESIGN — so its physical name must leave
+    the retired set, or every subsequent full-schema append would be
+    refused forever (the table would be wedged for its own schema)."""
+    t = TxTable(spark, root)
+    t.append(_docs(spark, range(6)))
+    t.drop_column("tag")
+    assert t.read().columns == ["id", "val"]
+    v = t.restore(0)  # tag is live again
+    assert t.read().columns == ["id", "tag", "val"]
+    assert t._read_manifest(v)["retired_columns"] == []
+    t.append(_docs(spark, range(6, 9)))  # full schema: must NOT be refused
+    assert t.read().count() == 9
+    assert t.read().filter("tag = 'a'").count() == 9
+
+
+def test_restore_to_post_drop_version_keeps_name_retired(spark, root):
+    """Names dropped BEFORE the restored snapshot stay retired: the
+    restored file list still omits them, and old files still carry
+    their bytes."""
+    t = TxTable(spark, root)
+    t.append(_docs(spark, range(4)))
+    t.drop_column("tag")           # v1: tag retired
+    t.append(spark.createDataFrame([Row(id=50, val=1.0)]))  # v2
+    t.restore(1)                   # post-drop snapshot
+    assert t._head_manifest()["retired_columns"] == ["tag"]
+    with pytest.raises(ValueError, match="RETIRED"):
+        t.append(_docs(spark, range(90, 92)))
+
+
+def test_overwrite_clears_retired_names(spark, root):
+    """An overwrite's snapshot consists solely of its own staged files,
+    so no live file carries a dropped column's bytes — the physical
+    name is free for reuse."""
+    t = TxTable(spark, root)
+    t.append(_docs(spark, range(5)))
+    t.drop_column("tag")
+    with pytest.raises(ValueError, match="RETIRED"):
+        t.append(_docs(spark, range(5, 7)))
+    t.overwrite(_docs(spark, range(10)))  # full schema incl. tag
+    assert t._head_manifest()["retired_columns"] == []
+    assert t.read().columns == ["id", "tag", "val"]
+    t.append(_docs(spark, range(10, 12)))  # and appends work again
+    assert t.read().count() == 12
+    # time travel to the post-drop snapshot still reads without tag
+    assert "tag" not in t.read(version=1).columns
+
+
+def test_constraints_persist_in_manifest_and_bind_every_writer(spark, root):
+    """CHECK constraints are table metadata: a second handle constructed
+    WITHOUT constraints= must still enforce the persisted set."""
+    t1 = TxTable(spark, root, constraints={"val_nonneg": "val >= 0"})
+    t1.append(_docs(spark, range(4)))
+    assert t1._head_manifest()["constraints"] == {"val_nonneg": "val >= 0"}
+    t2 = TxTable(spark, root)  # knows nothing about the constraints
+    with pytest.raises(ValueError, match="val_nonneg"):
+        t2.append(spark.createDataFrame([Row(id=9, tag="a", val=-2.0)]))
+    assert t2.current_version() == 0
+    t2.append(spark.createDataFrame([Row(id=9, tag="a", val=2.0)]))
+    # the oblivious writer's commit carries the set forward
+    assert t2._head_manifest()["constraints"] == {"val_nonneg": "val >= 0"}
+    assert t2.detail()["constraints"] == {"val_nonneg": "val >= 0"}
+
+
+def test_set_constraints_alters_and_clears_the_persisted_set(spark, root):
+    t = TxTable(spark, root)
+    t.append(_docs(spark, range(4)))
+    v = t.set_constraints({"pos": "val > 0"})
+    assert t._read_manifest(v)["op"] == "set_constraints"
+    fresh = TxTable(spark, root)
+    with pytest.raises(ValueError, match="pos"):
+        fresh.append(spark.createDataFrame([Row(id=8, tag="a", val=0.0)]))
+    fresh.set_constraints({})  # drop all constraints
+    fresh.append(spark.createDataFrame([Row(id=8, tag="a", val=0.0)]))
+    assert fresh.read().count() == 5
+    assert fresh._head_manifest()["constraints"] == {}
+
+
+def test_rename_and_drop_refused_on_constrained_column(spark, root):
+    """A metadata-only rename/drop of a column a persisted CHECK
+    constraint references would silently unbind the constraint —
+    refused until the constraint is dropped/rewritten."""
+    t = TxTable(spark, root, constraints={"val_nonneg": "val >= 0"})
+    t.append(_docs(spark, range(4)))
+    with pytest.raises(ValueError, match="val_nonneg"):
+        t.rename_column("val", "score")
+    with pytest.raises(ValueError, match="val_nonneg"):
+        t.drop_column("val")
+    # unconstrained columns still rename/drop freely
+    t.rename_column("tag", "label")
+    v = t.set_constraints({})
+    assert v == t.current_version()
+    t.rename_column("val", "score")
+    assert t.read().columns == ["id", "label", "score"]
+
+
+def test_dml_hint_on_column_absent_from_condition_is_refused(spark, root):
+    """A pruning hint the predicate never mentions cannot be implied by
+    it — matching rows in pruned files would silently survive the DML."""
+    t = TxTable(spark, root, stats_columns=["id"])
+    t.append(_docs(spark, range(20)))
+    with pytest.raises(ValueError, match="never\\s+appear"):
+        t.delete("tag = 'a'", range_filter={"id": (0, 5)})
+    with pytest.raises(ValueError, match="never\\s+appear"):
+        t.update("val > 3.0", {"val": "val + 1.0"}, equality_filter={"id": 7})
+    # rows fully intact after the refused DMLs
+    assert t.read().count() == 20
+    # hints that DO mention the condition's column still work
+    t.delete("id >= 15", range_filter={"id": (15, 10**9)})
+    assert t.read().count() == 15
