@@ -39,13 +39,19 @@ from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.layout import 
     zorder_layout,
 )
 from aws_glue_redshift_datawarehouse_etl_pipeline_spark.session import get_spark
-from aws_glue_redshift_datawarehouse_etl_pipeline_spark.sources.catalog import WarehouseCatalog
+from aws_glue_redshift_datawarehouse_etl_pipeline_spark.sources.txlog import (
+    TransactionalCatalog,
+)
 
 
 def main(argv: list[str]) -> None:
     args = get_resolved_options(argv, ["src_dir", "warehouse_dir"])
     spark = get_spark(app_name=args.get("JOB_NAME", "incremental-ingest"))
-    catalog = WarehouseCatalog(spark, args["warehouse_dir"])
+    # the governed catalog is the default front door: job bookmarks
+    # commit transactionally (a crash between data write and bookmark
+    # commit leaves the previous watermark, and the idempotent dedup
+    # absorbs the re-read)
+    catalog = TransactionalCatalog(spark, args["warehouse_dir"])
     job = Job(catalog)
     job.init(args.get("JOB_NAME", "incremental-ingest"))
 

@@ -12,6 +12,12 @@ Run (any sf dir):
 Re-running inserts zero new rows (the idempotence invariant the
 reference's anti-join dedup exists for); rows added to the source
 after a run are picked up incrementally on the next one.
+
+The warehouse is GOVERNED by default: tables live on the commit-log
+format (``TransactionalCatalog``), so every load is an atomic,
+time-travelable version, a crashed run leaves the previous snapshot,
+and bookmarks commit transactionally. Pass ``--catalog plain`` for
+the plain-parquet ``WarehouseCatalog``.
 """
 
 from __future__ import annotations
@@ -30,6 +36,9 @@ from aws_glue_redshift_datawarehouse_etl_pipeline_spark.plans.star_loader import
 )
 from aws_glue_redshift_datawarehouse_etl_pipeline_spark.session import get_spark
 from aws_glue_redshift_datawarehouse_etl_pipeline_spark.sources.catalog import WarehouseCatalog
+from aws_glue_redshift_datawarehouse_etl_pipeline_spark.sources.txlog import (
+    TransactionalCatalog,
+)
 
 DIM_SPECS = [
     DimensionSpec(
@@ -90,7 +99,18 @@ DIM_SOURCES = {"dim_customer": "customer", "dim_nation": "nation", "dim_part": "
 def main(argv: list[str]) -> None:
     args = get_resolved_options(argv, ["src_dir", "warehouse_dir"])
     spark = get_spark(app_name=args.get("JOB_NAME", "star-etl"))
-    catalog = WarehouseCatalog(spark, args["warehouse_dir"])
+    # governed (commit-log) tables are the front door; --catalog plain
+    # opts down to the plain-parquet warehouse (optional flag, so the
+    # documented two-argument invocation keeps working)
+    plain = any(
+        a == "--catalog" and argv[i + 1 : i + 2] == ["plain"]
+        for i, a in enumerate(argv)
+    )
+    catalog = (
+        WarehouseCatalog(spark, args["warehouse_dir"])
+        if plain
+        else TransactionalCatalog(spark, args["warehouse_dir"])
+    )
     job = Job(catalog)
     job.init(args.get("JOB_NAME", "star-etl"))
 

@@ -1,0 +1,83 @@
+"""End-to-end pins for the runnable example jobs: each test executes an
+example script exactly as its docstring documents (own process, own
+SparkSession) against sf0.001 and asserts the governed-warehouse
+invariants — TransactionalCatalog is the examples' default front door,
+so these pin the star loader running on TxTable-backed tables."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SRC = "/root/testdata/sf0.001"
+
+
+def _run_example(script: str, *extra: str, warehouse: str) -> str:
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "examples", script),
+            "--JOB_NAME", "pytest-pin",
+            "--src_dir", SRC,
+            "--warehouse_dir", warehouse,
+            *extra,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env={**os.environ, "PYTHONPATH": REPO},
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, f"{script} failed:\n{proc.stdout}\n{proc.stderr}"
+    return proc.stdout
+
+
+def test_star_etl_job_is_transactional_and_idempotent(spark, tmp_path):
+    """The documented two-argument invocation lands every dimension and
+    the fact table on commit-log tables; the re-run inserts zero rows
+    THROUGH the transactional catalog."""
+    wh = str(tmp_path / "star_wh")
+    out1 = _run_example("star_etl_job.py", warehouse=wh)
+    assert "fact_order_line: inserted=" in out1
+    # every warehouse table is a TxTable (commit log present)
+    tables = sorted(
+        d for d in os.listdir(wh) if os.path.isdir(os.path.join(wh, d))
+    )
+    assert {"dim_customer", "dim_nation", "dim_part", "fact_order_line"} <= set(tables)
+    for tbl in tables:
+        assert os.path.isdir(os.path.join(wh, tbl, "_txlog")), tbl
+    out2 = _run_example("star_etl_job.py", warehouse=wh)
+    for line in out2.splitlines():
+        if ": inserted=" in line and "incoming=" in line:
+            assert line.rstrip().endswith("inserted=0"), line
+    assert "fact_order_line: inserted=0" in out2
+
+    # the committed versions read back consistently from THIS session
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.sources.txlog import TxTable
+
+    fact = TxTable(spark, os.path.join(wh, "fact_order_line"))
+    assert fact.read().count() > 0
+    assert [m["op"] for m in fact.history()][0] == "append"
+
+    # --catalog plain still runs the plain-parquet path
+    wh2 = str(tmp_path / "star_wh_plain")
+    _run_example("star_etl_job.py", "--catalog", "plain", warehouse=wh2)
+    assert not os.path.isdir(os.path.join(wh2, "dim_nation", "_txlog"))
+
+
+def test_transactional_etl_job_runs_end_to_end(spark, tmp_path):
+    """The governed-transaction example: incremental dimension load,
+    row-level UPDATE/DELETE, compaction and vacuum as commits, and the
+    per-version audit trail, all through TransactionalCatalog."""
+    wh = str(tmp_path / "tx_wh")
+    _run_example("transactional_etl_job.py", warehouse=wh)
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.sources.txlog import TxTable
+
+    tbl = TxTable(spark, os.path.join(wh, "dim_part"))
+    ops = [m["op"] for m in tbl.history()]
+    assert ops[0] == "append" and "rewrite" in ops  # load + DML/compact commits
+    got = tbl.read()
+    assert got.count() > 0
+    assert got.filter("Brand = 'Brand#13'").count() == 0  # retired by DELETE
