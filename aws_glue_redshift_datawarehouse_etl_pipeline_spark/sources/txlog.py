@@ -293,8 +293,9 @@ class Transaction:
         self.app_version = app_version
         # snapshot this transaction read; overwrite/replace outcomes
         # depend on it, so their commits conflict if the head moves past
-        self.read_version = table.current_version()
+        # (single head read serves both the version and the mapping)
         head = table._head_manifest()
+        self.read_version = -1 if head is None else head["version"]
         # logical→physical column map at the snapshot: staged frames
         # arrive with LOGICAL names and are written under PHYSICAL ones
         # (frozen at each column's first write), so a rename commit
@@ -509,10 +510,15 @@ class Transaction:
             prior = tbl.txid_committed_version(self.app_txid)
             if prior is not None:
                 return self._finish_as_replay(prior)
-        self._enforce_constraints()
+        head = tbl._head_manifest()
+        # one shared head read: enforcement and the first claim attempt
+        # see the same snapshot, and a constraint-free commit pays zero
+        # extra manifest I/O
+        self._enforce_constraints(head)
         staged = self._staged_files()
-        for _ in range(max_retries):
-            head = tbl._head_manifest()
+        for attempt in range(max_retries):
+            if attempt:
+                head = tbl._head_manifest()
             parent_version = -1 if head is None else head["version"]
             parent_files = [] if head is None else tbl._snapshot_files(head)
             app_versions = dict((head or {}).get("app_versions") or {})
@@ -652,7 +658,7 @@ class Transaction:
                 )
         raise CommitConflictError(f"append lost {max_retries} commit races")
 
-    def _enforce_constraints(self) -> None:
+    def _enforce_constraints(self, head: dict | None) -> None:
         """Validate the table's CHECK constraints against the STAGED
         rows (one scan of the just-written local bytes, logical-name
         view). The enforced set is the EFFECTIVE one — the handle's
@@ -661,7 +667,7 @@ class Transaction:
         nothing about the constraints still enforces them. ANY
         violation aborts the transaction — the table never sees the
         bytes. NULL evaluates as pass (SQL CHECK semantics)."""
-        cons = self.table.effective_constraints()
+        cons = self.table.effective_constraints(head)
         if not cons:
             return
         inv = {p: l for l, p in self._mapping.items()}

@@ -51,6 +51,7 @@ def test_lsh_dedup_scales_near_linearly(spark, big_docs):
     ).count()
     elapsed = time.time() - t0
     assert 0 < survivors <= n
+    print(f"lsh smoke: {elapsed:.1f}s on 50k docs")
     # sf0.1 (5k docs) runs in ~2 s warm; 10x data through band-bucket
     # joins should stay within ~an order of magnitude, never quadratic
     assert elapsed < 120, f"LSH dedup took {elapsed:.0f}s on 50k docs"
@@ -75,6 +76,7 @@ def test_star_components_scale_on_wide_graph(spark, big_docs):
     k = comps.select("component").distinct().count()
     elapsed = time.time() - t0
     assert k == 100
+    print(f"star smoke: {elapsed:.1f}s on {n} nodes")
     assert elapsed < 180, f"star CC took {elapsed:.0f}s on {n} nodes"
 
 
