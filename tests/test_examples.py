@@ -81,3 +81,20 @@ def test_transactional_etl_job_runs_end_to_end(spark, tmp_path):
     got = tbl.read()
     assert got.count() > 0
     assert got.filter("Brand = 'Brand#13'").count() == 0  # retired by DELETE
+
+
+def test_incremental_ingest_job_is_idempotent(tmp_path):
+    """The continuous-ingestion example: first run bootstraps the
+    MinHash index and the curated table; the re-run pushes the same
+    batch through the index dedup and ingests zero new rows — the
+    crash-retry idempotence the job exists for. Bookmarks ride the
+    transactional catalog (the example's default)."""
+    wh = str(tmp_path / "ingest_wh")
+    out1 = _run_example("incremental_ingest_job.py", warehouse=wh)
+    assert "partitions_touched=" in out1
+    n_total = [l for l in out1.splitlines() if "table_total=" in l][-1]
+    out2 = _run_example("incremental_ingest_job.py", warehouse=wh)
+    line2 = [l for l in out2.splitlines() if "new=" in l][-1]
+    assert "new=0," in line2, line2
+    n_total2 = [l for l in out2.splitlines() if "table_total=" in l][-1]
+    assert n_total.split("table_total=")[1] == n_total2.split("table_total=")[1]
