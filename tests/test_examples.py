@@ -98,3 +98,40 @@ def test_incremental_ingest_job_is_idempotent(tmp_path):
     assert "new=0," in line2, line2
     n_total2 = [l for l in out2.splitlines() if "table_total=" in l][-1]
     assert n_total.split("table_total=")[1] == n_total2.split("table_total=")[1]
+
+
+def test_incremental_consumer_job_is_exactly_once(spark, tmp_path):
+    """The change-stream consumer example, three runs: each run's
+    producer burst is consumed exactly once — one summary row-set per
+    producer version in the result table, idempotence state carried in
+    the result table's own app_versions map."""
+    wh = str(tmp_path / "consumer_wh")
+    for _ in range(3):
+        _run_example("incremental_consumer_job.py", warehouse=wh)
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.sources.txlog import TxTable
+
+    results = TxTable(spark, os.path.join(wh, "type_counts"))
+    got = results.read()
+    assert sorted(
+        r.producer_version
+        for r in got.select("producer_version").distinct().collect()
+    ) == [0, 1, 2]
+    # never a duplicate (version, type) row — replays no-op
+    assert (
+        got.groupBy("producer_version", "event_type").count()
+        .filter("count > 1").count() == 0
+    )
+
+
+def test_curate_documents_job_runs_end_to_end(spark, tmp_path):
+    """The batch curation example (quality gate → trigram language
+    match → exact + MinHash-LSH dedup → sorted curated write): runs
+    clean and lands a non-empty curated table whose rows all carry the
+    predicted-equals-labeled language the gate enforces."""
+    wh = str(tmp_path / "curate_wh")
+    out = _run_example("curate_documents_job.py", warehouse=wh)
+    assert "curated " in out and " documents -> " in out
+    curated = spark.read.parquet(os.path.join(wh, "curated_documents"))
+    n = curated.count()
+    assert 0 < n < 600  # the gates must actually drop documents
+    assert set(curated.columns) >= {"doc_id", "lang", "source", "text"}
