@@ -1,0 +1,152 @@
+"""Model-based randomized check of the transactional layer: a seeded
+random sequence of table operations (append / delete / update /
+overwrite / restore / rename_column / drop_column / compact) runs
+against BOTH a real ``TxTable`` and a trivial in-memory pandas model,
+asserting after every step that the head snapshot matches the model
+exactly — schema (names + order) and rows — and at the end that time
+travel to every recorded version reproduces the model's historical
+state. One holistic exercise of the interactions the per-feature tests
+cover in isolation (e.g. DML after a rename reads through the column
+mapping; restore across a drop resurrects the column; compaction
+changes layout but never content)."""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+import pytest
+
+from aws_glue_redshift_datawarehouse_etl_pipeline_spark.sources.txlog import TxTable
+
+SEEDS = [7, 23, 101]
+N_OPS = 22
+
+
+def _snap(df) -> pd.DataFrame:
+    """Order-insensitive canonical form of a Spark DataFrame."""
+    pdf = df.toPandas()
+    cols = list(pdf.columns)
+    return pdf.sort_values(by=cols, ignore_index=True) if len(pdf) else pdf
+
+
+def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    cols = list(pdf.columns)
+    return (
+        pdf.sort_values(by=cols, ignore_index=True)
+        if len(pdf)
+        else pdf.reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_random_op_sequence_matches_model(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    t = TxTable(spark, str(tmp_path / f"model_{seed}"))
+
+    next_id = [0]
+    fresh_col = [0]
+
+    def make_batch(cols: list[str], n: int) -> pd.DataFrame:
+        rows = {}
+        ids = list(range(next_id[0], next_id[0] + n))
+        next_id[0] += n
+        for c in cols:
+            if c == "id":
+                rows[c] = ids
+            elif c.startswith("s"):  # string-typed column family
+                rows[c] = [f"{c}_{i % 3}" for i in ids]
+            else:  # double-typed column family
+                rows[c] = [float(i) * 1.5 for i in ids]
+        return pd.DataFrame(rows)[cols]
+
+    def to_spark(pdf: pd.DataFrame):
+        fields = []
+        for c in pdf.columns:
+            if c == "id":
+                fields.append(f"{c} long")
+            elif c.startswith("s"):
+                fields.append(f"{c} string")
+            else:
+                fields.append(f"{c} double")
+        return spark.createDataFrame(pdf, ", ".join(fields))
+
+    # model state: current pandas frame + per-version history
+    cols = ["id", "s_tag", "v_val"]
+    model = make_batch(cols, 8)
+    t.append(to_spark(model))
+    history = {0: model.copy()}
+
+    def record(version: int) -> None:
+        history[version] = model.copy()
+
+    for _ in range(N_OPS):
+        op = rng.choices(
+            ["append", "delete", "update", "overwrite", "restore",
+             "rename", "drop", "compact"],
+            weights=[30, 15, 15, 6, 6, 8, 8, 6],
+        )[0]
+        if op == "append":
+            batch = make_batch(list(model.columns), rng.randint(2, 6))
+            v = t.append(to_spark(batch))
+            model = pd.concat([model, batch], ignore_index=True)[model.columns]
+            record(v)
+        elif op == "delete":
+            mod = rng.randint(2, 4)
+            v = t.delete(f"id % {mod} = 0")
+            kept = model[model["id"] % mod != 0].reset_index(drop=True)
+            if len(kept) != len(model):  # no-op delete commits no version
+                model = kept
+                record(v)
+        elif op == "update":
+            vcols = [c for c in model.columns if c.startswith("v")]
+            if not vcols:
+                continue
+            c, mod = vcols[0], rng.randint(2, 4)
+            v = t.update(f"id % {mod} = 1", {c: f"{c} + 100.0"})
+            mask = model["id"] % mod == 1
+            if mask.any():  # no-match update is a no-op version
+                model = model.copy()
+                model.loc[mask, c] = model.loc[mask, c] + 100.0
+                record(v)
+        elif op == "overwrite":
+            batch = make_batch(list(model.columns), rng.randint(3, 7))
+            v = t.overwrite(to_spark(batch))
+            model = batch
+            record(v)
+        elif op == "restore":
+            target = rng.choice(sorted(history))
+            v = t.restore(target)
+            model = history[target].copy()
+            record(v)
+        elif op == "rename":
+            old = rng.choice(list(model.columns[1:])) if len(model.columns) > 1 else None
+            if old is None:
+                continue
+            new = f"{'s' if old.startswith('s') else 'v'}_c{fresh_col[0]}"
+            fresh_col[0] += 1
+            v = t.rename_column(old, new)
+            model = model.rename(columns={old: new})
+            record(v)
+        elif op == "drop":
+            if len(model.columns) <= 2:
+                continue
+            victim = rng.choice(list(model.columns[1:]))
+            v = t.drop_column(victim)
+            model = model.drop(columns=[victim])
+            record(v)
+        else:  # compact: layout-only, content unchanged
+            v = t.compact(num_files=2)
+            record(v)
+
+        got = _snap(t.read())
+        want = _canon(model)
+        assert list(got.columns) == list(want.columns), (op, got.columns, want.columns)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False), op
+
+    # time travel: every recorded version reproduces its model snapshot
+    for v in sorted(history):
+        got = _snap(t.read(version=v))
+        want = _canon(history[v])
+        assert list(got.columns) == list(want.columns), v
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
