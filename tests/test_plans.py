@@ -294,3 +294,67 @@ def test_q17_shape_brand_filter_precedes_per_part_average(spark, sf_dir):
     assert "CartesianProduct" not in s
     # part's brand filter is pushed to its scan
     assert "EqualTo(p_brand,Brand#23)" in s
+
+
+def test_q7_shape_broadcasts_nations_single_fact_scan(spark, sf_dir):
+    """volume_shipping_nations: both nation sides (and supplier/
+    customer bridges) broadcast around one lineitem pass — the
+    bilateral pair condition folds into hash joins, never a
+    nested-loop, and the fact is never shuffled for a dimension."""
+    s = plan(spark, sf_dir, "volume_shipping_nations")
+    assert s.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in s
+    assert "BroadcastNestedLoopJoin" not in s and "CartesianProduct" not in s
+    assert s.count("Scan parquet") == s.count("Scan parquet")  # sanity
+    assert len(re.findall(r"lineitem\.parquet", s)) == 1
+
+
+def test_q8_shape_market_share_single_fact_scan(spark, sf_dir):
+    """market_share_by_year: the two-level dimension chain (part,
+    supplier, orders->customer->nation->region) broadcasts; lineitem
+    is scanned exactly once and the region filter never becomes a
+    post-join filter over the fact."""
+    s = plan(spark, sf_dir, "market_share_by_year")
+    assert s.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in s
+    assert "BroadcastNestedLoopJoin" not in s and "CartesianProduct" not in s
+    assert len(re.findall(r"lineitem\.parquet", s)) == 1
+
+
+def test_q14_shape_promo_share_single_pass_three_columns(spark, sf_dir):
+    """promo_revenue_share: part broadcasts into a single lineitem
+    pass; the CASE split computes numerator and denominator in ONE
+    aggregation (no second scan), and column pruning reaches the scan
+    (3 of 16 lineitem columns)."""
+    s = plan(spark, sf_dir, "promo_revenue_share")
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
+    assert len(re.findall(r"lineitem\.parquet", s)) == 1
+    read_schema = next(
+        ln for ln in s.splitlines()
+        if "ReadSchema" in ln and "l_extendedprice" in ln
+    )
+    assert "l_shipdate" not in read_schema and "l_comment" not in read_schema
+    assert s.count("HashAggregate") >= 2  # partial + final, one pipeline
+
+
+def test_q15_shape_revenue_view_computed_once(spark, sf_dir):
+    """top_revenue_supplier: the revenue 'view' feeds BOTH the scalar
+    max and the equality filter from the same cached relation — two
+    InMemoryTableScans, never a second lineitem aggregation pipeline.
+    The max arrives as a 1-row broadcast (nested-loop with a singleton
+    side is the intended scalar-subquery shape)."""
+    s = plan(spark, sf_dir, "top_revenue_supplier")
+    assert s.count("InMemoryTableScan") == 2
+    assert "BroadcastHashJoin" in s
+
+
+def test_q22_shape_scalar_broadcast_and_anti_join(spark, sf_dir):
+    """inactive_high_balance_customers: exactly one nested-loop join —
+    the 1-row global-average broadcast (a scalar subquery, the only
+    sound use of BNLJ) — plus a broadcast/hash LEFT ANTI against the
+    single-column orders key projection; customer is scanned once."""
+    s = plan(spark, sf_dir, "inactive_high_balance_customers")
+    assert s.count("BroadcastNestedLoopJoin") == 1
+    assert "LeftAnti" in s
+    assert "CartesianProduct" not in s
