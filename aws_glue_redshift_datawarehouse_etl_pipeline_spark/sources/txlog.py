@@ -69,6 +69,9 @@ __all__ = [
 
 _LOG_DIR = "_txlog"
 _DATA_DIR = "data"
+# advisory head pointer (no .json suffix: never mistaken for a manifest
+# by the version listing or vacuum)
+_HEAD_HINT = "_head_hint"
 _VERSION_WIDTH = 20
 # manifest format this engine writes and the highest it can read; a
 # manifest stamped with a HIGHER version fails loudly instead of being
@@ -829,6 +832,25 @@ class TxTable:
         return m if m.get("version") == version else None
 
     def _head_manifest(self) -> dict | None:
+        """Latest committed manifest. Fast path: start from the head
+        hint and probe FORWARD (hint + lag reads, no directory
+        listing — the difference between O(1) and O(versions) per
+        commit on a long-lived table). Probing stops at the first
+        version with no valid manifest: committed manifests are
+        immutable and version v+1 is only ever claimed after v parsed
+        for its writer, so no valid manifest exists beyond a gap. Any
+        hint problem — absent (pre-hint table), unparseable (torn hint
+        write), or pointing at a vacuumed version — falls back to the
+        full listing."""
+        hint = self._read_head_hint()
+        if hint is not None:
+            m = self._read_manifest(hint)
+            if m is not None:
+                while True:
+                    nxt = self._read_manifest(m["version"] + 1)
+                    if nxt is None:
+                        return m
+                    m = nxt
         for v in reversed(self._manifest_versions()):
             m = self._read_manifest(v)
             if m is not None:
@@ -918,7 +940,40 @@ class TxTable:
             out.write(bytearray(json.dumps(manifest).encode("utf-8")))
         finally:
             out.close()
+        self._write_head_hint(manifest["version"])
         return True
+
+    def _write_head_hint(self, version: int) -> None:
+        """Best-effort O(1) head pointer (the public formats'
+        `_last_checkpoint` pattern): written AFTER the exclusive-create
+        claim succeeds, overwritten non-atomically. A stale, torn, or
+        race-clobbered hint can only UNDERSTATE the head (the reader
+        probes forward) or point at a vacuumed version (the reader
+        falls back to the full listing) — correctness never depends on
+        it, so failures are swallowed."""
+        try:
+            fs, _ = _fs_and_path(self.spark, self.root)
+            jvm = self.spark._jvm
+            out = fs.create(
+                jvm.org.apache.hadoop.fs.Path(self._log_path(), _HEAD_HINT), True
+            )
+            try:
+                out.write(bytearray(str(version).encode("utf-8")))
+            finally:
+                out.close()
+        except Exception:  # noqa: BLE001 — hints are advisory
+            pass
+
+    def _read_head_hint(self) -> int | None:
+        try:
+            fs, _ = _fs_and_path(self.spark, self.root)
+            jvm = self.spark._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(self._log_path(), _HEAD_HINT)
+            if not fs.exists(jpath):
+                return None
+            return int(_read_small_text(fs, jvm, jpath).strip())
+        except Exception:  # noqa: BLE001 — unreadable hint = no hint
+            return None
 
     # -- public surface ----------------------------------------------------
     def begin(

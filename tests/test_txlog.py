@@ -1191,3 +1191,46 @@ def test_two_processes_racing_appends_lose_no_commits(spark, root):
     # each historical version is a consistent prefix: v+1 batches
     for v in (0, total // 2, total - 1):
         assert t.read(version=v).count() == (v + 1) * rows_per
+
+
+# -- O(1) head discovery hint ----------------------------------------------
+
+
+def test_head_hint_written_and_used(spark, root):
+    t = TxTable(spark, root)
+    t.append(_docs(spark, range(4)))
+    t.append(_docs(spark, range(4, 8)))
+    hint = os.path.join(root, "_txlog", "_head_hint")
+    assert os.path.exists(hint)
+    assert int(open(hint).read().strip()) == 1
+    assert t.current_version() == 1
+
+
+def test_stale_or_corrupt_head_hint_never_breaks_reads(spark, root):
+    """The hint is ADVISORY: understating it costs probe-forward reads,
+    corrupting or deleting it falls back to the listing — the head is
+    correct in every case."""
+    t = TxTable(spark, root)
+    for i in range(4):
+        t.append(_docs(spark, range(i * 3, i * 3 + 3)))
+    hint = os.path.join(root, "_txlog", "_head_hint")
+    # stale hint: probe-forward recovers the true head
+    with open(hint, "w") as fh:
+        fh.write("0")
+    assert t.current_version() == 3
+    assert t.read().count() == 12
+    # corrupt hint: full-listing fallback
+    with open(hint, "w") as fh:
+        fh.write("not-a-version")
+    assert t.current_version() == 3
+    # missing hint (pre-hint table): fallback, and the next commit
+    # rewrites it
+    os.remove(hint)
+    assert t.current_version() == 3
+    t.append(_docs(spark, range(90, 93)))
+    assert int(open(hint).read().strip()) == 4
+    # hint pointing past every manifest (vacuumed / fabricated): fallback
+    with open(hint, "w") as fh:
+        fh.write("9999")
+    assert t.current_version() == 4
+    assert t.read().count() == 15
