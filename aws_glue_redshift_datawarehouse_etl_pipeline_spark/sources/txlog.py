@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 
@@ -142,6 +143,67 @@ def _parse_parts(rel: str) -> dict[str, str]:
     return out
 
 
+_CMP_RE = re.compile(
+    r"^\(*\s*(\w+)\s*(>=|<=|=|>|<)\s*(-?\d+(?:\.\d+)?|'[^']*')\s*\)*$"
+)
+
+
+def _derive_dml_pruning(cond_text: str) -> tuple[dict, dict]:
+    """Conservatively derive manifest-level pruning filters FROM the
+    DML condition, so an unhinted DELETE/UPDATE still skips files via
+    min/max stats and Bloom filters. Soundness over coverage:
+
+    - only a pure top-level conjunction contributes; any OR / NOT / IN
+      in the text disables derivation entirely (a disjunct's bound is
+      not implied by the whole predicate);
+    - only ``column <cmp> literal`` conjuncts are read — anything else
+      (arithmetic, function calls, column-vs-column, the quoteless
+      literals of a ``Column`` repr) fails the match and contributes
+      nothing rather than something wrong;
+    - numeric bounds become an INCLUSIVE envelope, correct for min/max
+      pruning even when the comparison is strict; string literals
+      contribute equality (Bloom) probes only.
+
+    Returns ``(range_filter, equality_filter)`` in LOGICAL column
+    names; both may be empty."""
+
+    t = cond_text.strip()
+    up = f" {t.upper()} "
+    if " OR " in up or " NOT " in up or re.search(r"\bIN\s*\(", up):
+        return {}, {}
+    rf: dict = {}
+    eq: dict = {}
+    for conj in re.split(r"\s+AND\s+", t, flags=re.IGNORECASE):
+        m = _CMP_RE.match(conj.strip())
+        if not m:
+            continue
+        col, op, lit = m.groups()
+        if lit.startswith("'"):
+            if op == "=":
+                eq[col] = lit[1:-1]
+            continue
+        val = float(lit) if "." in lit else int(lit)
+        lo, hi = rf.get(col, (float("-inf"), float("inf")))
+        if op in (">", ">="):
+            lo = max(lo, val)
+        elif op in ("<", "<="):
+            hi = min(hi, val)
+        else:
+            lo, hi = max(lo, val), min(hi, val)
+            eq[col] = val
+        rf[col] = (lo, hi)
+    return rf, eq
+
+
+def _cond_text(condition) -> str:
+    """The SQL-ish text of a DML condition: the raw string if the
+    caller passed one, else the expression inside the Column repr."""
+
+    s = str(condition)
+    m = re.match(r"^Column<'(.*)'>$", s, re.DOTALL)
+    return m.group(1) if m else s
+
+
 def _check_dml_hints(condition, hint_groups: dict[str, dict | None]) -> None:
     """Guard for DELETE/UPDATE pruning hints: every hinted column must
     appear (word-boundary, case-insensitive) in the condition's SQL
@@ -150,7 +212,6 @@ def _check_dml_hints(condition, hint_groups: dict[str, dict | None]) -> None:
     silently survive the DML. This catches the plainly-wrong hints;
     proving implication for hints that DO mention the column remains
     the caller's contract (documented on delete()/update())."""
-    import re
 
     text = str(condition)
     bad = {
@@ -178,7 +239,6 @@ def _refuse_if_constrained(head: dict, column: str, action: str) -> None:
     conservative word-boundary scan of each expression: false
     positives (the name inside a string literal) err on the safe side.
     Drop or rewrite the constraint first via set_constraints()."""
-    import re
 
     cons = dict(head.get("constraints") or {})
     pat = re.compile(r"(?<![\w`])" + re.escape(column) + r"(?![\w`])", re.IGNORECASE)
@@ -1298,15 +1358,31 @@ class TxTable:
             raise FileNotFoundError(f"no committed version at {self.root}")
         schema = T.StructType.fromJson(json.loads(head["schema"]))
         mapping = dict(head.get("column_mapping") or {})
+        # derive pruning from the condition itself (sound conjuncts
+        # only, restricted to schema columns) and intersect with any
+        # caller hints — an unhinted `delete("id >= 150")` skips files
+        # through min/max stats and Blooms exactly like the hinted
+        # spelling
+        known = {f.name for f in schema.fields}
+        drf, deq = _derive_dml_pruning(_cond_text(condition))
+        rng = {c: b for c, b in drf.items() if c in known}
+        deq = {c: v for c, v in deq.items() if c in known}
+        for c, b in (range_filter or {}).items():
+            lo0, hi0 = rng.get(c, (float("-inf"), float("inf")))
+            rng[c] = (max(lo0, b[0]), min(hi0, b[1]))
+        eqs = {**deq, **(equality_filter or {})}
+        # a probe is a 1-row Spark job: build it only when the caller
+        # probed explicitly, or a derived equality can meet a recorded
+        # Bloom filter
         probe = (
-            self._bloom_probe(schema, equality_filter, mapping)
-            if equality_filter
+            self._bloom_probe(schema, eqs, mapping)
+            if eqs and (equality_filter or self.bloom_columns)
             else None
         )
         cands = _prune_files(
             self._snapshot_files(head),
             _map_keys(partition_filter, mapping),
-            _map_keys(range_filter, mapping),
+            _map_keys(rng, mapping) if rng else None,
             probe,
         )
         if not cands:

@@ -1234,3 +1234,75 @@ def test_stale_or_corrupt_head_hint_never_breaks_reads(spark, root):
         fh.write("9999")
     assert t.current_version() == 4
     assert t.read().count() == 15
+
+
+# -- pruning derived from the DML condition itself ---------------------------
+
+
+def test_derive_dml_pruning_parse_table():
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.sources.txlog import (
+        _derive_dml_pruning,
+    )
+
+    inf = float("inf")
+    # simple conjunction: range envelope + string equality
+    rf, eq = _derive_dml_pruning("id >= 150 AND id < 300 AND tag = 'x'")
+    assert rf == {"id": (150, 300)} and eq == {"tag": "x"}
+    # numeric equality contributes both a point range and an equality
+    rf, eq = _derive_dml_pruning("(id = 550)")
+    assert rf == {"id": (550, 550)} and eq == {"id": 550}
+    # ANY disjunction/negation disables derivation entirely
+    assert _derive_dml_pruning("id >= 150 OR tag = 'x'") == ({}, {})
+    assert _derive_dml_pruning("NOT (id >= 150)") == ({}, {})
+    assert _derive_dml_pruning("id IN (1, 2)") == ({}, {})
+    # non-simple conjuncts contribute nothing (but don't poison others)
+    rf, eq = _derive_dml_pruning("id % 3 = 0 AND val >= 2.5")
+    assert rf == {"val": (2.5, inf)} and eq == {}
+    assert _derive_dml_pruning("substr(tag, 1, 2) = 'ab'") == ({}, {})
+    # column-vs-column and the quoteless literals of a Column repr are
+    # never mistaken for literals
+    assert _derive_dml_pruning("(id >= other)") == ({}, {})
+    assert _derive_dml_pruning("(o_orderstatus = F)") == ({}, {})
+    # contradictory bounds stay an (empty) envelope, never widen
+    rf, _ = _derive_dml_pruning("id >= 5 AND id <= 3")
+    assert rf == {"id": (5, 3)}
+
+
+def test_unhinted_delete_prunes_files_via_derived_range(spark, root):
+    """delete('id >= 150') with NO hints must skip the low file at the
+    manifest level — same carry-by-reference outcome as the hinted
+    spelling (the hinted twin is pinned above)."""
+    t = TxTable(spark, root, stats_columns=["id"])
+    t.append(_docs(spark, range(0, 100)).repartition(1))
+    t.append(_docs(spark, range(100, 200), tag="b").repartition(1))
+    before = {f["path"] for f in t._snapshot_files(t._head_manifest())}
+    t.delete("id >= 150")  # no hints at all
+    after = {f["path"] for f in t._snapshot_files(t._head_manifest())}
+    assert len(before & after) == 1  # ids 0..99 carried by reference
+    assert t.read().count() == 150
+    assert t.read().filter("id >= 150").count() == 0
+
+
+def test_unhinted_delete_prunes_files_via_derived_bloom(spark, root):
+    t = TxTable(spark, root, bloom_columns=["id"])
+    for lo in (0, 500):
+        t.append(_docs(spark, range(lo, lo + 100)).repartition(1))
+    before = {f["path"] for f in t._snapshot_files(t._head_manifest())}
+    t.delete("id = 550")  # no hints: equality derived into the Bloom probe
+    after = {f["path"] for f in t._snapshot_files(t._head_manifest())}
+    assert len(before & after) >= 1  # the 0..99 file survives by reference
+    assert t.read().count() == 199
+
+
+def test_derived_pruning_never_loses_rows_on_complex_conditions(spark, root):
+    """Conditions derivation must NOT touch (modulo arithmetic, OR) —
+    the DML still hits every matching row in every file."""
+    t = TxTable(spark, root, stats_columns=["id"])
+    t.append(_docs(spark, range(0, 50)).repartition(1))
+    t.append(_docs(spark, range(50, 100), tag="b").repartition(1))
+    t.delete("id % 10 = 0 OR tag = 'zzz'")
+    assert t.read().count() == 90
+    assert t.read().filter("id % 10 = 0").count() == 0
+    t.update("id % 7 = 1", {"val": F.lit(-1.0)})
+    assert t.read().filter("val = -1.0").count() == \
+        sum(1 for i in range(100) if i % 10 != 0 and i % 7 == 1)
