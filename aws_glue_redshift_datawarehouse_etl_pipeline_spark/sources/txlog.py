@@ -294,8 +294,12 @@ def _prune_files(
                 st = stats.get(c)
                 if st is None or st[0] is None or st[1] is None:
                     continue  # unknown — keep conservatively
-                if st[1] < lo or st[0] > hi:
-                    return False
+                try:
+                    if st[1] < lo or st[0] > hi:
+                        return False
+                except TypeError:
+                    continue  # bound/stat type mismatch (e.g. a numeric
+                    # envelope derived against string stats) — keep
             return True
 
         files = [f for f in files if may_overlap(f)]

@@ -1306,3 +1306,27 @@ def test_derived_pruning_never_loses_rows_on_complex_conditions(spark, root):
     t.update("id % 7 = 1", {"val": F.lit(-1.0)})
     assert t.read().filter("val = -1.0").count() == \
         sum(1 for i in range(100) if i % 10 != 0 and i % 7 == 1)
+
+
+def test_column_condition_dml_and_type_mismatched_stats_stay_safe(spark, root):
+    """Column-object conditions flow through the same derivation (the
+    repr's quoteless string literals never parse as literals), and a
+    numeric envelope meeting STRING stats keeps files conservatively
+    instead of raising."""
+    t = TxTable(spark, root, stats_columns=["id", "tag"])
+    t.append(_docs(spark, range(0, 50)).repartition(1))
+    t.append(_docs(spark, range(50, 100), tag="b").repartition(1))
+    # Column condition with a numeric literal: derived range prunes
+    before = {f["path"] for f in t._snapshot_files(t._head_manifest())}
+    t.delete(F.col("id") >= 90)
+    after = {f["path"] for f in t._snapshot_files(t._head_manifest())}
+    assert len(before & after) == 1
+    assert t.read().count() == 90
+    # Column condition comparing a string column to a numeric-looking
+    # string: repr prints it unquoted either way; whatever derivation
+    # sees, every matching row is still deleted and nothing raises
+    t.update(F.col("tag") == "b", {"val": F.lit(0.0)})
+    assert t.read().filter("tag = 'b' AND val <> 0.0").count() == 0
+    # tag='a' rows untouched: val still equals id * 1.5 for every one
+    assert t.read().filter("tag = 'a' AND val <> id * 1.5").count() == 0
+    assert t.read().filter("tag = 'a'").count() == 50
