@@ -73,6 +73,10 @@ _DATA_DIR = "data"
 # advisory head pointer (no .json suffix: never mistaken for a manifest
 # by the version listing or vacuum)
 _HEAD_HINT = "_head_hint"
+# app_txid entries carried in a checkpoint manifest before the oldest
+# are pruned (coverage below the pruning floor falls back to the
+# newest-first manifest scan, same bound as vacuum retention)
+_TXID_MAP_CAP = 10_000
 _VERSION_WIDTH = 20
 # manifest format this engine writes and the highest it can read; a
 # manifest stamped with a HIGHER version fails loudly instead of being
@@ -710,6 +714,22 @@ class Transaction:
             }
             if full:
                 manifest["files"] = files
+                # checkpoint manifests also carry the rolled-up
+                # app_txid → version map (delta manifests contribute
+                # their single `app_txid` field), so idempotent-replay
+                # lookup walks ≤ interval manifests instead of the
+                # whole retained log
+                tmap, floor = tbl._txid_map(head)
+                if self.app_txid is not None:
+                    tmap[self.app_txid] = next_version
+                if len(tmap) > _TXID_MAP_CAP:
+                    kept = sorted(tmap.items(), key=lambda kv: kv[1])[
+                        -_TXID_MAP_CAP:
+                    ]
+                    tmap = dict(kept)
+                    floor = max(floor, min(tmap.values()))
+                manifest["app_txids"] = tmap
+                manifest["app_txids_floor"] = floor
             else:
                 manifest["adds"] = staged
                 manifest["removes"] = removes
@@ -958,6 +978,7 @@ class TxTable:
             "column_mapping": dict(head.get("column_mapping") or {}),
             "retired_columns": list(head.get("retired_columns") or []),
             "constraints": dict(constraints),
+            **dict(zip(("app_txids", "app_txids_floor"), self._txid_map(head))),
             "files": self._snapshot_files(head),
             "committed_at_ms": int(time.time() * 1000),
         }
@@ -1050,10 +1071,54 @@ class TxTable:
             self, app_txid=app_txid, app_id=app_id, app_version=app_version
         )
 
+    def _txid_map(self, head: dict | None) -> tuple[dict, int]:
+        """Effective app_txid → version map at ``head`` plus its
+        coverage floor (every commit with version ≥ floor that carried
+        an app_txid is in the map). Reconstructed the same way
+        ``_snapshot_files`` materializes file lists: the delta chain's
+        own ``app_txid`` fields replayed over the nearest checkpoint's
+        rolled-up map. A pre-map checkpoint covers only itself, so its
+        floor is its own version."""
+        if head is None:
+            return {}, 0
+        entries: dict = {}
+        cur = head
+        while "files" not in cur:
+            if cur.get("app_txid"):
+                entries.setdefault(cur["app_txid"], cur["version"])
+            parent = self._read_manifest(cur["parent"])
+            if parent is None:
+                raise IOError(
+                    f"manifest chain broken: version {cur['version']}'s "
+                    f"parent {cur['parent']} is missing"
+                )
+            cur = parent
+        if cur.get("app_txids") is not None:
+            base = dict(cur["app_txids"])
+            floor = int(cur.get("app_txids_floor", 0))
+        else:
+            base = {}
+            floor = cur["version"]  # pre-map checkpoint: covers itself only
+        if cur.get("app_txid"):
+            base[cur["app_txid"]] = cur["version"]
+        base.update(entries)
+        return base, floor
+
     def txid_committed_version(self, app_txid: str) -> int | None:
-        """Version committed under ``app_txid``, or None. Newest-first
-        scan of the retained log (one tiny JSON per version)."""
-        for v in reversed(self._manifest_versions()):
+        """Version committed under ``app_txid``, or None. O(interval)
+        for the retained-map era: the delta chain's own fields plus the
+        nearest checkpoint's rolled-up ``app_txids`` map; only txids
+        older than the map's pruning floor (or predating the map
+        feature) fall back to the newest-first scan of the retained
+        log."""
+        head = self._head_manifest()
+        if head is None:
+            return None
+        tmap, floor = self._txid_map(head)
+        v = tmap.get(app_txid)
+        if v is not None:
+            return v
+        for v in reversed([x for x in self._manifest_versions() if x < floor]):
             m = self._read_manifest(v)
             if m is not None and m.get("app_txid") == app_txid:
                 return v
@@ -1585,6 +1650,7 @@ class TxTable:
             "column_mapping": mapping,
             "retired_columns": list(head.get("retired_columns") or []),
             "constraints": dict(head.get("constraints") or {}),
+            **dict(zip(("app_txids", "app_txids_floor"), self._txid_map(head))),
             "files": self._snapshot_files(head),
             "committed_at_ms": int(time.time() * 1000),
         }
@@ -1638,6 +1704,7 @@ class TxTable:
             "column_mapping": mapping,
             "retired_columns": retired,
             "constraints": dict(head.get("constraints") or {}),
+            **dict(zip(("app_txids", "app_txids_floor"), self._txid_map(head))),
             "files": self._snapshot_files(head),
             "committed_at_ms": int(time.time() * 1000),
         }
@@ -1721,6 +1788,7 @@ class TxTable:
             # table POLICY survives a data restore: the head's
             # constraint set carries forward, not the old version's
             "constraints": dict(head.get("constraints") or {}),
+            **dict(zip(("app_txids", "app_txids_floor"), self._txid_map(head))),
             "files": self._snapshot_files(src),
             "restored_from": version,
             "committed_at_ms": int(time.time() * 1000),

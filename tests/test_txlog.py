@@ -1330,3 +1330,57 @@ def test_column_condition_dml_and_type_mismatched_stats_stay_safe(spark, root):
     # tag='a' rows untouched: val still equals id * 1.5 for every one
     assert t.read().filter("tag = 'a' AND val <> id * 1.5").count() == 0
     assert t.read().filter("tag = 'a'").count() == 50
+
+
+def test_txid_lookup_is_bounded_by_checkpoint_interval(spark, root):
+    """Idempotent-replay lookup must read the delta chain + one
+    checkpoint map, not the whole retained log: on a 25-commit table
+    (interval 10) a MISS costs ≤ interval+2 manifest reads, and every
+    historical txid — including ones far below the latest checkpoint —
+    still resolves exactly."""
+    t = TxTable(spark, root, checkpoint_interval=10)
+    for i in range(25):
+        t.begin(app_txid=f"batch-{i}").append(_docs(spark, [i])).commit()
+    # every txid resolves, however old
+    for i in (0, 3, 9, 10, 19, 24):
+        assert t.txid_committed_version(f"batch-{i}") == i
+    # replay of an old batch no-ops through the map
+    v = t.begin(app_txid="batch-3").append(_docs(spark, [3])).commit()
+    assert v == 3 and t.current_version() == 24
+    # a miss reads O(interval), not O(versions)
+    reads = []
+    orig = TxTable._read_manifest
+    try:
+        TxTable._read_manifest = lambda self, v: reads.append(v) or orig(self, v)
+        assert t.txid_committed_version("never-committed") is None
+    finally:
+        TxTable._read_manifest = orig
+    assert len(reads) <= t.checkpoint_interval + 3, reads
+
+
+def test_txid_map_survives_metadata_commits_and_pre_map_fallback(spark, root):
+    t = TxTable(spark, root, checkpoint_interval=5)
+    for i in range(7):
+        t.begin(app_txid=f"b{i}").append(_docs(spark, [i])).commit()
+    # metadata-only commits (full manifests) must carry the map forward
+    t.rename_column("val", "score")
+    t.set_constraints({"pos": "score >= 0"})
+    for i in (0, 4, 6):
+        assert t.txid_committed_version(f"b{i}") == i
+    # pre-map-era checkpoint (simulated by stripping the map from the
+    # head manifest): lookup falls back to the legacy scan and still
+    # resolves every txid
+    import json as _json
+    hv = t.current_version()
+    head_path = os.path.join(root, "_txlog", f"{hv:020d}.json")
+    m = _json.load(open(head_path))
+    m.pop("app_txids", None)
+    m.pop("app_txids_floor", None)
+    with open(head_path, "w") as fh:
+        _json.dump(m, fh)
+    # drop the Hadoop LocalFS checksum shadow of the rewritten manifest
+    crc = os.path.join(root, "_txlog", f".{hv:020d}.json.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    for i in (0, 6):
+        assert t.txid_committed_version(f"b{i}") == i
