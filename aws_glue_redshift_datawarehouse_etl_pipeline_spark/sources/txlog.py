@@ -135,6 +135,16 @@ def _json_safe_stats(stats: dict) -> dict:
     return out
 
 
+def _next_commit_ms(head: dict | None) -> int:
+    """Commit timestamp, forced MONOTONE across versions (the public
+    formats' in-commit-timestamp adjustment): max(now, parent + 1).
+    Writer clock skew can no longer reorder the history's timestamps,
+    which makes timestamp time travel binary-searchable and keeps
+    `AS OF` semantics deterministic."""
+    now = int(time.time() * 1000)
+    return max(now, int((head or {}).get("committed_at_ms", 0)) + 1)
+
+
 def _parse_parts(rel: str) -> dict[str, str]:
     """Hive ``col=value`` segments of a relative file path, as the writer
     escaped them — comparisons stay on the raw segments so partition-value
@@ -710,7 +720,7 @@ class Transaction:
                 "column_mapping": self._mapping,
                 "retired_columns": sorted(retired),
                 "constraints": tbl.effective_constraints(head),
-                "committed_at_ms": int(time.time() * 1000),
+                "committed_at_ms": _next_commit_ms(head),
             }
             if full:
                 manifest["files"] = files
@@ -980,7 +990,7 @@ class TxTable:
             "constraints": dict(constraints),
             **dict(zip(("app_txids", "app_txids_floor"), self._txid_map(head))),
             "files": self._snapshot_files(head),
-            "committed_at_ms": int(time.time() * 1000),
+            "committed_at_ms": _next_commit_ms(head),
         }
         if not self._try_write_manifest(manifest):
             raise CommitConflictError(
@@ -1168,14 +1178,29 @@ class TxTable:
         """Highest committed version whose commit time is at or before
         ``timestamp_ms`` — timestamp-based time travel (`AS OF
         TIMESTAMP`). Raises if the table didn't exist yet at that time
-        or the version has been vacuumed; commit times come from the
-        writer's clock, so cross-writer skew blurs at clock-skew
-        granularity (same caveat as the public formats)."""
-        best = None
-        for v in self._manifest_versions():
-            m = self._read_manifest(v)
-            if m is not None and m.get("committed_at_ms", 0) <= timestamp_ms:
-                best = v
+        or the version has been vacuumed. Commit times are forced
+        monotone at write (max(now, parent+1) — the in-commit-timestamp
+        adjustment of the public formats), so the lookup BINARY-SEARCHES
+        the retained version range: O(log versions) manifest reads, not
+        one per version. A transient torn manifest mid-search falls
+        back to the exact linear scan."""
+        vs = self._manifest_versions()
+        lo, hi, best = 0, len(vs) - 1, None
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            m = self._read_manifest(vs[mid])
+            if m is None:  # torn claim in flight — take the exact path
+                best = None
+                for v in vs:
+                    mm = self._read_manifest(v)
+                    if mm is not None and mm.get("committed_at_ms", 0) <= timestamp_ms:
+                        best = v
+                break
+            if m.get("committed_at_ms", 0) <= timestamp_ms:
+                best = vs[mid]
+                lo = mid + 1
+            else:
+                hi = mid - 1
         if best is None:
             raise FileNotFoundError(
                 f"no version committed at or before {timestamp_ms} ms at "
@@ -1652,7 +1677,7 @@ class TxTable:
             "constraints": dict(head.get("constraints") or {}),
             **dict(zip(("app_txids", "app_txids_floor"), self._txid_map(head))),
             "files": self._snapshot_files(head),
-            "committed_at_ms": int(time.time() * 1000),
+            "committed_at_ms": _next_commit_ms(head),
         }
         if not self._try_write_manifest(manifest):
             raise CommitConflictError(
@@ -1706,7 +1731,7 @@ class TxTable:
             "constraints": dict(head.get("constraints") or {}),
             **dict(zip(("app_txids", "app_txids_floor"), self._txid_map(head))),
             "files": self._snapshot_files(head),
-            "committed_at_ms": int(time.time() * 1000),
+            "committed_at_ms": _next_commit_ms(head),
         }
         if not self._try_write_manifest(manifest):
             raise CommitConflictError(
@@ -1791,7 +1816,7 @@ class TxTable:
             **dict(zip(("app_txids", "app_txids_floor"), self._txid_map(head))),
             "files": self._snapshot_files(src),
             "restored_from": version,
-            "committed_at_ms": int(time.time() * 1000),
+            "committed_at_ms": _next_commit_ms(head),
         }
         if not self._try_write_manifest(manifest):
             raise CommitConflictError(

@@ -1384,3 +1384,24 @@ def test_txid_map_survives_metadata_commits_and_pre_map_fallback(spark, root):
         os.remove(crc)
     for i in (0, 6):
         assert t.txid_committed_version(f"b{i}") == i
+
+
+def test_commit_timestamps_are_strictly_monotone(spark, root):
+    """Rapid commits (and metadata commits) land with strictly
+    increasing committed_at_ms — the in-commit-timestamp adjustment
+    that makes AS OF binary-searchable and immune to writer clock
+    skew."""
+    t = TxTable(spark, root)
+    for i in range(5):
+        t.append(_docs(spark, [i]))
+    t.rename_column("val", "score")
+    t.set_constraints({"pos": "score >= 0"})
+    ts = [t._read_manifest(v)["committed_at_ms"] for v in range(t.current_version() + 1)]
+    assert all(b > a for a, b in zip(ts, ts[1:])), ts
+    # binary-searched AS OF agrees with the exact definition at every
+    # boundary (at, just-before, just-after each commit)
+    for v, stamp in enumerate(ts):
+        assert t.version_as_of(stamp) == v
+        assert t.version_as_of(stamp + (1 if v == len(ts) - 1 else ts[v + 1] - stamp - 1)) == v
+    with pytest.raises(FileNotFoundError):
+        t.version_as_of(ts[0] - 1)
