@@ -534,6 +534,7 @@ def embedding_near_dup_pairs_bucketed(
     num_buckets: int = 16,
     probe: int = 1,
     refine_rounds: int = 0,
+    eager_cache: bool = False,
     cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Scale path for embedding near-dup: assign each vector to its
@@ -575,6 +576,14 @@ def embedding_near_dup_pairs_bucketed(
     ).persist()
     if cache_registry is not None:
         cache_registry.append(normed)
+    if eager_cache:
+        # opt-in materialization before the self-join. Measured at
+        # sf0.1: this path's cold-run spikes are whole-stage-codegen
+        # JIT of the exact-decimal array expressions, NOT the cache
+        # race the MinHash pipeline had (eager added ~20% steady-state
+        # for no first-run improvement), so lazy is the default here —
+        # unlike minhash_lsh_pairs, where eager is the default.
+        normed.count()
     a = normed.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"),
         F.col("nn").alias("na"), F.col("b").alias("ba"),
