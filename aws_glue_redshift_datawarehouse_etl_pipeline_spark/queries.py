@@ -577,9 +577,7 @@ PRIORITY: tuple[str, ...] = (
     "txlog_dml_orders",
     "error_channel_summary",
     # analytics representatives (full family continues below the window)
-    "shipping_priority_top10",
     "streaming_click_purchase_join",
-    "expectations_orders_quality",
     # TPC-H subquery-shape family (new r6, first driver check):
     # Q5 local-supplier join cycle, Q12 two-way CASE counts, Q14 promo
     # share, Q7 bilateral volume, Q18 large orders, Q19 disjunctive
@@ -597,6 +595,16 @@ PRIORITY: tuple[str, ...] = (
     "small_quantity_revenue",
     "sole_problem_supplier",
     "market_share_by_year",
+    # family completed in r7: Q2 min-cost supplier, Q9 product profit,
+    # Q11 scalar-HAVING, Q13 outer-join count distribution, Q20 nested
+    # excess-volume semi-join (shipping_priority_top10 / expectations /
+    # dedup_keep_best / batch_ann / multimodal_audio — all driver-green
+    # r6 — rotate out to make room; they stay oracle-backed below)
+    "min_cost_supplier_per_part",
+    "product_profit_by_nation_year",
+    "important_suppliers_by_value",
+    "customer_order_distribution",
+    "excess_volume_suppliers",
     # governed-transaction surface
     "txlog_orders_time_travel",
     "txlog_point_lookup_orders",
@@ -618,20 +626,17 @@ PRIORITY: tuple[str, ...] = (
     "curation_mix_pipeline_documents",
     # LLM training-data pipeline: dedup + contamination
     "dedup_exact_documents",
-    "dedup_keep_best_documents",
     "ngram_jaccard_near_dups",
     "minhash_lsh_dedup_transitive",
     "contamination_check_documents",
     # LLM training-data pipeline: similarity / embeddings
     "embedding_near_dup_bucketed",
-    "batch_ann_topk_per_query",
     "ivf_recall_check",
     # LLM training-data pipeline: sampling / splits / packing
     "temperature_mix_documents",
     "pack_sequences_documents",
     # multimodal
     "multimodal_image_dims",
-    "multimodal_audio_meta",
     # fast-path invariants + physical layout
     "fastpath_parity_checks",
     "cobucketed_join_revenue",

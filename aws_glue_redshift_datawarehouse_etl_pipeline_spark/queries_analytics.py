@@ -1970,3 +1970,304 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+@query(
+    "min_cost_supplier_per_part",
+    oracle="""
+    WITH costs AS (
+      SELECT l.l_partkey, l.l_suppkey, MIN(l.l_extendedprice) AS cost
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_regionkey = 3
+      GROUP BY l.l_partkey, l.l_suppkey
+    ), minc AS (
+      SELECT l_partkey, MIN(cost) AS min_cost FROM costs GROUP BY l_partkey
+    )
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, c.cost AS min_price
+    FROM costs c
+    JOIN minc m ON m.l_partkey = c.l_partkey AND c.cost = m.min_cost
+    JOIN part p ON p.p_partkey = c.l_partkey
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_type = 'PROMO' AND p.p_size < 10
+    ORDER BY p.p_partkey, s.s_name
+    """,
+)
+def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — the region's minimum-cost supplier per part:
+    the correlated scalar MIN subquery decorrelates into a per-part
+    aggregate of the SAME region-bounded cost relation it correlates
+    over (computed once, persisted — both the min and the equality
+    join back consume it), then an equality join recovers every
+    supplier hitting the minimum, tie semantics included. MIN is an
+    exact comparison of stored doubles — no accumulation — so
+    cross-engine equality is bit-exact. Part/supplier/nation broadcast;
+    the only fact-sized shuffle is the (part, supp) aggregate."""
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    region_supp = (
+        s.join(F.broadcast(n.filter(F.col("n_regionkey") == 3)),
+               s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    costs = (
+        l.join(F.broadcast(region_supp.select("s_suppkey")),
+               l.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("cost"))
+        .persist()
+    )
+    minc = costs.groupBy("l_partkey").agg(F.min("cost").alias("min_cost"))
+    p = (
+        t(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "PROMO") & (F.col("p_size") < 10))
+        .select("p_partkey")
+    )
+    return (
+        costs.join(minc, ["l_partkey"])
+        .filter(F.col("cost") == F.col("min_cost"))
+        .join(F.broadcast(p), costs.l_partkey == p.p_partkey)
+        .join(F.broadcast(region_supp), costs.l_suppkey == region_supp.s_suppkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey",
+            F.col("cost").alias("min_price"),
+        )
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+@query(
+    "product_profit_by_nation_year",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))
+                    - CAST(p.p_retailprice * l.l_quantity AS DECIMAL(38,6)))
+                AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY n.n_name, YEAR(o.o_orderdate)
+    ORDER BY nation, o_year
+    """,
+)
+def product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — product-line profit by supplier nation and
+    order year (revenue minus a retail-price cost proxy; the testdata
+    has no partsupp table). Five-way join with every dimension
+    broadcast around ONE lineitem scan; the per-row profit is computed
+    as a DIFFERENCE OF DECIMALS (each double product cast before the
+    subtraction) so the aggregate is order-independent and cross-engine
+    exact. The p_name LIKE filter reaches the part scan and shrinks the
+    broadcast before it reaches the fact."""
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    profit = (
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+        - (F.col("p_retailprice") * F.col("l_quantity")).cast(_DEC)
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("profit"))
+        .orderBy("nation", "o_year")
+    )
+
+
+@query(
+    "important_suppliers_by_value",
+    oracle="""
+    WITH base AS (
+      SELECT l.l_suppkey,
+             SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS val
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_regionkey = 1
+      GROUP BY l.l_suppkey
+    )
+    SELECT l_suppkey AS s_suppkey, CAST(val AS DOUBLE) AS total_value
+    FROM base
+    WHERE CAST(val AS DOUBLE)
+          >= (SELECT CAST(SUM(val) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                     FROM base)
+    ORDER BY s_suppkey
+    """,
+)
+def important_suppliers_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — suppliers carrying an outsized share of one
+    region's shipped value: per-supplier exact-decimal totals HAVING
+    at or above the AVERAGE supplier's share of the GLOBAL
+    scalar total over the same relation (a corpus-relative threshold —
+    non-empty at every scale factor, including the sf where the region
+    holds a single supplier). The base
+    aggregate is computed once and persisted (both the scalar and the
+    filter consume it); the scalar arrives as a 1-row broadcast. The
+    share comparison happens in double on both engines, in the same
+    order, so the threshold is deterministic."""
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 1)
+    region_supp = s.join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey
+    ).select("s_suppkey")
+    base = (
+        l.join(F.broadcast(region_supp), l.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+            ).alias("val")
+        )
+        .persist()
+    )
+    total = base.agg(
+        (F.sum("val").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avg_val"
+        )
+    )
+    return (
+        base.join(F.broadcast(total))
+        .filter(F.col("val").cast("double") >= F.col("avg_val"))
+        .select(
+            F.col("l_suppkey").alias("s_suppkey"),
+            F.col("val").cast("double").alias("total_value"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "customer_order_distribution",
+    oracle="""
+    WITH counts AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM counts
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — the distribution of per-customer order counts,
+    with the priority filter INSIDE the outer-join condition (the
+    query's defining subtlety: a customer whose only orders are urgent
+    must surface with count 0, which a WHERE clause would delete).
+    Pure integer counting — cross-engine exact by construction. Two
+    shuffles: the custkey aggregate, then the tiny count-of-counts."""
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    counts = (
+        c.join(
+            o,
+            (o.o_custkey == c.c_custkey)
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        counts.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "excess_volume_suppliers",
+    oracle="""
+    WITH scope AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             SUM(CAST(l.l_quantity AS DECIMAL(38,6))) AS qty
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_type = 'SMALL'
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l.l_partkey, l.l_suppkey
+    ), tot AS (
+      SELECT l_partkey, SUM(qty) AS total_qty FROM scope GROUP BY l_partkey
+    )
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM scope sc
+    JOIN tot ON tot.l_partkey = sc.l_partkey
+    JOIN supplier s ON s.s_suppkey = sc.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE CAST(sc.qty AS DOUBLE) > 0.3 * CAST(tot.total_qty AS DOUBLE)
+      AND n.n_regionkey = 2
+    ORDER BY s.s_suppkey
+    """,
+)
+def excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — suppliers who shipped an outsized share (>30%)
+    of some small-part's one-year volume, restricted to one region: the
+    nested correlated subquery (per-(part, supplier) quantity vs a
+    fraction of the part's total) decorrelates into one grouped
+    aggregate consumed TWICE — per-pair and re-aggregated per part —
+    then a semi-join-shaped DISTINCT recovers the supplier list. The
+    part filter broadcasts into the scan; quantities aggregate as exact
+    decimals; the share comparison is double on both engines."""
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "SMALL")
+        .select("p_partkey")
+    )
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    scope = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("qty"))
+        .persist()
+    )
+    tot = scope.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty"))
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
+    return (
+        scope.join(tot, ["l_partkey"])
+        .filter(
+            F.col("qty").cast("double") > 0.3 * F.col("total_qty").cast("double")
+        )
+        .join(F.broadcast(s), scope.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name")
+        .distinct()
+        .orderBy("s_suppkey")
+    )
