@@ -157,22 +157,54 @@ def _parse_parts(rel: str) -> dict[str, str]:
     return out
 
 
-_CMP_RE = re.compile(
-    r"^\(*\s*(\w+)\s*(>=|<=|=|>|<)\s*(-?\d+(?:\.\d+)?|'[^']*')\s*\)*$"
+# SQL-ish lexer for DML condition texts. Order matters: strings before
+# identifiers, multi-char comparators before single-char. The final
+# catch-all keeps lexing total — unknown characters become OTHER tokens
+# whose conjunct simply derives nothing.
+_TOKEN_RE = re.compile(
+    r"'(?:[^']|'')*'"            # string literal ('' escape)
+    r"|`[^`]*`"                   # backticked identifier
+    r"|[A-Za-z_][A-Za-z_0-9]*"    # identifier / keyword
+    r"|\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"  # number
+    r"|>=|<=|<>|!=|==|=|<|>|\(|\)"
+    r"|\S"                        # anything else
 )
+
+
+def _strip_matched_parens(toks: list[str]) -> list[str]:
+    """Remove outer parens iff they form one matched pair around the
+    whole slice (the closer of ``(a=1) AND (b=2)``'s first conjunct is
+    NOT matched by its opener once split — depth must stay positive in
+    between)."""
+    while len(toks) >= 2 and toks[0] == "(" and toks[-1] == ")":
+        depth = 0
+        for i, tk in enumerate(toks):
+            depth += tk == "("
+            depth -= tk == ")"
+            if depth == 0 and i < len(toks) - 1:
+                return toks
+        toks = toks[1:-1]
+    return toks
 
 
 def _derive_dml_pruning(cond_text: str) -> tuple[dict, dict]:
     """Conservatively derive manifest-level pruning filters FROM the
     DML condition, so an unhinted DELETE/UPDATE still skips files via
-    min/max stats and Bloom filters. Soundness over coverage:
+    min/max stats and Bloom filters. Soundness over coverage, argued on
+    the TOKEN stream (a substring scan is spoofable — ``(a=1)OR(b=2)``
+    has no spaced ``" OR "`` yet is a disjunction):
 
-    - only a pure top-level conjunction contributes; any OR / NOT / IN
-      in the text disables derivation entirely (a disjunct's bound is
-      not implied by the whole predicate);
-    - only ``column <cmp> literal`` conjuncts are read — anything else
-      (arithmetic, function calls, column-vs-column, the quoteless
-      literals of a ``Column`` repr) fails the match and contributes
+    - the stream splits on AND tokens at paren depth 0. Any OR token at
+      depth 0 makes the whole predicate a disjunction (OR binds looser
+      than AND) — derivation is disabled entirely. OR / NOT / IN inside
+      a deeper group only poison their own conjunct, which then derives
+      nothing while its siblings still contribute (``a=1 AND (b=2 OR
+      c=3)`` soundly yields a=1). A depth-0 NOT never spans an AND
+      split (NOT binds tighter than AND), so it needs no global bail;
+    - only a ``column <cmp> literal`` conjunct is read — anything else
+      (arithmetic, function calls, column-vs-column, BETWEEN fragments
+      — whose split remnants start with a literal, never an identifier
+      — and the quoteless literals of a ``Column`` repr) derives
       nothing rather than something wrong;
     - numeric bounds become an INCLUSIVE envelope, correct for min/max
       pruning even when the comparison is strict; string literals
@@ -181,22 +213,47 @@ def _derive_dml_pruning(cond_text: str) -> tuple[dict, dict]:
     Returns ``(range_filter, equality_filter)`` in LOGICAL column
     names; both may be empty."""
 
-    t = cond_text.strip()
-    up = f" {t.upper()} "
-    if " OR " in up or " NOT " in up or re.search(r"\bIN\s*\(", up):
-        return {}, {}
+    toks = _TOKEN_RE.findall(cond_text)
+    conjuncts: list[list[str]] = [[]]
+    depth = 0
+    for tk in toks:
+        depth += tk == "("
+        depth -= tk == ")"
+        kw = tk.upper()
+        if depth == 0 and kw in ("OR", "BETWEEN"):
+            # OR: the top level is a disjunction (OR binds looser than
+            # AND). BETWEEN: its AND is not a conjunction, and in
+            # Spark's grammar the high bound may itself be a comparison
+            # (`flag BETWEEN false AND (c = 5)`) — a split there would
+            # read the bound as a conjunct. Both disable derivation.
+            return {}, {}
+        if depth == 0 and kw == "AND":
+            conjuncts.append([])
+        else:
+            conjuncts[-1].append(tk)
     rf: dict = {}
     eq: dict = {}
-    for conj in re.split(r"\s+AND\s+", t, flags=re.IGNORECASE):
-        m = _CMP_RE.match(conj.strip())
-        if not m:
+    for conj in conjuncts:
+        conj = _strip_matched_parens(conj)
+        # shape: IDENT CMP LITERAL (optional unary minus on a number)
+        if len(conj) == 4 and conj[2] == "-":
+            conj = conj[:2] + ["-" + conj[3]]
+        if len(conj) != 3:
             continue
-        col, op, lit = m.groups()
+        col, op, lit = conj
+        if op == "==":
+            op = "="
+        if op not in (">=", "<=", "=", ">", "<"):
+            continue
+        if not re.match(r"^[A-Za-z_][A-Za-z_0-9]*$", col):
+            continue
         if lit.startswith("'"):
             if op == "=":
-                eq[col] = lit[1:-1]
+                eq[col] = lit[1:-1].replace("''", "'")
             continue
-        val = float(lit) if "." in lit else int(lit)
+        if not re.match(r"^-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?$", lit):
+            continue  # identifier / quoteless Column-repr literal
+        val = int(lit) if re.match(r"^-?\d+$", lit) else float(lit)
         lo, hi = rf.get(col, (float("-inf"), float("inf")))
         if op in (">", ">="):
             lo = max(lo, val)
@@ -596,10 +653,22 @@ class Transaction:
         # see the same snapshot, and a constraint-free commit pays zero
         # extra manifest I/O
         self._enforce_constraints(head)
+        enforced = tbl.effective_constraints(head)
         staged = self._staged_files()
         for attempt in range(max_retries):
             if attempt:
                 head = tbl._head_manifest()
+                # a concurrent set_constraints() may have landed while
+                # this commit was losing races — the staged rows were
+                # only validated against the set in force at the first
+                # read, so re-enforce before committing under the new
+                # head (the retry's manifest also RECORDS the head's
+                # set; recording one the rows never passed would let a
+                # violating commit slip through)
+                now_effective = tbl.effective_constraints(head)
+                if now_effective != enforced:
+                    self._enforce_constraints(head)
+                    enforced = now_effective
             parent_version = -1 if head is None else head["version"]
             parent_files = [] if head is None else tbl._snapshot_files(head)
             app_versions = dict((head or {}).get("app_versions") or {})
@@ -1782,6 +1851,21 @@ class TxTable:
         tx._schema_json = src["schema"]
         tx._partition_keys = list(src.get("partition_keys") or [])
         head = self._head_manifest()
+        # The head's constraints carry forward (policy survives a data
+        # restore), so a restore that removes a column — rolling back
+        # past the append that introduced it — must refuse when a
+        # constraint references that column, exactly like drop_column
+        # does: otherwise the expression stops binding and every
+        # subsequent append fails analysis. set_constraints() first.
+        restored_cols = {
+            f.name
+            for f in T.StructType.fromJson(json.loads(src["schema"])).fields
+        }
+        for f in T.StructType.fromJson(json.loads(head["schema"])).fields:
+            if f.name not in restored_cols:
+                _refuse_if_constrained(
+                    head, f.name, f"restore to version {version} (which removes)"
+                )
         manifest = {
             "format_version": _FORMAT_VERSION,
             "version": head["version"] + 1,

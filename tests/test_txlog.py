@@ -1266,6 +1266,26 @@ def test_derive_dml_pruning_parse_table():
     # contradictory bounds stay an (empty) envelope, never widen
     rf, _ = _derive_dml_pruning("id >= 5 AND id <= 3")
     assert rf == {"id": (5, 3)}
+    # a disjunction with NO spaces around OR is still a disjunction —
+    # the token-level scan can't be spoofed by spacing
+    assert _derive_dml_pruning("(id=1)OR(tag='x')") == ({}, {})
+    assert _derive_dml_pruning("id>=5 AND (tag='a')OR(tag='b')") == ({}, {})
+    # OR contained in a parenthesized group poisons only its own
+    # conjunct: the sibling still derives (sound — the group is one
+    # top-level conjunct)
+    rf, eq = _derive_dml_pruning("id >= 5 AND (tag = 'a' OR tag = 'b')")
+    assert rf == {"id": (5, float("inf"))} and eq == {}
+    # NOT binds tighter than AND, so it can only poison its own
+    # conjunct — the sibling still derives
+    rf, eq = _derive_dml_pruning("NOT (id >= 150) AND val >= 2.5")
+    assert rf == {"val": (2.5, inf)} and eq == {}
+    # BETWEEN's AND is not a conjunction (and its high bound may itself
+    # be a comparison in Spark's grammar): disables derivation
+    assert _derive_dml_pruning("id BETWEEN 1 AND 10") == ({}, {})
+    assert _derive_dml_pruning("id BETWEEN 1 AND 10 AND val >= 2.5") == ({}, {})
+    # negative literals and escaped quotes
+    rf, eq = _derive_dml_pruning("id = -5 AND tag = 'it''s'")
+    assert rf == {"id": (-5, -5)} and eq == {"id": -5, "tag": "it's"}
 
 
 def test_unhinted_delete_prunes_files_via_derived_range(spark, root):
@@ -1405,3 +1425,58 @@ def test_commit_timestamps_are_strictly_monotone(spark, root):
         assert t.version_as_of(stamp + (1 if v == len(ts) - 1 else ts[v + 1] - stamp - 1)) == v
     with pytest.raises(FileNotFoundError):
         t.version_as_of(ts[0] - 1)
+
+
+def test_restore_refuses_when_constraints_reference_removed_columns(spark, root):
+    """The head's constraints carry forward across a restore, so a
+    restore that rolls back past a column's introduction must refuse
+    while a constraint references that column (the expression would
+    stop binding and wedge every subsequent append) — same contract as
+    drop_column. Clearing the constraint unblocks the restore."""
+    t = TxTable(spark, root)
+    t.append(_docs(spark, range(5)))  # v0: id/tag/val
+    t.append(
+        _docs(spark, range(5, 8)).withColumn("score", F.col("val") * 2.0)
+    )  # v1 adds `score`
+    t.set_constraints({"pos": "score >= 0"})  # v2
+    with pytest.raises(ValueError, match="score.*constraint|constraint.*score"):
+        t.restore(0)
+    # v1 keeps `score`: restoring there is fine with the constraint on
+    assert t.read(version=t.restore(1)).count() == 8
+    t.set_constraints({})
+    v = t.restore(0)
+    assert t.read(version=v).count() == 5
+    # the table is NOT wedged: a v0-shaped append still commits
+    t.append(_docs(spark, range(100, 103)))
+    assert t.read().count() == 8
+
+
+def test_commit_retry_reenforces_concurrently_altered_constraints(spark, root):
+    """A commit that loses its claim race to a concurrent
+    set_constraints() must re-validate its staged rows against the NEW
+    effective set on retry — otherwise the retry records a constraint
+    set the rows never passed and a violating commit slips through."""
+    t = TxTable(spark, root)
+    t.append(_docs(spark, range(5)))
+    tx = t.begin().append(_docs(spark, [-1]))  # val=-1.5 violates below
+    orig = t._try_write_manifest
+    state = {"races": 0}
+
+    def racy(manifest):
+        if state["races"] == 0:
+            state["races"] += 1
+            # a concurrent writer ALTERs constraints and wins version 1
+            TxTable(spark, root).set_constraints({"val_nonneg": "val >= 0"})
+            return False  # this transaction's claim lost the race
+        return orig(manifest)
+
+    t._try_write_manifest = racy
+    try:
+        with pytest.raises(ValueError, match="CHECK constraint"):
+            tx.commit()
+    finally:
+        t._try_write_manifest = orig
+    assert state["races"] == 1
+    # nothing violating landed; the concurrent ALTER is the head
+    assert t.read().filter("val < 0").count() == 0
+    assert t._head_manifest()["op"] == "set_constraints"
