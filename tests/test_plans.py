@@ -358,3 +358,61 @@ def test_q22_shape_scalar_broadcast_and_anti_join(spark, sf_dir):
     assert s.count("BroadcastNestedLoopJoin") == 1
     assert "LeftAnti" in s
     assert "CartesianProduct" not in s
+
+
+def test_q2_shape_cost_relation_computed_once(spark, sf_dir):
+    """min_cost_supplier_per_part: the region-bounded cost relation
+    feeds BOTH the per-part minimum and the tie-recovering equality
+    join from the same cached relation — two InMemoryTableScans, never
+    a second lineitem aggregation pipeline; part/supplier/nation
+    broadcast, no nested loop anywhere."""
+    s = plan(spark, sf_dir, "min_cost_supplier_per_part")
+    assert s.count("InMemoryTableScan") == 2
+    assert "BroadcastHashJoin" in s
+    assert "BroadcastNestedLoopJoin" not in s and "CartesianProduct" not in s
+
+
+def test_q9_shape_single_fact_scan_all_dims_broadcast(spark, sf_dir):
+    """product_profit_by_nation_year: five-way join rides ONE lineitem
+    scan; part/supplier/nation broadcast and the p_name LIKE filter is
+    pushed into the part scan (shrinking the broadcast before it
+    reaches the fact)."""
+    s = plan(spark, sf_dir, "product_profit_by_nation_year")
+    assert len(re.findall(r"lineitem\.parquet", s)) == 1
+    assert s.count("BroadcastHashJoin") >= 3
+    assert "BroadcastNestedLoopJoin" not in s and "CartesianProduct" not in s
+    assert "StringContains(p_name,gear)" in s
+
+
+def test_q11_shape_scalar_threshold_from_cached_base(spark, sf_dir):
+    """important_suppliers_by_value: the per-supplier base aggregate
+    feeds BOTH the average scalar and the HAVING filter from the same
+    cached relation; the scalar arrives as the one sanctioned 1-row
+    nested-loop broadcast."""
+    s = plan(spark, sf_dir, "important_suppliers_by_value")
+    assert s.count("InMemoryTableScan") == 2
+    assert s.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in s
+
+
+def test_q13_shape_priority_filter_stays_in_join_not_where(spark, sf_dir):
+    """customer_order_distribution: the outer join must PRESERVE
+    count-0 customers (LeftOuter in the plan) and both aggregations
+    run as partial+final pairs. Pushing the priority predicate to the
+    orders scan is fine — it is the join's inner side — but the join
+    itself must stay outer."""
+    s = plan(spark, sf_dir, "customer_order_distribution")
+    assert "LeftOuter" in s
+    assert s.count("HashAggregate") >= 4
+    assert "CartesianProduct" not in s
+
+
+def test_q20_shape_grouped_quantity_consumed_twice(spark, sf_dir):
+    """excess_volume_suppliers: the (part, supplier) quantity aggregate
+    is computed once and consumed twice (per-pair share and per-part
+    total) — two InMemoryTableScans; the share semi-join recovers
+    suppliers without any nested loop."""
+    s = plan(spark, sf_dir, "excess_volume_suppliers")
+    assert s.count("InMemoryTableScan") == 2
+    assert "BroadcastHashJoin" in s
+    assert "BroadcastNestedLoopJoin" not in s and "CartesianProduct" not in s
