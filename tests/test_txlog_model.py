@@ -83,8 +83,8 @@ def test_random_op_sequence_matches_model(spark, tmp_path, seed):
     for _ in range(N_OPS):
         op = rng.choices(
             ["append", "delete", "update", "overwrite", "restore",
-             "rename", "drop", "compact"],
-            weights=[30, 15, 15, 6, 6, 8, 8, 6],
+             "rename", "drop", "compact", "merge"],
+            weights=[25, 15, 15, 6, 6, 8, 8, 6, 11],
         )[0]
         if op == "append":
             batch = make_batch(list(model.columns), rng.randint(2, 6))
@@ -134,6 +134,26 @@ def test_random_op_sequence_matches_model(spark, tmp_path, seed):
             victim = rng.choice(list(model.columns[1:]))
             v = t.drop_column(victim)
             model = model.drop(columns=[victim])
+            record(v)
+        elif op == "merge":
+            # upsert: half the batch overwrites existing ids (when any
+            # exist), half is new — matched head rows are replaced,
+            # unmatched survive
+            fresh = make_batch(list(model.columns), rng.randint(1, 3))
+            if len(model):
+                hit_ids = sorted(
+                    rng.sample(list(model["id"]), min(2, len(model)))
+                )
+                hits = make_batch(list(model.columns), len(hit_ids))
+                hits["id"] = hit_ids
+                batch = pd.concat([hits, fresh], ignore_index=True)
+            else:
+                batch = fresh
+            v = t.merge(to_spark(batch), keys=["id"])
+            model = pd.concat(
+                [model[~model["id"].isin(set(batch["id"]))], batch],
+                ignore_index=True,
+            )[model.columns]
             record(v)
         else:  # compact: layout-only, content unchanged
             v = t.compact(num_files=2)
