@@ -1480,3 +1480,31 @@ def test_commit_retry_reenforces_concurrently_altered_constraints(spark, root):
     # nothing violating landed; the concurrent ALTER is the head
     assert t.read().filter("val < 0").count() == 0
     assert t._head_manifest()["op"] == "set_constraints"
+
+
+def test_txid_map_cap_prunes_oldest_and_floor_stays_exact(spark, root, monkeypatch):
+    """The checkpoint's rolled-up txid map is capped; pruning must drop
+    the OLDEST entries and raise the coverage floor so a below-floor
+    txid still resolves through the legacy scan — no txid ever becomes
+    unfindable or (worse) silently re-appliable."""
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.sources import txlog
+
+    monkeypatch.setattr(txlog, "_TXID_MAP_CAP", 4)
+    t = TxTable(spark, root, checkpoint_interval=3)
+    for i in range(11):
+        t.begin(app_txid=f"b{i}").append(_docs(spark, [i])).commit()
+    head = t._head_manifest()
+    # walk back to the newest checkpoint manifest and check its map
+    cur = head
+    while "files" not in cur:
+        cur = t._read_manifest(cur["parent"])
+    assert len(cur["app_txids"]) <= 4
+    assert cur["app_txids_floor"] == min(cur["app_txids"].values())
+    # every txid still resolves exactly — in-map via the rollup,
+    # below-floor via the legacy newest-first scan
+    for i in range(11):
+        assert t.txid_committed_version(f"b{i}") == i, i
+    # and replay of a below-floor batch is still a no-op
+    before = t.read().count()
+    v = t.begin(app_txid="b0").append(_docs(spark, [0])).commit()
+    assert v == 0 and t.read().count() == before
