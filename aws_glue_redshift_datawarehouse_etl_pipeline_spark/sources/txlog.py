@@ -1525,11 +1525,14 @@ class TxTable:
         # only, restricted to schema columns) and intersect with any
         # caller hints — an unhinted `delete("id >= 150")` skips files
         # through min/max stats and Blooms exactly like the hinted
-        # spelling
-        known = {f.name for f in schema.fields}
+        # spelling. Schema lookup is case-INSENSITIVE (Spark resolves
+        # identifiers that way, so a bound derived from `ID >= 150` is
+        # implied for the `id` column), canonicalized to the declared
+        # case the stats/blooms are recorded under.
+        canon = {f.name.lower(): f.name for f in schema.fields}
         drf, deq = _derive_dml_pruning(_cond_text(condition))
-        rng = {c: b for c, b in drf.items() if c in known}
-        deq = {c: v for c, v in deq.items() if c in known}
+        rng = {canon[c.lower()]: b for c, b in drf.items() if c.lower() in canon}
+        deq = {canon[c.lower()]: v for c, v in deq.items() if c.lower() in canon}
         for c, b in (range_filter or {}).items():
             lo0, hi0 = rng.get(c, (float("-inf"), float("inf")))
             rng[c] = (max(lo0, b[0]), min(hi0, b[1]))

@@ -1303,6 +1303,22 @@ def test_unhinted_delete_prunes_files_via_derived_range(spark, root):
     assert t.read().filter("id >= 150").count() == 0
 
 
+def test_unhinted_delete_prunes_case_insensitively(spark, root):
+    """Spark resolves identifiers case-insensitively, so a condition
+    spelled `ID >= 150` must derive the same stats prune as the
+    declared-case spelling — and of course still delete every matching
+    row."""
+    t = TxTable(spark, root, stats_columns=["id"])
+    t.append(_docs(spark, range(0, 100)).repartition(1))
+    t.append(_docs(spark, range(100, 200), tag="b").repartition(1))
+    before = {f["path"] for f in t._snapshot_files(t._head_manifest())}
+    t.delete("ID >= 150")
+    after = {f["path"] for f in t._snapshot_files(t._head_manifest())}
+    assert len(before & after) == 1  # low file carried by reference
+    assert t.read().count() == 150
+    assert t.read().filter("id >= 150").count() == 0
+
+
 def test_unhinted_delete_prunes_files_via_derived_bloom(spark, root):
     t = TxTable(spark, root, bloom_columns=["id"])
     for lo in (0, 500):
