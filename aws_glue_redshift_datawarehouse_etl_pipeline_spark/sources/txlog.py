@@ -322,6 +322,19 @@ def _refuse_if_constrained(head: dict, column: str, action: str) -> None:
         )
 
 
+def _violation_counts(df, cons: dict[str, str]) -> dict[str, int]:
+    """Per-constraint violating-row counts over ``df`` (logical-name
+    view), in ONE aggregate scan. NULL evaluates as pass (SQL CHECK
+    semantics: ``~expr`` of NULL is NULL, which the ``otherwise(0)``
+    counts as compliant)."""
+    aggs = [
+        F.sum(F.when(~F.expr(e), 1).otherwise(0)).alias(n)
+        for n, e in cons.items()
+    ]
+    row = df.agg(*aggs).collect()[0]
+    return {n: int(row[n]) for n in cons if (row[n] or 0) > 0}
+
+
 def _live_physical_names(manifest: dict) -> set[str]:
     """Lowercased physical names of every column live in a manifest's
     logical schema (logical name unless the column mapping says
@@ -763,6 +776,35 @@ class Transaction:
                 schema_json = _merge_schema_json(
                     (head or {}).get("schema"), self._schema_json
                 )
+            # A commit that RECORDS a different constraint set than its
+            # parent persisted (a handle constructed with constraints=
+            # acting as the ALTER) must validate the carried-forward
+            # files against the new set — ADD CONSTRAINT semantics, the
+            # same scan set_constraints() runs. Staged files were
+            # already enforced above; only surviving parent files need
+            # the check, and only on the (rare) set-changing commit.
+            parent_cons = dict((head or {}).get("constraints") or {})
+            if enforced != parent_cons and enforced:
+                staged_paths = {f["path"] for f in staged}
+                carried = [f for f in files if f["path"] not in staged_paths]
+                if carried:
+                    bad = _violation_counts(
+                        tbl._files_to_df(
+                            carried,
+                            T.StructType.fromJson(json.loads(schema_json)),
+                            self._mapping,
+                        ),
+                        enforced,
+                    )
+                    if bad:
+                        self.abort()
+                        raise ValueError(
+                            "this commit records a CHECK constraint set the "
+                            f"table's existing rows violate: {bad} "
+                            "(violating-row counts); fix the data first or "
+                            "align the handle's constraints= with the "
+                            "persisted set; transaction aborted"
+                        )
             if self.app_id is not None:
                 app_versions[self.app_id] = [self.app_version, parent_version + 1]
             next_version = parent_version + 1
@@ -841,12 +883,7 @@ class Transaction:
             self.stage_path
         )
         df = df.select(*[F.col(c).alias(inv.get(c, c)) for c in df.columns])
-        aggs = [
-            F.sum(F.when(~F.expr(e), 1).otherwise(0)).alias(n)
-            for n, e in cons.items()
-        ]
-        row = df.agg(*aggs).collect()[0]
-        bad = {n: int(row[n]) for n in cons if (row[n] or 0) > 0}
+        bad = _violation_counts(df, cons)
         if bad:
             self.abort()
             raise ValueError(
@@ -920,8 +957,11 @@ class TxTable:
         # manifest so EVERY writer enforces them — a handle constructed
         # without constraints= picks up the set persisted at head. A
         # non-None constructor arg is the initial/ALTER declaration: the
-        # handle enforces and records that set on its next commit
-        # (pass {} to drop all constraints; see also set_constraints()).
+        # handle enforces and records that set on its next commit, and
+        # the commit that first RECORDS a changed set validates the
+        # carried-forward files against it (ADD CONSTRAINT semantics —
+        # same scan as set_constraints(validate=True)); pass {} to drop
+        # all constraints (see also set_constraints()).
         self._constraints_arg = (
             None if constraints is None else dict(constraints)
         )
@@ -1032,17 +1072,35 @@ class TxTable:
             head = self._head_manifest()
         return dict((head or {}).get("constraints") or {})
 
-    def set_constraints(self, constraints: dict[str, str]) -> int:
+    def set_constraints(
+        self, constraints: dict[str, str], validate: bool = True
+    ) -> int:
         """ALTER the persisted CHECK constraint set as a METADATA-ONLY
-        commit (no data touched; pass ``{}`` to drop all constraints).
-        Existing rows are NOT re-validated — like the public formats'
-        ADD CONSTRAINT, validating history is the caller's choice
-        (``read()`` + the same expressions). Subsequent commits by ANY
-        handle enforce the new set. Conflicts like an overwrite if the
-        head moves concurrently."""
+        commit (pass ``{}`` to drop all constraints). Existing rows ARE
+        validated against the new set first — the public formats' ADD
+        CONSTRAINT semantics: a table whose data violates its own
+        constraints would wedge every later layout rewrite (compaction
+        and DML re-stage old rows through the same enforcement).
+        ``validate=False`` skips the scan; violating history then
+        survives unflagged and those rewrites WILL refuse until the
+        constraint is dropped — an explicit trade the caller owns.
+        Subsequent commits by ANY handle enforce the new set. Conflicts
+        like an overwrite if the head moves concurrently (the validated
+        snapshot is exactly the one constrained: a lost claim race
+        raises rather than constraining unseen data)."""
         head = self._head_manifest()
         if head is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
+        if validate and constraints:
+            bad = _violation_counts(self.read(), constraints)
+            if bad:
+                raise ValueError(
+                    f"existing rows violate CHECK constraint(s): {bad} "
+                    "(violating-row counts); fix the data first, or pass "
+                    "validate=False to constrain future writes only "
+                    "(layout rewrites of the violating files will then "
+                    "refuse until the constraint is dropped)"
+                )
         tx = self.begin()
         manifest = {
             "format_version": _FORMAT_VERSION,

