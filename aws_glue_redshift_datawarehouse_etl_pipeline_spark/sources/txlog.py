@@ -724,10 +724,22 @@ class Transaction:
                 if rec is not None and rec[0] >= self.app_version:
                     return self._finish_as_replay(rec[1])
             if self.op != "append" and parent_version != self.read_version:
-                raise CommitConflictError(
-                    f"table advanced from version {self.read_version} to "
-                    f"{parent_version} since this {self.op} transaction began"
-                )
+                if not (
+                    self.op == "rewrite"
+                    and self._only_appends_since(parent_version)
+                ):
+                    raise CommitConflictError(
+                        f"table advanced from version {self.read_version} to "
+                        f"{parent_version} since this {self.op} transaction "
+                        "began"
+                        + (
+                            " (an intermediate commit removed or replaced "
+                            "files — a rewrite rebases over pure appends "
+                            "only)"
+                            if self.op == "rewrite"
+                            else ""
+                        )
+                    )
             if self.op == "append":
                 removes: list[str] = []
                 files = parent_files + staged
@@ -810,13 +822,18 @@ class Transaction:
             next_version = parent_version + 1
             # checkpoint policy: the first commit, overwrites (their full
             # list IS the delta), and every interval-th version carry the
-            # complete list; everything else writes O(touched) deltas
+            # complete list; everything else writes O(touched) deltas —
+            # unless the delta encoding is no smaller than the full list
+            # (a full compaction's removes name every parent file), in
+            # which case the full list costs the same bytes and lets
+            # vacuum reclaim without walking a replay chain
             ival = tbl.checkpoint_interval
             full = (
                 head is None
                 or self.op == "overwrite"
                 or ival <= 0
                 or next_version % ival == 0
+                or len(staged) + len(removes) >= len(files)
             )
             manifest = {
                 "format_version": _FORMAT_VERSION,
@@ -859,12 +876,35 @@ class Transaction:
                 return manifest["version"]
             if tbl._repair_torn(parent_version + 1):
                 continue  # crashed writer's torn claim removed — retry
-            if self.op != "append":
+            if self.op not in ("append", "rewrite"):
                 raise CommitConflictError(
                     f"version {parent_version + 1} was claimed by another "
                     f"transaction; {self.op} depends on the snapshot it read"
                 )
-        raise CommitConflictError(f"append lost {max_retries} commit races")
+            # append always retries; rewrite retries too — the next
+            # iteration's conflict check decides whether the claimer's
+            # commit was a pure append (rebase) or a real conflict
+        raise CommitConflictError(f"{self.op} lost {max_retries} commit races")
+
+    def _only_appends_since(self, parent_version: int) -> bool:
+        """True iff every commit between this transaction's snapshot and
+        ``parent_version`` was a pure append (or a ``set_constraints``
+        metadata commit — file list unchanged, and the retry path
+        re-enforces its new set on the staged rows). The rewrite then
+        REBASES onto the new head: under write-serializable semantics it
+        serializes BEFORE those appends — its hit scan read none of
+        their files — so the rebased list (new parent files minus this
+        rewrite's drops plus its stages) is exactly the
+        rewrite-then-append serial outcome, and concurrent ingest can no
+        longer starve compaction or DML. Any other intermediate op may
+        have removed or replaced a file this rewrite read (its staged
+        output would resurrect or duplicate those rows) — genuine
+        conflict."""
+        for v in range(self.read_version + 1, parent_version + 1):
+            m = self.table._read_manifest(v)
+            if m is None or m.get("op") not in ("append", "set_constraints"):
+                return False
+        return True
 
     def _enforce_constraints(self, head: dict | None) -> None:
         """Validate the table's CHECK constraints against the STAGED
@@ -1638,6 +1678,11 @@ class TxTable:
             pkeys = list(key_orders.pop()) or None
         out = transform(self._files_to_df(touched, schema, mapping))
         tx = self.begin()
+        # pin the transaction to the snapshot the hit scan read: begin()
+        # read the head AGAIN, and a rewrite landing in the gap would
+        # otherwise pass the conflict check while this rewrite's staged
+        # output duplicates rows from the file the other commit replaced
+        tx.read_version = head["version"]
         tx.rewrite(out, [f["path"] for f in touched], partition_by=pkeys)
         return tx.commit()
 
@@ -2010,6 +2055,7 @@ class TxTable:
             else:
                 snap = snap.coalesce(num_files or 1)
             tx = self.begin()
+            tx.read_version = head["version"]  # pin the pruned snapshot
             tx.rewrite(snap, [f["path"] for f in files], partition_by=pkeys)
             return tx.commit()
         return self._compact_full(num_files, zorder_by)
@@ -2021,12 +2067,16 @@ class TxTable:
     ) -> int:
         """Small-file compaction as a COMMIT: the head snapshot is
         rewritten into ``num_files`` files (default: one per live
-        commit directory, collapsing append accretion) and committed as
-        an overwrite — readers switch atomically from the fragmented
-        layout to the compact one, old files stay reachable for time
-        travel until ``vacuum``. A concurrent writer conflicts rather
-        than being silently clobbered (overwrite semantics); re-run
-        compaction after the conflict, it's idempotent on content.
+        commit directory, collapsing append accretion) — readers switch
+        atomically from the fragmented layout to the compact one, old
+        files stay reachable for time travel until ``vacuum``. The
+        commit is a REWRITE dropping every pre-compaction file, so a
+        concurrent pure APPEND rebases instead of conflicting (the
+        compaction serializes before it — appended files carry into the
+        new manifest by reference): continuous ingest cannot starve
+        compaction. A concurrent commit that removed or replaced files
+        still conflicts; re-run compaction after, it's idempotent on
+        content.
 
         ``zorder_by`` additionally clusters the rewrite on the Z-curve
         over those (numeric) columns (operators/layout.py), so the
@@ -2036,12 +2086,12 @@ class TxTable:
         head = self._head_manifest()
         if head is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
+        files = self._snapshot_files(head)
         if num_files is None:
-            num_files = max(
-                1,
-                len({f["path"].split("/")[1] for f in self._snapshot_files(head)}),
-            )
-        snap = self.read()
+            num_files = max(1, len({f["path"].split("/")[1] for f in files}))
+        schema = T.StructType.fromJson(json.loads(head["schema"]))
+        mapping = dict(head.get("column_mapping") or {})
+        snap = self._files_to_df(files, schema, mapping)
         if zorder_by:
             from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.layout import (
                 zorder_layout,
@@ -2050,7 +2100,10 @@ class TxTable:
             snap = zorder_layout(snap, zorder_by, num_partitions=num_files)
         else:
             snap = snap.coalesce(num_files)
-        return self.begin().overwrite(snap).commit()
+        tx = self.begin()
+        tx.read_version = head["version"]  # pin the snapshot compacted
+        tx.rewrite(snap, [f["path"] for f in files])
+        return tx.commit()
 
     def vacuum(self, keep_versions: int = 1, retention_hours: float = 0.0) -> list[str]:
         """Delete data directories referenced by NO retained manifest

@@ -77,7 +77,11 @@ def test_transactional_etl_job_runs_end_to_end(spark, tmp_path):
 
     tbl = TxTable(spark, os.path.join(wh, "dim_part"))
     ops = [m["op"] for m in tbl.history()]
-    assert ops[0] == "append" and "rewrite" in ops  # load + DML/compact commits
+    # DML/compact commits present in the audit trail. (The initial
+    # append may have been vacuumed: this table's small DML commits
+    # carry full manifests under the smaller-encoding rule, so vacuum
+    # no longer retains a delta replay chain down to version 0.)
+    assert "rewrite" in ops
     got = tbl.read()
     assert got.count() > 0
     assert got.filter("Brand = 'Brand#13'").count() == 0  # retired by DELETE

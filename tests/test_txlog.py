@@ -526,11 +526,14 @@ def test_update_unknown_column_rejected(spark, root):
 
 
 def test_dml_conflicts_when_head_moves(spark, root):
+    """A rewrite whose snapshot another REWRITE invalidated conflicts;
+    a head moved only by pure appends rebases instead (covered in
+    depth by the rebase tests below)."""
     t = TxTable(spark, root)
     t.append(_docs(spark, range(10)))
     tx = t.begin()  # snapshot an older head via a raw transaction
     tx.rewrite(_docs(spark, range(1)), drop_paths=[])
-    t.append(_docs(spark, range(10, 20)))  # head advances
+    t.delete("id = 3")  # head advances via a file-replacing commit
     with pytest.raises(CommitConflictError):
         tx.commit()
 
@@ -632,19 +635,24 @@ def test_delta_manifest_bytes_stay_o_of_touched(spark, root):
 
 
 def test_dml_and_replace_write_remove_deltas(spark, root):
+    """A minority-touch DML/replace writes a remove-delta, not a full
+    list (4 buckets: each op touches 1/4 of the files; a majority-touch
+    op flips to a full manifest by the size rule — pinned separately by
+    the full-compact vacuum test)."""
     t = TxTable(spark, root, checkpoint_interval=100)
-    df = _docs(spark, range(40)).withColumn("bucket", F.col("id") % 2)
+    df = _docs(spark, range(40)).withColumn("bucket", F.col("id") % 4)
     t.begin().overwrite(df, partition_by=["bucket"]).commit()  # v0 full
-    t.delete("id < 5")  # v1: rewrite delta
+    t.delete("id = 0")  # v1: rewrite delta touching bucket 0 only
     m1 = t._read_manifest(1)
     assert "files" not in m1 and len(m1["removes"]) >= 1
-    fresh = _docs(spark, range(100, 104)).withColumn("bucket", F.lit(0).cast("bigint"))
+    fresh = _docs(spark, range(101, 105)).withColumn("bucket", F.lit(1).cast("bigint"))
     t.replace_partitions(fresh, ["bucket"])  # v2: replace delta
     m2 = t._read_manifest(2)
     assert "files" not in m2 and len(m2["removes"]) >= 1
     snap = t.read()
-    assert snap.filter("bucket = 0").count() == 4
-    assert snap.filter("bucket = 1").count() == 18  # 20 minus ids 1,3
+    assert snap.filter("bucket = 1").count() == 4
+    assert snap.filter("bucket = 0").count() == 9  # 10 minus id 0
+    assert snap.count() == 9 + 4 + 20  # buckets 2,3 untouched
 
 
 def test_vacuum_keeps_checkpoint_chain_for_retained_deltas(spark, root):
@@ -1576,3 +1584,120 @@ def test_constructor_arg_alter_validates_carried_files(spark, root):
     assert t2._head_manifest()["constraints"] == {"val_nonneg": "val >= 0"}
     with pytest.raises(ValueError, match="val_nonneg"):
         TxTable(spark, root).append(_docs(spark, [-9]))
+
+
+def test_dml_rebases_over_concurrent_append(spark, root):
+    """A pure append landing while a DELETE commits must NOT starve the
+    DELETE: the rewrite rebases (write-serializable — the delete
+    serializes before the append), and the appended file carries into
+    the committed manifest by reference."""
+    t = TxTable(spark, root, stats_columns=["id"])
+    t.append(_docs(spark, range(0, 100)).repartition(1))
+    t.append(_docs(spark, range(100, 200)).repartition(1))
+    orig = t._try_write_manifest
+    state = {"n": 0}
+
+    def racy(manifest):
+        if state["n"] == 0:
+            state["n"] += 1
+            TxTable(spark, root).append(_docs(spark, range(500, 505)))
+            return False  # lost the claim race to the append
+        return orig(manifest)
+
+    t._try_write_manifest = racy
+    try:
+        v = t.delete("id >= 150 AND id < 200")
+    finally:
+        t._try_write_manifest = orig
+    assert state["n"] == 1
+    got = t.read()
+    assert got.count() == 155  # 150 kept + 5 appended (≥150: serialized after)
+    assert got.filter("id >= 150 AND id < 200").count() == 0
+    assert got.filter("id >= 500").count() == 5
+    assert t.current_version() == v == 3  # append v2 won, delete rebased to v3
+
+
+def test_compact_rebases_over_concurrent_append(spark, root):
+    """Continuous ingest cannot starve compaction: a full compact whose
+    claim loses to a concurrent append retries and rebases — all rows
+    survive, the appended file stays by reference."""
+    t = TxTable(spark, root)
+    for lo in (0, 20, 40):
+        t.append(_docs(spark, range(lo, lo + 20)).repartition(1))
+    orig = t._try_write_manifest
+    state = {"n": 0}
+
+    def racy(manifest):
+        if state["n"] == 0:
+            state["n"] += 1
+            TxTable(spark, root).append(_docs(spark, range(900, 910)))
+            return False
+        return orig(manifest)
+
+    t._try_write_manifest = racy
+    try:
+        t.compact(num_files=1)
+    finally:
+        t._try_write_manifest = orig
+    assert t.read().count() == 70
+    assert t.read().filter("id >= 900").count() == 10
+    # the appended file was NOT swallowed by the stale compacted output:
+    # both its rows and the compacted pre-append rows are present once
+    assert t.read().select("id").distinct().count() == 70
+
+
+def test_rewrite_conflicts_with_concurrent_rewrite(spark, root):
+    """Rebase is for pure appends ONLY: a concurrent commit that
+    removed or replaced files (another DML) is a genuine conflict."""
+    t = TxTable(spark, root, stats_columns=["id"])
+    t.append(_docs(spark, range(0, 100)).repartition(1))
+    t.append(_docs(spark, range(100, 200)).repartition(1))
+    orig = t._try_write_manifest
+    state = {"n": 0}
+
+    def racy(manifest):
+        if state["n"] == 0:
+            state["n"] += 1
+            TxTable(spark, root).delete("id < 10")
+            return False
+        return orig(manifest)
+
+    t._try_write_manifest = racy
+    try:
+        with pytest.raises(CommitConflictError, match="rebases over pure appends"):
+            t.delete("id >= 150")
+    finally:
+        t._try_write_manifest = orig
+    # the concurrent delete applied; ours left no trace
+    assert t.read().count() == 190
+    assert t.read().filter("id >= 150").count() == 50
+
+
+def test_dml_pins_the_snapshot_its_hit_scan_read(spark, root):
+    """The hit scan and begin() read the head separately; a rewrite
+    landing in that gap must conflict — without the pin the DELETE
+    would commit against the newer head, resurrecting/duplicating rows
+    from the file the other commit replaced."""
+    t = TxTable(spark, root, stats_columns=["id"])
+    t.append(_docs(spark, range(0, 100)).repartition(1))
+    t.append(_docs(spark, range(100, 200)).repartition(1))
+    orig_begin = t.begin
+    state = {"n": 0}
+
+    def hooked(*a, **k):
+        if state["n"] == 0:
+            state["n"] += 1
+            # a concurrent DELETE rewrites the very file our scan read,
+            # in the gap between the scan and begin()
+            TxTable(spark, root).delete("id = 199")
+        return orig_begin(*a, **k)
+
+    t.begin = hooked
+    try:
+        with pytest.raises(CommitConflictError):
+            t.delete("id >= 150")
+    finally:
+        t.begin = orig_begin
+    got = t.read()
+    assert got.count() == 199  # only the concurrent single-row delete landed
+    assert got.select("id").distinct().count() == 199  # and nothing duplicated
