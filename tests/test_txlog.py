@@ -1701,3 +1701,55 @@ def test_dml_pins_the_snapshot_its_hit_scan_read(spark, root):
     got = t.read()
     assert got.count() == 199  # only the concurrent single-row delete landed
     assert got.select("id").distinct().count() == 199  # and nothing duplicated
+
+
+def test_compactor_racing_multiprocess_appenders_rebases_losslessly(spark, root):
+    """TRUE multi-process rebase: two independent JVMs append while
+    THIS process repeatedly compacts the table. Every compaction claim
+    races the appenders and must rebase (pure appends) rather than
+    conflict or clobber: at the end every appended row is present
+    EXACTLY once (a wrong rebase duplicates the rows the compactor
+    staged or swallows a concurrent append), the audit trail shows the
+    rewrite commits, and the version sequence is contiguous."""
+    import subprocess
+    import sys
+    import time as _time
+
+    n_commits, rows_per = 8, 5
+    worker = os.path.join(os.path.dirname(__file__), "txlog_race_worker.py")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(worker)))
+    env = {**os.environ, "PYTHONPATH": repo_root}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, root, str(w), str(n_commits), str(rows_per)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            env=env,
+        )
+        for w in (1, 2)
+    ]
+    t = TxTable(spark, root)
+    compactions = 0
+    while any(p.poll() is None for p in procs):
+        try:
+            c = t.read().count()
+            assert c % rows_per == 0, f"torn snapshot: {c} rows"
+            if c and compactions < 4:
+                t.compact(num_files=2)  # rebases over concurrent appends
+                compactions += 1
+        except FileNotFoundError:
+            pass  # nothing committed yet
+        _time.sleep(0.3)
+    for p in procs:
+        out, err = p.communicate()
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+    assert compactions >= 1  # the race actually happened
+    total_rows = 2 * n_commits * rows_per
+    got = t.read()
+    assert got.count() == total_rows
+    assert got.select("id").distinct().count() == total_rows  # exactly-once
+    ops = [m["op"] for m in t.history()]
+    assert ops.count("rewrite") == compactions
+    total_versions = 2 * n_commits + compactions
+    assert t.current_version() == total_versions - 1
