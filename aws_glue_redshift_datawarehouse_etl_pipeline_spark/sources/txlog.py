@@ -171,6 +171,90 @@ _TOKEN_RE = re.compile(
 )
 
 
+def _strip_sql_comments(text: str) -> str | None:
+    """Remove SQL comments from a condition text before lexing, or
+    return ``None`` when the text cannot be read soundly. The lexer
+    itself has no comment rules, and commented-out text is poison for
+    derivation: ``a = 1 -- old: AND b = 2`` must NOT derive a bound on
+    ``b`` (Spark strips the comment, so files holding a=1, b!=2 rows
+    would be pruned and the DML would silently miss them).
+
+    A character scanner, not a regex: ``--`` / ``/*`` inside a string
+    literal or backticked identifier are content, and Spark's bracketed
+    comments NEST (``/* a /* b */ c */`` is ONE comment) — a non-greedy
+    regex would end at the first ``*/`` and resurrect text Spark never
+    sees, which is exactly the unsound direction. An unterminated
+    bracketed comment returns ``None`` (Spark rejects the predicate at
+    parse time anyway, so deriving nothing costs nothing)."""
+
+    if "--" not in text and "/*" not in text:
+        return text
+    out: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if text[j] == "'":
+                    if text.startswith("''", j):
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(text[i : j + 1])
+            i = j + 1
+        elif c == "`":
+            j = text.find("`", i + 1)
+            j = n - 1 if j < 0 else j
+            out.append(text[i : j + 1])
+            i = j + 1
+        elif text.startswith("--", i):
+            j = text.find("\n", i)
+            i = n if j < 0 else j  # the newline survives as whitespace
+        elif text.startswith("/*", i):
+            depth, i = 1, i + 2
+            while i < n and depth:
+                if text.startswith("/*", i):
+                    depth, i = depth + 1, i + 2
+                elif text.startswith("*/", i):
+                    depth, i = depth - 1, i + 2
+                else:
+                    i += 1
+            if depth:
+                return None
+            out.append(" ")
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _case_canon(fields):
+    """Case-insensitive column canonicalizer that stays sound when two
+    schema columns differ only in case (such schemas are creatable —
+    ``_merge_schema_json`` merges by exact name). For names whose
+    lowercase form is UNIQUE, any case spelling resolves to the
+    declared name (Spark's default case-insensitive resolution). For
+    colliding names only an EXACT spelling resolves; a case-mismatched
+    reference returns ``None`` so the caller derives nothing for it —
+    under ``spark.sql.caseSensitive=true`` applying one column's bound
+    to the other's stats/Blooms would be unsound pruning."""
+
+    by_lower: dict[str, list[str]] = {}
+    for f in fields:
+        by_lower.setdefault(f.name.lower(), []).append(f.name)
+    unique = {lo: ns[0] for lo, ns in by_lower.items() if len(ns) == 1}
+    exact = {f.name for f in fields}
+
+    def canon(name: str):
+        if name in exact and name.lower() not in unique:
+            return name
+        return unique.get(name.lower())
+
+    return canon
+
+
 def _strip_matched_parens(toks: list[str]) -> list[str]:
     """Remove outer parens iff they form one matched pair around the
     whole slice (the closer of ``(a=1) AND (b=2)``'s first conjunct is
@@ -208,12 +292,18 @@ def _derive_dml_pruning(cond_text: str) -> tuple[dict, dict]:
       nothing rather than something wrong;
     - numeric bounds become an INCLUSIVE envelope, correct for min/max
       pruning even when the comparison is strict; string literals
-      contribute equality (Bloom) probes only.
+      contribute equality (Bloom) probes only;
+    - SQL comments are stripped first (nesting-aware, string-literal
+      safe) so commented-out text never contributes a bound; an
+      unterminated bracketed comment disables derivation entirely.
 
     Returns ``(range_filter, equality_filter)`` in LOGICAL column
     names; both may be empty."""
 
-    toks = _TOKEN_RE.findall(cond_text)
+    cleaned = _strip_sql_comments(cond_text)
+    if cleaned is None:
+        return {}, {}
+    toks = _TOKEN_RE.findall(cleaned)
     conjuncts: list[list[str]] = [[]]
     depth = 0
     for tk in toks:
@@ -668,6 +758,12 @@ class Transaction:
         self._enforce_constraints(head)
         enforced = tbl.effective_constraints(head)
         staged = self._staged_files()
+        # carried-forward constraint validation is a full scan of the
+        # surviving parent files — cache its green result across retry
+        # attempts (keyed on the enforced set AND the carried paths) so
+        # an ALTER-ing commit that keeps losing claim races doesn't
+        # repeat the scan when neither input changed
+        validated_carried: set[tuple[frozenset, frozenset]] = set()
         for attempt in range(max_retries):
             if attempt:
                 head = tbl._head_manifest()
@@ -799,7 +895,11 @@ class Transaction:
             if enforced != parent_cons and enforced:
                 staged_paths = {f["path"] for f in staged}
                 carried = [f for f in files if f["path"] not in staged_paths]
-                if carried:
+                vkey = (
+                    frozenset(enforced.items()),
+                    frozenset(f["path"] for f in carried),
+                )
+                if carried and vkey not in validated_carried:
                     bad = _violation_counts(
                         tbl._files_to_df(
                             carried,
@@ -817,6 +917,7 @@ class Transaction:
                             "align the handle's constraints= with the "
                             "persisted set; transaction aborted"
                         )
+                    validated_carried.add(vkey)
             if self.app_id is not None:
                 app_versions[self.app_id] = [self.app_version, parent_version + 1]
             next_version = parent_version + 1
@@ -1623,14 +1724,12 @@ class TxTable:
         # only, restricted to schema columns) and intersect with any
         # caller hints — an unhinted `delete("id >= 150")` skips files
         # through min/max stats and Blooms exactly like the hinted
-        # spelling. Schema lookup is case-INSENSITIVE (Spark resolves
-        # identifiers that way, so a bound derived from `ID >= 150` is
-        # implied for the `id` column), canonicalized to the declared
+        # spelling, canonicalized through _case_canon to the declared
         # case the stats/blooms are recorded under.
-        canon = {f.name.lower(): f.name for f in schema.fields}
+        _canon = _case_canon(schema.fields)
         drf, deq = _derive_dml_pruning(_cond_text(condition))
-        rng = {canon[c.lower()]: b for c, b in drf.items() if c.lower() in canon}
-        deq = {canon[c.lower()]: v for c, v in deq.items() if c.lower() in canon}
+        rng = {_canon(c): b for c, b in drf.items() if _canon(c)}
+        deq = {_canon(c): v for c, v in deq.items() if _canon(c)}
         for c, b in (range_filter or {}).items():
             lo0, hi0 = rng.get(c, (float("-inf"), float("inf")))
             rng[c] = (max(lo0, b[0]), min(hi0, b[1]))

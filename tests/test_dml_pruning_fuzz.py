@@ -5,18 +5,24 @@ condition must also satisfy every derived range bound and equality
 probe — otherwise min/max or Bloom pruning could skip a file holding
 matching rows and the DELETE/UPDATE would silently miss them.
 
-The fuzzer generates a random predicate AST over three typed columns,
-renders it to SQL text with adversarially random spacing and
-parenthesization (the class of input that broke the old substring-scan
-— ``(a=1)OR(b=2)`` carries no spaced ``" OR "``), evaluates the AST
-directly in Python (we built it, so its semantics are exact and no
-Spark round-trip is needed), and asserts the implication on a grid of
-rows. Coverage is free to be zero — deriving nothing is always sound —
-but anything derived must be implied.
+The fuzzer generates a random predicate AST over three typed columns
+and renders it to SQL text with adversarially random spacing,
+parenthesization, and injected comments (the input classes that broke
+earlier revisions: ``(a=1)OR(b=2)`` carries no spaced ``" OR "``; a
+``--`` comment can hide a conjunct from a naive lexer). The oracle is
+the rendered TEXT itself, evaluated by DuckDB over a row grid — not a
+Python re-evaluation of the AST — so the renderer and the oracle can
+never diverge on SQL precedence again (the round-7 failure was exactly
+that: the renderer dropped NOT's parens, changing the text's meaning
+while the AST oracle kept the original). Coverage is free to be zero —
+deriving nothing is always sound — but anything derived must be
+implied by what the TEXT means.
 """
 
 from __future__ import annotations
 
+import duckdb
+import pandas as pd
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -69,38 +75,29 @@ def _trees(depth: int = 3):
     )
 
 
-def _eval(node, row: dict) -> bool:
-    op = node[0]
-    if op == "numcmp" or op == "strcmp":
-        _, col, cmp, lit = node
-        v = row[col]
-        return {
-            ">=": v >= lit,
-            "<=": v <= lit,
-            "=": v == lit,
-            ">": v > lit,
-            "<": v < lit,
-        }[cmp]
-    if op == "between":
-        _, col, lo, hi = node
-        return lo <= row[col] <= hi
-    if op == "in":
-        _, col, vals = node
-        return row[col] in vals
-    if op == "and":
-        return _eval(node[1], row) and _eval(node[2], row)
-    if op == "or":
-        return _eval(node[1], row) or _eval(node[2], row)
-    if op == "not":
-        return not _eval(node[1], row)
-    raise AssertionError(op)
-
-
 def _render(node, rng) -> str:
-    """SQL text with randomized spacing/parens — the adversarial part."""
+    """SQL text with randomized spacing/parens/comments — the
+    adversarial part. NOT's operand is ALWAYS parenthesized so the
+    rendered text means the AST regardless of precedence; everything
+    else is free to drop parens or glue tokens together. Injected
+    comments are dialect-independent (line comments newline-terminated,
+    block comments non-nested) so the DuckDB oracle and Spark agree on
+    what they mean; the Spark-specific nesting semantics get their own
+    pinned tests below."""
 
     def sp() -> str:
+        r = rng.random()
+        if r < 0.08:
+            return f" /* c{rng.randint(0, 99)} */ "
+        if r < 0.12:
+            return f" -- c{rng.randint(0, 99)}\n "
         return " " * rng.randint(0, 2)
+
+    def sp1() -> str:
+        # at least one separator: beside a bare keyword, zero spacing
+        # would glue into one identifier (`ANDid`) — not SQL
+        s = sp()
+        return s if s else " "
 
     def wrap(s: str) -> str:
         return f"({sp()}{s}{sp()})" if rng.random() < 0.6 else s
@@ -120,13 +117,17 @@ def _render(node, rng) -> str:
         _, col, vals = node
         return wrap(f"{col} IN ({','.join(str(v) for v in vals)})")
     if op == "and":
-        return wrap(f"{_render(node[1], rng)}{sp()}AND{sp()}{_render(node[2], rng)}")
+        if rng.random() < 0.3:
+            # adversarial: glued keyword, legal only with forced parens
+            return wrap(f"({_render(node[1], rng)})AND({_render(node[2], rng)})")
+        return wrap(f"{_render(node[1], rng)}{sp1()}AND{sp1()}{_render(node[2], rng)}")
     if op == "or":
-        # adversarial: sometimes NO spaces around OR at all
-        s = "" if rng.random() < 0.5 else " "
-        return wrap(f"{_render(node[1], rng)}{s}OR{s}{_render(node[2], rng)}")
+        if rng.random() < 0.5:
+            # adversarial: no spaced " OR " anywhere in the text
+            return wrap(f"({_render(node[1], rng)})OR({_render(node[2], rng)})")
+        return wrap(f"{_render(node[1], rng)}{sp1()}OR{sp1()}{_render(node[2], rng)}")
     if op == "not":
-        return wrap(f"NOT {_render(node[1], rng)}")
+        return wrap(f"NOT ({_render(node[1], rng)})")
     raise AssertionError(op)
 
 
@@ -134,11 +135,27 @@ def _render(node, rng) -> str:
 # literal bound sits inside [-20, 20], so ±21 covers strict/inclusive
 # edges on both sides
 _GRID = [
-    {"id": i, "val": v, "tag": tg}
-    for i in (-21, -10, -2, 0, 1, 3, 10, 21)
-    for v in (-2.5, 0.0, 0.5, 3.25, 10.0)
-    for tg in STR_VALS
+    {"idx": n, "id": i, "val": v, "tag": tg}
+    for n, (i, v, tg) in enumerate(
+        (i, v, tg)
+        for i in (-21, -10, -2, 0, 1, 3, 10, 21)
+        for v in (-2.5, 0.0, 0.5, 3.25, 10.0)
+        for tg in STR_VALS
+    )
 ]
+
+_CON = duckdb.connect()
+_CON.register("grid", pd.DataFrame(_GRID))
+
+
+def _text_matches(text: str) -> list[bool]:
+    """The rendered text's OWN meaning, row by row: DuckDB evaluates it
+    against the grid, so precedence/comment semantics come from a real
+    SQL parser, not a Python re-implementation."""
+    rows = _CON.execute(
+        f"SELECT COALESCE(({text}), FALSE) FROM grid ORDER BY idx"
+    ).fetchall()
+    return [bool(r[0]) for r in rows]
 
 
 @settings(max_examples=300, deadline=None)
@@ -150,11 +167,80 @@ def test_derived_pruning_is_implied_by_the_predicate(tree, seed):
     rf, eq = _derive_dml_pruning(text)
     for col in rf:
         assert col in NUM_COLS, (col, text)
-    for row in _GRID:
-        if not _eval(tree, row):
+    for row, matched in zip(_GRID, _text_matches(text)):
+        if not matched:
             continue
         # the row matches the predicate: it must survive BOTH prune modes
         for col, (lo, hi) in rf.items():
             assert lo <= row[col] <= hi, (text, row, rf)
         for col, v in eq.items():
             assert row[col] == v, (text, row, eq)
+
+
+# -- pinned regressions -----------------------------------------------------
+
+
+def test_pinned_grouped_not_over_conjunction_derives_nothing():
+    """The round-7 falsifying SHAPE, rendered unambiguously: a NOT over
+    a parenthesized conjunction poisons the whole (single) conjunct."""
+    assert _derive_dml_pruning("NOT ((id >= 0) AND (id >= 0))") == ({}, {})
+
+
+def test_pinned_depth0_not_beside_live_conjunct():
+    """`NOT (...) AND id >= 5`: the NOT conjunct derives nothing, the
+    live conjunct still contributes."""
+    rf, eq = _derive_dml_pruning("NOT (val <= 3) AND id >= 5")
+    assert rf == {"id": (5, float("inf"))} and eq == {}
+
+
+def test_line_comment_does_not_contribute_bounds():
+    """The ADVICE exploit: commented-out text must not derive a bound —
+    Spark strips the comment, so the real predicate is just id = 1 and
+    a derived bound on val would prune files holding matching rows."""
+    rf, eq = _derive_dml_pruning("id = 1 -- old: AND val = 2")
+    assert rf == {"id": (1, 1)} and eq == {"id": 1}
+
+
+def test_nested_block_comment_is_one_comment():
+    """Spark's bracketed comments nest: `/* /* */ ... */` is ONE
+    comment, so only the text after the OUTER close is live. A
+    first-`*/`-wins stripper would resurrect `id = 1 AND` here and
+    derive an unsound bound on id."""
+    rf, eq = _derive_dml_pruning("/* /* */ id = 1 AND */ val = 2")
+    assert rf == {"val": (2, 2)} and eq == {"val": 2}
+
+
+def test_unterminated_block_comment_disables_derivation():
+    assert _derive_dml_pruning("id = 1 /* oops") == ({}, {})
+
+
+def test_comment_markers_inside_string_literals_are_content():
+    rf, eq = _derive_dml_pruning("tag = '--/*x*/'")
+    assert rf == {} and eq == {"tag": "--/*x*/"}
+
+
+def test_block_comment_as_token_separator():
+    """A comment can BE the whitespace between tokens."""
+    rf, eq = _derive_dml_pruning("id/* gap */=/* gap */7 AND val >= 0")
+    assert eq == {"id": 7}
+    assert rf == {"id": (7, 7), "val": (0, float("inf"))}
+
+
+def test_case_canon_collision_is_exact_match_only():
+    """ADVICE r7: a schema with columns differing only in case (legal —
+    the manifest schema merge is by exact name) must not let a bound
+    derived from one spelling land on the other column's stats/Blooms.
+    Unique-lowercase names keep Spark's case-insensitive resolution."""
+    from collections import namedtuple
+
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.sources.txlog import (
+        _case_canon,
+    )
+
+    Fld = namedtuple("Fld", "name")
+    canon = _case_canon([Fld("id"), Fld("Val"), Fld("VAL")])
+    assert canon("ID") == "id"  # unique lowercase: any case resolves
+    assert canon("Val") == "Val"  # colliding: exact spelling only
+    assert canon("VAL") == "VAL"
+    assert canon("val") is None  # colliding + case mismatch: derive nothing
+    assert canon("nope") is None

@@ -190,6 +190,32 @@ def test_language_id_on_clear_samples(spark):
     }
 
 
+def test_language_id_dispatcher_stopword_tier(spark):
+    """Pin the dispatcher's documented fallback (VERDICT r7 ask #6):
+    ``language_id(method="stopword")`` must route to the single-pass
+    stopword heuristic and agree with it row-for-row — the stopword
+    tier lost its direct driver row when the trigram path became the
+    default, so this pin is its contract. Unknown methods must raise,
+    not silently fall through to either tier."""
+    rows = [
+        (1, "the cat and the dog in a house"),
+        (2, "der hund und die katze ist nicht da"),
+        (3, "今天天气很好我们去公园散步吧"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    via_dispatch = {
+        r.doc_id: r.lang_pred
+        for r in X.language_id(df, method="stopword").collect()
+    }
+    direct = {
+        r.doc_id: r.lang_pred for r in X.language_id_stopword(df).collect()
+    }
+    assert via_dispatch == direct == {1: "en", 2: "de", 3: "zh", 4: "und"}
+    with pytest.raises(ValueError, match="unknown language_id method"):
+        X.language_id(df, method="fasttext")
+
+
 def test_quality_features_ranges(docs):
     feats = X.quality_features(docs).collect()
     for r in feats:
