@@ -550,8 +550,8 @@ def embedding_near_dup_pairs_bucketed(
     ``refine_rounds`` runs that many Lloyd rounds on the seed
     centroids at index-build time (similarity.refine_centroids)."""
     from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.similarity import (
+        assign_clusters,
         build_ivf_index,
-        topk_clusters,
     )
 
     spread = _ensure_parallelism(df, id_col)
@@ -560,9 +560,7 @@ def embedding_near_dup_pairs_bucketed(
     )
     vec = F.col(vec_col)
     if probe > 1:
-        assigned = spread.withColumn(
-            "__cluster", F.explode(topk_clusters(vec, cents, probe))
-        )
+        assigned = assign_clusters(spread, cents, vec_col, probe=probe)
     # both sides of the within-bucket self-join consume this frame; the
     # centroid assignment (C x D distance per row) and the exact-decimal
     # self-norm are the expensive narrow work, so persist one
@@ -577,37 +575,72 @@ def embedding_near_dup_pairs_bucketed(
     if cache_registry is not None:
         cache_registry.append(normed)
     if eager_cache:
-        # opt-in materialization before the self-join. Measured at
+        # opt-in materialization before the pair stage. Measured at
         # sf0.1: this path's cold-run spikes are whole-stage-codegen
         # JIT of the exact-decimal array expressions, NOT the cache
         # race the MinHash pipeline had (eager added ~20% steady-state
         # for no first-run improvement), so lazy is the default here —
         # unlike minhash_lsh_pairs, where eager is the default.
         normed.count()
-    a = normed.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"),
-        F.col("nn").alias("na"), F.col("b").alias("ba"),
-    )
-    bb = normed.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"),
-        F.col("nn").alias("nb"), F.col("b").alias("bb"),
-    )
-    fast = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda p, q: p.cast("double") * q.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    ) / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb")))
-    cand = a.join(
-        bb, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b"))
+
+    # Candidate generation: one Arrow batch per bucket, numpy GEMM for
+    # the all-pairs-within-bucket fast cosine. The sf0.1→sf1 scale
+    # decade (SCALE.md) showed the previous spelling — a (bucket,
+    # id_a<id_b) self-JOIN whose per-pair dot ran through Catalyst
+    # higher-order functions — was linear in pair count but paid ~6 µs
+    # per pair interpreting the lambda, plus a wide dropDuplicates
+    # shuffle carrying BOTH vectors for every candidate. Per-bucket
+    # float64 matmul does the same ~(n/B)²·B·probe² pair dots at BLAS
+    # speed and emits ONLY ids of pairs above the margin-relaxed
+    # threshold, so the dedup shuffle is id-pairs, not vectors. The
+    # group batch is one bucket (~bucket_target vectors × dim floats —
+    # bounded because num_buckets scales with the corpus), so executor
+    # memory stays flat at 100 TB. The reported cosine and the
+    # threshold DECISION remain the exact-decimal fold below — numpy is
+    # only ever a prefilter with a 1e-6 margin, same contract the HOF
+    # prefilter had.
+    import numpy as np
+    import pandas as pd
+
+    id_ddl = df.schema[id_col].dataType.simpleString()
+    margin = threshold - 1e-6
+
+    def _bucket_fast_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0]})
+        mat = np.stack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
+        inv = 1.0 / np.sqrt(pdf["nn"].to_numpy(dtype=np.float64))
+        unit = mat * inv[:, None]
+        gram = unit @ unit.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        hit = gram[iu, ju] >= margin
+        x, y = ids[iu[hit]], ids[ju[hit]]
+        return pd.DataFrame(
+            {"id_a": np.minimum(x, y), "id_b": np.maximum(x, y)}
+        )
+
+    cand = normed.groupBy("b").applyInPandas(
+        _bucket_fast_pairs, f"id_a {id_ddl}, id_b {id_ddl}"
     )
     if probe > 1:
         # a pair sharing several probed buckets surfaces once per
-        # shared bucket — collapse before the exact-decimal cosine (the
-        # duplicate rows are identical apart from the bucket columns)
+        # shared bucket — collapse before the exact-decimal cosine
+        # (id-only rows by now, so this shuffle is bytes per pair)
         cand = cand.dropDuplicates(["id_a", "id_b"])
+    # survivors of the fast prefilter are the near-dup regime — a
+    # vanishing fraction — so fetching vectors back for the exact
+    # fold is two joins on a tiny left side
+    vecs = normed.dropDuplicates(["id"]).select("id", "v", "nn")
+    a = vecs.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nn").alias("na")
+    )
+    bb = vecs.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nn").alias("nb")
+    )
     return (
-        cand.withColumn("__fast", fast)
-        .filter(F.col("__fast") >= threshold - 1e-6)
+        cand.join(a, "id_a")
+        .join(bb, "id_b")
         .withColumn(
             "cosine",
             dot_exact(F.col("va"), F.col("vb"))

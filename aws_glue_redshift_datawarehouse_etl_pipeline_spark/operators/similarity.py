@@ -23,6 +23,72 @@ def _lit_vec(vec: Sequence[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in vec])
 
 
+def assign_clusters(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "__cluster",
+    probe: int = 1,
+) -> DataFrame:
+    """Nearest-centroid assignment as Arrow-batched numpy GEMM
+    (``mapInPandas``): each batch computes (rows × dims) @
+    (dims × centroids) against the broadcast centroid matrix in one
+    BLAS call. Ranking is dot(v, c)/|c| — same argmax as full cosine
+    because the row norm is constant across centroids.
+
+    This replaced per-centroid Catalyst higher-order-function dot
+    products after the sf0.1→sf1 scale decade (SCALE.md): that
+    spelling cost O(rows × centroids) interpreted lambda steps with a
+    plan tree O(centroids) wide, and since the centroid count scales
+    with the corpus (~bucket_target vectors per bucket), assignment was
+    the hidden quadratic term. The GEMM keeps the plan O(1) and the
+    centroid matrix is C×D float64 shipped once per executor.
+
+    ``probe=1`` appends ``out_col`` with the single nearest centroid id
+    (ties break to the earliest centroid in ``cents`` order, matching
+    the argmax-first-match rule the expression path used). ``probe>1``
+    emits one row per (vector, probed centroid) — the multi-probe
+    explode — with ties ranked by (-similarity, centroid id)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    cid_arr = np.array([cid for cid, _ in cents], dtype=np.int64)
+    cmat = np.array([v for _, v in cents], dtype=np.float64)
+    norms = np.sqrt((cmat * cmat).sum(axis=1))
+    inv = np.divide(1.0, norms, out=np.zeros_like(norms), where=norms > 0)
+    cunit_t = (cmat * inv[:, None]).T  # dims × centroids
+
+    schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, T.LongType(), False)]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+            sims = mat @ cunit_t  # rows × centroids
+            if probe == 1:
+                # np.argmax returns the FIRST max — the list-order
+                # tie-break the expression path's array_position had
+                pdf = pdf.copy()
+                pdf[out_col] = cid_arr[np.argmax(sims, axis=1)]
+                yield pdf
+            else:
+                order = np.lexsort(
+                    (np.broadcast_to(cid_arr, sims.shape), -sims), axis=1
+                )[:, :probe]
+                reps = order.shape[1]
+                rep_idx = np.repeat(np.arange(len(pdf)), reps)
+                out = pdf.iloc[rep_idx].copy()
+                out[out_col] = cid_arr[order.ravel()]
+                yield out
+
+    return df.mapInPandas(gen, schema)
+
+
 def cosine_topk(
     df: DataFrame,
     query_vec: Sequence[float],
@@ -89,7 +155,7 @@ def refine_centroids(
     bucket balance and probe recall vs the raw hash-spread sample at
     the cost of ``rounds`` extra passes over the corpus."""
     for _ in range(rounds):
-        assigned = df.withColumn("__c", _nearest_centroid(F.col(vec_col), cents))
+        assigned = assign_clusters(df, cents, vec_col, out_col="__c")
         means = (
             assigned.select("__c", F.posexplode(vec_col).alias("i", "x"))
             .groupBy("__c", "i")
@@ -130,64 +196,7 @@ def build_ivf_index(
     ]
     if refine_rounds:
         cents = refine_centroids(df, cents, vec_col, refine_rounds)
-    assigned = df.withColumn(
-        "__cluster",
-        _nearest_centroid(F.col(vec_col), cents),
-    )
-    return assigned, cents
-
-
-def _nearest_centroid(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
-    """Argmax over centroid similarities as a flat array expression —
-    linear plan size in #centroids (a chained when/otherwise doubles
-    the tree per step and stalls Catalyst past ~12 centroids). The
-    row-vector norm is constant across centroids, so ranking by
-    dot(v, c)/|c| gives the same argmax as full cosine; ties break to
-    the lowest centroid index (array_position = first match)."""
-    import math
-
-    sims = []
-    for _, cvec in cents:
-        norm = math.sqrt(sum(x * x for x in cvec))
-        inv = 1.0 / norm if norm else 0.0
-        dot = F.aggregate(
-            F.zip_with(vec, _lit_vec(cvec), lambda p, q: p.cast("double") * q),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        sims.append(dot * F.lit(inv))
-    sim_arr = F.array(*sims)
-    ids = F.array(*[F.lit(cid) for cid, _ in cents])
-    return F.element_at(
-        ids, F.array_position(sim_arr, F.array_max(sim_arr)).cast("int")
-    )
-
-
-def topk_clusters(
-    vec: Column, cents: list[tuple[int, list[float]]], probe: int
-) -> Column:
-    """The ``probe`` nearest centroid ids for a vector, as an array —
-    multi-probe assignment for the bucketed near-dup join (a vector
-    sitting near a bucket border joins in its runner-up bucket too).
-    Flat expression: one dot product per centroid, one codegen
-    array_sort on (negated-sim, id) structs (ties break to the lower
-    centroid id), slice + project. Linear plan size in #centroids."""
-    import math
-
-    entries = []
-    for cid, cvec in cents:
-        norm = math.sqrt(sum(x * x for x in cvec))
-        inv = 1.0 / norm if norm else 0.0
-        dot = F.aggregate(
-            F.zip_with(vec, _lit_vec(cvec), lambda p, q: p.cast("double") * q),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        entries.append(
-            F.struct((-dot * F.lit(inv)).alias("negs"), F.lit(cid).alias("c"))
-        )
-    arr = F.array_sort(F.array(*entries))
-    return F.transform(F.slice(arr, 1, probe), lambda s: s["c"])
+    return assign_clusters(df, cents, vec_col), cents
 
 
 def ivf_topk(

@@ -89,8 +89,10 @@ def replicate_documents(out: Path, n: int) -> None:
         c["text"] = list(map(shuf, zip(df["text"], df["doc_id"])))
         c["n_chars"] = c["text"].str.len().astype("int64")
         copies.append(c)
+    # small row groups: a single pandas-default row group would serialize
+    # the whole scan into one Spark task and measure IO, not the query
     pd.concat(copies, ignore_index=True).to_parquet(
-        out / "documents.parquet", index=False
+        out / "documents.parquet", index=False, row_group_size=2048
     )
     print(f"  documents: x{n} (word-shuffled copies)")
 
@@ -110,7 +112,7 @@ def replicate_embeddings(out: Path, n: int) -> None:
         c["embedding"] = [row.astype(dtype) for row in m]
         copies.append(c)
     pd.concat(copies, ignore_index=True).to_parquet(
-        out / "embeddings.parquet", index=False
+        out / "embeddings.parquet", index=False, row_group_size=2048
     )
     print(f"  embeddings: x{n} (per-dim resampled copies)")
 

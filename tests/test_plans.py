@@ -122,20 +122,23 @@ def test_minhash_lsh_dedup_never_plans_all_pairs(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in s, name
 
 
-def test_bucketed_near_dup_joins_on_bucket_column(spark, sf_dir):
-    """embedding_near_dup_pairs_bucketed must plan the pair generation
-    as an equi-join whose key includes the IVF bucket — no bucket key
-    means the quadratic term is back."""
+def test_bucketed_near_dup_pairs_stay_bucket_local(spark, sf_dir):
+    """embedding_near_dup_pairs_bucketed must generate candidates
+    bucket-locally — one Arrow group per IVF bucket feeding the numpy
+    GEMM prefilter (FlatMapGroupsInPandas keyed on the bucket), never a
+    cross-bucket or all-pairs join. The exact-decimal cosine then joins
+    vectors back by id for the candidate survivors only."""
     from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators import dedup as D
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out = D.embedding_near_dup_pairs_bucketed(emb, threshold=0.4, num_buckets=4)
     s = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
-    import re
-
-    join_lines = [ln for ln in s.splitlines() if "HashJoin" in ln or "SortMergeJoin" in ln]
-    assert any(re.search(r"\bba\b|__cluster", ln) for ln in join_lines), join_lines
+    assert "FlatMapGroupsInPandas" in s, "per-bucket GEMM stage missing"
+    # the Arrow grouping must be keyed on the bucket column so pair
+    # work is (n/B)^2 * B, not n^2
+    gp = next(ln for ln in s.splitlines() if "FlatMapGroupsInPandas" in ln)
+    assert "b#" in gp or "[b" in gp, gp
 
 
 def test_contamination_check_is_inverted_index_join(spark, sf_dir):
