@@ -63,7 +63,12 @@ def exact_dedup(
         order = [F.col(score_col).desc(), F.col(id_col).asc()]
     w = Window.partitionBy("__fp").orderBy(*order)
     return (
-        df.withColumn("__fp", fingerprint_md5(text_col))
+        # normalization + md5 happen BEFORE the fingerprint shuffle, so
+        # an under-partitioned scan must be spread first or that narrow
+        # work serializes (the sf1 decade measured 13x for 10x data on
+        # a single-row-group file); at scale the spread is a no-op
+        _ensure_parallelism(df, id_col)
+        .withColumn("__fp", fingerprint_md5(text_col))
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__fp", "__rn")
