@@ -161,6 +161,27 @@ def test_ivf_matches_brute_force_when_probing_all(vectors):
     assert approx == exact
 
 
+def test_centroid_assignment_is_one_arrow_gemm_pass(vectors):
+    """Assignment must plan as ONE Arrow mapInPandas stage (batch GEMM
+    against the broadcast centroid matrix) — per-centroid Catalyst
+    expressions are O(rows x centroids) interpreted steps with a plan
+    tree O(centroids) wide, the quadratic the sf1 decade caught
+    (SCALE.md). Multi-probe must stay a single pass too (the explode
+    happens inside the same Arrow kernel)."""
+    _, cents = S.build_ivf_index(vectors, num_centroids=3)
+    for probe in (1, 2):
+        out = S.assign_clusters(vectors, cents, probe=probe)
+        s = out._jdf.queryExecution().executedPlan().toString()
+        assert s.count("MapInPandas") == 1, s
+        rows = out.collect()
+        assert len(rows) == vectors.count() * probe
+        if probe == 2:
+            per_vec = {}
+            for r in rows:
+                per_vec.setdefault(r.vec_id, []).append(r["__cluster"])
+            assert all(len(set(cs)) == 2 for cs in per_vec.values())
+
+
 def test_ivf_prunes_clusters(vectors):
     assigned, cents = S.build_ivf_index(vectors, num_centroids=3)
     probed = S.ivf_topk(assigned, cents, [1.0, 0.0, 0.0, 0.0], k=6, nprobe=1)
