@@ -97,6 +97,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
+        # storage hygiene between queries: several dedup/LSH queries
+        # persist intermediates for their own multi-consumer stages and
+        # (correctly) leave release to the caller's session lifecycle;
+        # in this one-JVM 31-query loop those frames accumulate until
+        # executor storage hits eviction pressure and a later query's
+        # cache thrashes (measured: a 1.6 s warm query reading 10.7 s
+        # mid-run at sf1, SCALE.md). Clearing between queries makes
+        # each measurement pay exactly its own materializations.
+        spark.catalog.clearCache()
         best = None
         for _ in range(2):
             start = time.perf_counter()

@@ -1112,6 +1112,31 @@ def test_semantic_dedup_transitive_collapses_chain(spark):
     assert trans == [0]
 
 
+def test_semantic_dedup_survivors_guarded_branch(spark, monkeypatch):
+    """Above `_SEMDEDUP_VERIFY_CAP` the registry query must switch to
+    the guarded shape: production bucketed survivors of the FULL corpus
+    + exact-vs-bucketed superset verification on the xxhash64-gated
+    subsample (the branch only sf1-scale data exercises otherwise —
+    SCALE.md decade, the 290 s quadratic). Shrinking the cap below the
+    sf0.001 corpus (500 vectors) forces the branch; the survivor set
+    must stay a subset of the corpus, keep the query's schema, and the
+    in-query invariant must still evaluate TRUE."""
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark import (
+        queries as q,
+        queries_text,
+    )
+
+    monkeypatch.setattr(queries_text, "_SEMDEDUP_VERIFY_CAP", 100)
+    q.register_all()
+    out = q.QUERIES["semantic_dedup_survivors"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert out and all(r.bucketed_superset_ok for r in out)
+    ids = [r.vec_id for r in out]
+    assert len(set(ids)) == len(ids) <= 500
+    assert ids == sorted(ids)  # orderBy("vec_id") contract
+
+
 def test_semantic_dedup_preserves_all_columns(spark):
     from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.dedup import (
         semantic_dedup,
