@@ -126,12 +126,29 @@ def ngram_jaccard_pairs(
     many documents (stop-shingle cut): they contribute O(freq²) pair
     candidates while carrying almost no signal. At 100 TB this cap is
     what keeps the pair-generation shuffle bounded.
+
+    The inverted index carries 64-bit shingle HASHES
+    (``word_ngram_hashes``), not gram strings — everything shuffled or
+    joined past the shingling is 8-byte longs instead of ~3-word
+    strings. Set sizes and common counts both come from the hash
+    arrays, so the Jaccard is exact up to 64-bit collisions —
+    ~(distinct shingles)²/2⁶⁵, immaterial at any corpus size a cluster
+    holds — and the sf0.01 DuckDB oracle (string-exact brute force)
+    still matches row-for-row.
+
+    Cost model, measured on a saturated-vocabulary corpus (sf1 decade,
+    SCALE.md): the common-count aggregation is Ω(distinct co-occurring
+    pairs). On natural corpora that set is sparse (near-dups + shared
+    stop-shingles, which the cap removes); on a corpus whose shingle
+    space stops growing it is dense and NO plan avoids the quadratic —
+    that regime belongs to MinHash LSH (candidates first, count later)
+    or the cap. This operator is the exact-metric spelling.
     """
     sh = (
         _ensure_parallelism(
             df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t")), "doc"
         )
-        .select("doc", word_ngrams("__t", n).alias("shingles"))
+        .select("doc", word_ngram_hashes("__t", n).alias("shingles"))
         .filter(F.size("shingles") > 0)
     )
     sizes = sh.select("doc", F.size("shingles").alias("sz"))
@@ -145,7 +162,14 @@ def ngram_jaccard_pairs(
         )
         exploded = exploded.join(freq_ok, "s")
     a = exploded.alias("a")
-    b = exploded.alias("b")
+    # Catalyst's size estimate for an exploded index is the PRE-explode
+    # file bytes, so it happily broadcasts a many-million-row build
+    # side — every task then materializes the whole index as its hash
+    # table (measured: 32 × ~400 MB duplicated builds at sf1; at real
+    # scale that is an executor OOM, not a slowdown). Pin the self-join
+    # to a shuffled hash join: both sides partition by the shingle and
+    # each task builds only its slice.
+    b = exploded.hint("shuffle_hash").alias("b")
     common = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
