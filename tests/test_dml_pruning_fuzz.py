@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import duckdb
 import pandas as pd
-from hypothesis import given, settings
+from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 
 from aws_glue_redshift_datawarehouse_etl_pipeline_spark.sources.txlog import (
@@ -144,17 +144,36 @@ _GRID = [
     )
 ]
 
-_CON = duckdb.connect()
-_CON.register("grid", pd.DataFrame(_GRID))
+def _fresh_con():
+    con = duckdb.connect()
+    con.register("grid", pd.DataFrame(_GRID))
+    return con
+
+
+_CON = _fresh_con()
+
+
+class OracleCannotEvaluate(Exception):
+    """DuckDB hit an INTERNAL assertion on this rendered text (a real
+    upstream parser bug — e.g. `x BETWEEN a AND b AND (...)` with a
+    trailing block comment dereferences a NULL unique_ptr in the 1.x
+    optimizer). The example is skipped via hypothesis.assume — but
+    only AFTER the engine's derivation has already run on the text, so
+    lexer crashes on such inputs would still fail the test."""
 
 
 def _text_matches(text: str) -> list[bool]:
     """The rendered text's OWN meaning, row by row: DuckDB evaluates it
     against the grid, so precedence/comment semantics come from a real
     SQL parser, not a Python re-implementation."""
-    rows = _CON.execute(
-        f"SELECT COALESCE(({text}), FALSE) FROM grid ORDER BY idx"
-    ).fetchall()
+    global _CON
+    try:
+        rows = _CON.execute(
+            f"SELECT COALESCE(({text}), FALSE) FROM grid ORDER BY idx"
+        ).fetchall()
+    except duckdb.InternalException as ex:  # poisoned connection: rebuild
+        _CON = _fresh_con()
+        raise OracleCannotEvaluate(text) from ex
     return [bool(r[0]) for r in rows]
 
 
@@ -164,10 +183,16 @@ def test_derived_pruning_is_implied_by_the_predicate(tree, seed):
     import random
 
     text = _render(tree, random.Random(seed))
+    # derivation FIRST: even for texts the oracle cannot score, the
+    # lexer must not crash and may only emit numeric-column bounds
     rf, eq = _derive_dml_pruning(text)
     for col in rf:
         assert col in NUM_COLS, (col, text)
-    for row, matched in zip(_GRID, _text_matches(text)):
+    try:
+        matches = _text_matches(text)
+    except OracleCannotEvaluate:
+        assume(False)  # upstream DuckDB assertion bug — example unscorable
+    for row, matched in zip(_GRID, matches):
         if not matched:
             continue
         # the row matches the predicate: it must survive BOTH prune modes
@@ -244,3 +269,15 @@ def test_case_canon_collision_is_exact_match_only():
     assert canon("VAL") == "VAL"
     assert canon("val") is None  # colliding + case mismatch: derive nothing
     assert canon("nope") is None
+
+
+def test_pinned_duckdb_internal_error_text_is_derived_soundly():
+    """The text that crashes DuckDB 1.x's optimizer (NULL unique_ptr on
+    `BETWEEN ... AND ... AND (...)` with a trailing block comment) must
+    still lex cleanly on the engine side — and since its outer parens
+    strip to a depth-0 OR, derivation must refuse entirely."""
+    text = (
+        "( (  id BETWEEN 0 AND 0 ) AND (id BETWEEN 2 AND 0 )  OR "
+        "id BETWEEN 0 AND 0  AND  (  id BETWEEN 2 AND 0) /* c70 */ )"
+    )
+    assert _derive_dml_pruning(text) == ({}, {})
