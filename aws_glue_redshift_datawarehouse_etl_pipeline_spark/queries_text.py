@@ -27,6 +27,11 @@ from aws_glue_redshift_datawarehouse_etl_pipeline_spark.queries import query, t
 # under the cap, so the DuckDB oracle still sees the exact pass.
 _SEMDEDUP_VERIFY_CAP = 4096
 
+# Same guard for the embedding_near_dup_bucketed invariant query's
+# brute-force side (the sf1 sweep measured the unguarded comparison at
+# 143 s for 20k vectors — quadratic by definition, SCALE.md).
+_EMB_BRUTE_VERIFY_CAP = 4096
+
 # DuckDB spelling of the engine's tokenizer (split on whitespace,
 # drop empties, lowercase) — kept identical across every oracle below.
 _DUCK_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
@@ -1090,8 +1095,22 @@ def embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is random vectors (max pair cosine ≈ 0.5), the worst case
     for coarse quantization; on a real near-dup corpus (θ ≥ 0.9,
     duplicated vectors) same-centroid quantization gives recall ≈ 1 —
-    pinned with planted vectors in tests/test_training_ops.py."""
+    pinned with planted vectors in tests/test_training_ops.py.
+
+    The brute side is O(n²) BY DEFINITION, so like the semantic-dedup
+    verify pass it is size-guarded: above ``_EMB_BRUTE_VERIFY_CAP``
+    vectors BOTH sides run on the same deterministic xxhash64-gated
+    subcorpus (~cap vectors), so every invariant is still exercised
+    end-to-end at any scale while the comparison stays O(cap²). The
+    driver's oracle evaluates at sf0.01 (500 vectors, under the cap),
+    where the whole corpus is compared. The full-corpus PRODUCTION
+    path is exercised at scale by its bench twin
+    (`embedding_near_dup_bucketed_pairs`)."""
     emb = t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    if n > _EMB_BRUTE_VERIFY_CAP:
+        gate = max(2, n // (_EMB_BRUTE_VERIFY_CAP // 2))
+        emb = emb.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(gate)) == 0)
     brute = D.embedding_near_dup_pairs(emb, threshold=0.4).select("id_a", "id_b")
     bucketed = D.embedding_near_dup_pairs_bucketed(
         emb, threshold=0.4, num_buckets=4, probe=2
