@@ -480,9 +480,18 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by word-3-gram Jaccard ≥ 0.5 — engine side
     uses the inverted-index self-join (never a cross join); the oracle
-    brute-forces the same metric."""
+    brute-forces the same metric. This registry spelling is the EXACT
+    metric benched across the sf0.1→sf2 decade, so it knowingly opts
+    out of the default candidate-pair guard (the dense-regime cost is
+    documented in SCALE.md; production callers keep the default-on
+    ``max_candidate_pairs`` rail)."""
     return D.ngram_jaccard_pairs(
-        t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5
+        t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.5,
+        max_candidate_pairs=None,
     )
 
 
@@ -1621,6 +1630,12 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         cache_registry=caches,
     ).select("vec_id").persist()
     superset_ok = exact.join(bucketed, "vec_id", "left_anti").count() == 0
+    if production is not None:
+        # materialize the persisted production survivors NOW, while the
+        # heavy norm/assignment caches its dedup registered are still
+        # live — releasing first would make the caller's action recompute
+        # the centroid assignment and exact-decimal norms twice (ADVICE r8)
+        production.count()
     D.release_caches(caches)
     bucketed.unpersist(blocking=False)
     out = production if production is not None else exact

@@ -163,6 +163,7 @@ def _parse_parts(rel: str) -> dict[str, str]:
 # whose conjunct simply derives nothing.
 _TOKEN_RE = re.compile(
     r"'(?:[^']|'')*'"            # string literal ('' escape)
+    r'|"(?:[^"]|"")*"'           # double-quoted literal/identifier ("" escape)
     r"|`[^`]*`"                   # backticked identifier
     r"|[A-Za-z_][A-Za-z_0-9]*"    # identifier / keyword
     r"|\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"  # number
@@ -180,12 +181,20 @@ def _strip_sql_comments(text: str) -> str | None:
     would be pruned and the DML would silently miss them).
 
     A character scanner, not a regex: ``--`` / ``/*`` inside a string
-    literal or backticked identifier are content, and Spark's bracketed
-    comments NEST (``/* a /* b */ c */`` is ONE comment) — a non-greedy
-    regex would end at the first ``*/`` and resurrect text Spark never
-    sees, which is exactly the unsound direction. An unterminated
-    bracketed comment returns ``None`` (Spark rejects the predicate at
-    parse time anyway, so deriving nothing costs nothing)."""
+    literal (single- OR double-quoted — Spark parses ``"x"`` as a
+    string by default) or backticked identifier are content, and
+    Spark's bracketed comments NEST (``/* a /* b */ c */`` is ONE
+    comment) — a non-greedy regex would end at the first ``*/`` and
+    resurrect text Spark never sees, which is exactly the unsound
+    direction. An unterminated bracketed comment returns ``None``
+    (Spark rejects the predicate at parse time anyway, so deriving
+    nothing costs nothing). A backslash inside a quoted literal also
+    returns ``None``: whether ``\'`` ends the literal depends on
+    ``spark.sql.parser.escapedStringLiterals`` (backslash escapes are
+    honored by default, literal under that flag), and a scan that
+    guesses the wrong mode can end a string early and then strip live
+    predicate text as a "comment" — deriving nothing is the only
+    reading sound under both configs."""
 
     if "--" not in text and "/*" not in text:
         return text
@@ -193,11 +202,13 @@ def _strip_sql_comments(text: str) -> str | None:
     i, n = 0, len(text)
     while i < n:
         c = text[i]
-        if c == "'":
+        if c in ("'", '"'):
             j = i + 1
             while j < n:
-                if text[j] == "'":
-                    if text.startswith("''", j):
+                if text[j] == "\\":
+                    return None  # escaping mode ambiguity — see docstring
+                if text[j] == c:
+                    if text.startswith(c * 2, j):
                         j += 2
                         continue
                     break
@@ -301,7 +312,12 @@ def _derive_dml_pruning(cond_text: str) -> tuple[dict, dict]:
     names; both may be empty."""
 
     cleaned = _strip_sql_comments(cond_text)
-    if cleaned is None:
+    if cleaned is None or "\\" in cleaned:
+        # Backslash escaping in string literals is config-dependent
+        # (`spark.sql.parser.escapedStringLiterals`): the same text
+        # denotes different values — or different predicate structure —
+        # under the two modes, so any derived probe could be wrong in
+        # one of them. Derive nothing.
         return {}, {}
     toks = _TOKEN_RE.findall(cleaned)
     conjuncts: list[list[str]] = [[]]

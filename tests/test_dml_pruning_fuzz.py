@@ -244,6 +244,46 @@ def test_comment_markers_inside_string_literals_are_content():
     assert rf == {} and eq == {"tag": "--/*x*/"}
 
 
+def test_comment_markers_inside_double_quoted_literals_are_content():
+    """ADVICE r8 (high): Spark parses ``"x--y"`` as a string literal by
+    default, so the ``--`` inside it is content. A stripper that treats
+    only single quotes as strings strips the rest of the line — losing
+    the depth-0 OR — and derives ``id = 1``'s bound for a predicate
+    that also matches ``id = 2`` rows: unsound pruning."""
+    assert _derive_dml_pruning('id = 1 AND tag = "x--y" OR id = 2') == ({}, {})
+    # comment markers + doubled-quote escape, no live OR: the sibling
+    # conjunct still derives, the double-quoted conjunct derives nothing
+    # (under ANSI mode "…" is an identifier, so an eq probe on its text
+    # would be unsound)
+    rf, eq = _derive_dml_pruning('id = 1 AND tag = "a""--/*b"')
+    assert rf == {"id": (1, 1)} and eq == {"id": 1}
+
+
+def test_double_quoted_literal_lexes_as_one_token():
+    """Without a double-quote token class, ``tag = "AND val = 5 AND"``
+    (a string equality in Spark's default mode) splinters into a
+    spurious ``val = 5`` conjunct — a derived bound on a column the
+    real predicate never constrains."""
+    assert _derive_dml_pruning('tag = "AND val = 5 AND"') == ({}, {})
+    rf, eq = _derive_dml_pruning('tag = "AND val = 5 AND" AND id >= 3')
+    assert rf == {"id": (3, float("inf"))} and eq == {}
+    # parens inside the literal must not corrupt depth tracking either
+    rf, eq = _derive_dml_pruning('tag = ")(" AND id = 7')
+    assert rf == {"id": (7, 7)} and eq == {"id": 7}
+
+
+def test_backslash_in_literal_disables_derivation():
+    """Backslash escapes are config-dependent (honored by default,
+    literal under ``spark.sql.parser.escapedStringLiterals``): the same
+    text denotes different values — ``'C:\\path'`` is ``C:path`` vs
+    ``C:\\path`` — or different structure (``'a\\'`` may or may not end
+    the literal). An eq probe for either reading is wrong in the other
+    mode, so any backslash disables derivation entirely."""
+    assert _derive_dml_pruning(r"tag = 'C:\path'") == ({}, {})
+    assert _derive_dml_pruning(r"tag = 'a\' OR id = 2 -- '") == ({}, {})
+    assert _derive_dml_pruning(r'tag = "a\" OR id = 2 /* "') == ({}, {})
+
+
 def test_block_comment_as_token_separator():
     """A comment can BE the whitespace between tokens."""
     rf, eq = _derive_dml_pruning("id/* gap */=/* gap */7 AND val >= 0")

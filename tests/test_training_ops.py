@@ -70,6 +70,50 @@ def test_stop_shingle_cap_bounds_pairs(spark):
     assert pairs == []
 
 
+def test_candidate_pair_guard_refuses_dense_corpus(docs):
+    """VERDICT r8 ask #5: a default-invoked call whose estimated
+    candidate-pair count (Σ f·(f−1)/2 over shingle frequencies) exceeds
+    max_candidate_pairs must refuse up front — before the quadratic
+    self-join runs — and name every escape hatch."""
+    with pytest.raises(ValueError, match="max_candidate_pairs"):
+        # the planted corpus has 3 mutually-duplicate docs; a bound of 1
+        # is below its pair estimate, so the guard must trip
+        D.ngram_jaccard_pairs(docs, "doc_id", max_candidate_pairs=1).collect()
+    try:
+        D.ngram_jaccard_pairs(docs, "doc_id", max_candidate_pairs=1).collect()
+    except ValueError as ex:
+        msg = str(ex)
+        assert "max_shingle_freq" in msg and "minhash_lsh_dedup" in msg
+        assert "max_candidate_pairs=None" in msg
+
+
+def test_candidate_pair_guard_default_passes_and_is_exact(docs):
+    """Under the bound, the default-on guard must not change the exact
+    result: identical pairs with and without the guard."""
+    guarded = D.ngram_jaccard_pairs(docs, "doc_id", threshold=0.5)
+    unguarded = D.ngram_jaccard_pairs(
+        docs, "doc_id", threshold=0.5, max_candidate_pairs=None
+    )
+    a = sorted((r.doc_a, r.doc_b, r.jaccard) for r in guarded.collect())
+    b = sorted((r.doc_a, r.doc_b, r.jaccard) for r in unguarded.collect())
+    assert a == b and a  # non-vacuous
+
+
+def test_candidate_pair_guard_estimates_post_cap(spark):
+    """The estimate must be computed AFTER the stop-shingle cut: a
+    corpus whose only heavy shingles are capped away passes a tight
+    bound that its uncapped estimate would trip."""
+    rows = [(i, f"common shingle here unique{i} tail{i} words{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # uncapped estimate: the 'common shingle here' gram alone is 10·9/2 = 45
+    with pytest.raises(ValueError):
+        D.ngram_jaccard_pairs(df, "doc_id", max_candidate_pairs=10).collect()
+    pairs = D.ngram_jaccard_pairs(
+        df, "doc_id", max_shingle_freq=3, max_candidate_pairs=10
+    ).collect()
+    assert pairs == []
+
+
 def test_minhash_lsh_dedup_removes_planted_dups(docs):
     kept = D.minhash_lsh_dedup(docs, "doc_id", verify_threshold=0.8)
     ids = sorted(r.doc_id for r in kept.collect())
