@@ -662,93 +662,104 @@ class Transaction:
         return self._attach_stats(files)
 
     def _attach_stats(self, files: list[dict]) -> list[dict]:
-        """Per-file min/max for the table's ``stats_columns``, computed
-        DISTRIBUTED in one grouped pass keyed by ``input_file_name``
-        (no driver-side footer reads, engine-agnostic) and stored in
-        the manifest — the data-skipping statistics the public formats
-        keep, enabling manifest-level range pruning in ``read``. Cost:
-        one narrow scan of the just-staged bytes at commit time."""
+        """Per-file data-skipping metadata — min/max for the table's
+        ``stats_columns`` AND Bloom words for every ``bloom_columns``
+        entry — computed DISTRIBUTED in ONE Spark job per commit (no
+        driver-side footer reads, engine-agnostic) and stored in the
+        manifest, enabling manifest-level range + equality pruning in
+        ``read``. Stats are a grouped min/max pass keyed by
+        ``input_file_name``; blooms contribute k = ``bloom_k`` bit
+        positions per row per column (xxhash64 with k seeds, mod
+        ``bloom_bits``), OR-folded into 64-bit words by a
+        (file, column, word) ``bit_or`` aggregate — ≤ bits/64 words per
+        file per column, stored sparse. All bloom columns ride ONE
+        explode, so commit-time metadata is a FIXED two actions (one
+        stats collect, one bloom collect — each tiny, per-file grain)
+        no matter how many stats/bloom columns the table declares — at
+        a real cluster's commit rate the per-column job chain is the
+        fixed overhead that compounds, not the scan of the just-staged
+        bytes. No per-file regroup or stats↔bloom join: the two row
+        shapes meet driver-side by part-file basename, which a per-job
+        UUID makes globally unique. min/max answers range probes;
+        blooms answer the high-cardinality EQUALITY probe ('is doc
+        123456 in this file?') that ranges can't prune on unsorted
+        data."""
+        tbl = self.table
         # stats/blooms are recorded under PHYSICAL names — stable across
         # renames, so pre-rename statistics keep pruning forever
-        cols = [
+        scols = [
             c
-            for c in (self._mapping.get(c0, c0) for c0 in self.table.stats_columns)
+            for c in (self._mapping.get(c0, c0) for c0 in tbl.stats_columns)
             if c not in self._partition_keys
         ]
-        if not files or not (cols or self.table.bloom_columns):
-            return files
-        df = self.table.spark.read.option("basePath", self.stage_path).parquet(
-            self.stage_path
-        )
-        present = [c for c in cols if c in df.columns]
-        if present:
-            aggs = []
-            for c in present:
-                aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
-            rows = (
-                df.withColumn("__f", F.input_file_name())
-                .groupBy("__f")
-                .agg(*aggs)
-                .collect()
-            )
-            # part-file names carry a per-job UUID — globally unique, so
-            # the basename is a safe join key even across partition
-            # directories and input_file_name's URI encoding
-            by_name = {
-                r["__f"].rsplit("/", 1)[1]: {
-                    c: [r[f"__lo_{c}"], r[f"__hi_{c}"]] for c in present
-                }
-                for r in rows
-            }
-            for f in files:
-                st = by_name.get(f["path"].rsplit("/", 1)[1])
-                if st is not None:
-                    f["stats"] = _json_safe_stats(st)
-        return self._attach_blooms(files, df)
-
-    def _attach_blooms(self, files: list[dict], df: DataFrame) -> list[dict]:
-        """Per-file Bloom filters for the table's ``bloom_columns``,
-        built DISTRIBUTED: each row contributes k = ``bloom_k`` bit
-        positions (xxhash64 with k seeds, mod ``bloom_bits``), OR-folded
-        into 64-bit words by a (file, word) ``bit_or`` aggregate — the
-        collected result is ≤ bits/64 words per file, stored sparse in
-        the manifest. min/max stats answer range probes; blooms answer
-        the high-cardinality EQUALITY probe ('is doc 123456 in this
-        file?') that ranges can't prune on unsorted data."""
-        tbl = self.table
-        cols = [
+        bcols = [
             c
             for c in (self._mapping.get(c0, c0) for c0 in tbl.bloom_columns)
             if c not in self._partition_keys
         ]
-        present = [c for c in cols if c in df.columns]
-        if not present or not files:
+        if not files or not (scols or bcols):
             return files
+        df = tbl.spark.read.option("basePath", self.stage_path).parquet(
+            self.stage_path
+        )
+        s_present = [c for c in scols if c in df.columns]
+        b_present = [c for c in bcols if c in df.columns]
+        if not (s_present or b_present):
+            return files
+        tagged = df.withColumn("__f", F.input_file_name())
+        # part-file names carry a per-job UUID — globally unique, so
+        # the basename is a safe join key even across partition
+        # directories and input_file_name's URI encoding
+        stats_by_name: dict[str, dict] = {}
+        blooms_by_name: dict[str, dict[str, dict]] = {}
+        if s_present:
+            aggs = []
+            for c in s_present:
+                aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+            for r in tagged.groupBy("__f").agg(*aggs).collect():
+                stats_by_name[r["__f"].rsplit("/", 1)[1]] = {
+                    c: [r[f"__lo_{c}"], r[f"__hi_{c}"]] for c in s_present
+                }
         m, k = tbl.bloom_bits, tbl.bloom_k
-        blooms: dict[str, dict[str, dict]] = {}
-        for c in present:
-            bits = F.array(
-                *[F.pmod(F.xxhash64(F.col(c), F.lit(i)), F.lit(m)) for i in range(k)]
+        if b_present:
+            entries = F.array(
+                *[
+                    F.struct(
+                        F.lit(ci).alias("__c"),
+                        F.pmod(F.xxhash64(F.col(c), F.lit(i)), F.lit(m)).alias(
+                            "__bit"
+                        ),
+                    )
+                    for ci, c in enumerate(b_present)
+                    for i in range(k)
+                ]
             )
-            rows = (
-                df.withColumn("__f", F.input_file_name())
-                .select("__f", F.explode(bits).alias("__bit"))
+            bloom_rows = (
+                tagged.select("__f", F.explode(entries).alias("__e"))
                 .select(
                     "__f",
-                    (F.col("__bit") / 64).cast("long").alias("__w"),
-                    F.expr("shiftleft(1L, CAST(__bit % 64 AS INT))").alias("__m"),
+                    F.col("__e.__c").alias("__c"),
+                    (F.col("__e.__bit") / 64).cast("long").alias("__w"),
+                    F.expr("shiftleft(1L, CAST(__e.__bit % 64 AS INT))").alias(
+                        "__m"
+                    ),
                 )
-                .groupBy("__f", "__w")
+                .groupBy("__f", "__c", "__w")
                 .agg(F.bit_or("__m").alias("__v"))
                 .collect()
             )
-            for r in rows:
-                name = r["__f"].rsplit("/", 1)[1]
-                blooms.setdefault(name, {}).setdefault(c, {})[str(r["__w"])] = (
+            for r in bloom_rows:
+                blooms_by_name.setdefault(
+                    r["__f"].rsplit("/", 1)[1], {}
+                ).setdefault(b_present[r["__c"]], {})[str(r["__w"])] = (
                     r["__v"] & 0xFFFFFFFFFFFFFFFF
                 )
         for f in files:
-            b = blooms.get(f["path"].rsplit("/", 1)[1])
+            name = f["path"].rsplit("/", 1)[1]
+            st = stats_by_name.get(name)
+            if st is not None:
+                f["stats"] = _json_safe_stats(st)
+            b = blooms_by_name.get(name)
             if b is not None:
                 f["bloom"] = {"m": m, "k": k, "cols": b}
         return files
@@ -1129,6 +1140,26 @@ class TxTable:
         # a reader replays at most interval-1 deltas past a checkpoint.
         # 0 disables deltas (every manifest full).
         self.checkpoint_interval = checkpoint_interval
+        # version → raw manifest JSON text. A manifest that PARSED AS
+        # COMMITTED is immutable forever (commit claims a version by
+        # whole-file create, never rewrite; vacuum may DELETE old
+        # versions but never changes bytes), so caching its text is
+        # sound for any handle lifetime — it turns snapshot resolution
+        # (head probe + delta-chain replay + time travel + txid lookup)
+        # from O(chain) filesystem round trips PER READ into O(new
+        # manifests) per handle. Missing/torn reads are never cached
+        # (they may become valid the instant a writer finishes), and
+        # the text is re-parsed per call so callers can freely mutate
+        # the returned dict.
+        self._manifest_text_cache: dict[int, str] = {}
+
+    def _invalidate_manifest_cache(self) -> None:
+        """Drop cached manifest text — only needed by paths that DELETE
+        log files (restore-by-truncation in tests, torn-claim repair
+        never caches, vacuum deletes but content never changed so stale
+        cache entries remain semantically correct; this is belt and
+        braces for them)."""
+        self._manifest_text_cache.clear()
 
     def _snapshot_files(self, m: dict) -> list[dict]:
         """Materialize the complete live-file list for a manifest:
@@ -1172,15 +1203,23 @@ class TxTable:
         return sorted(out)
 
     def _read_manifest(self, version: int) -> dict | None:
-        fs, _ = _fs_and_path(self.spark, self.root)
-        jvm = self.spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(self._log_path(), _vname(version))
-        if not fs.exists(jpath):
-            return None
+        text = self._manifest_text_cache.get(version)
+        if text is None:
+            fs, _ = _fs_and_path(self.spark, self.root)
+            jvm = self.spark._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(
+                self._log_path(), _vname(version)
+            )
+            if not fs.exists(jpath):
+                return None
+            text = _read_small_text(fs, jvm, jpath)
         try:
-            m = json.loads(_read_small_text(fs, jvm, jpath))
+            m = json.loads(text)
         except ValueError:
             return None  # torn write of the head — treated as uncommitted
+        if m is not None and m.get("version") == version:
+            # parsed as committed — immutable from here on, safe to cache
+            self._manifest_text_cache[version] = text
         if m is not None and int(m.get("format_version", 1)) > _FORMAT_VERSION:
             # NOT torn: a future writer's manifest. Falling back to an
             # older version would silently serve a stale snapshot.
@@ -2256,6 +2295,9 @@ class TxTable:
                 continue
             if v in set(valid):
                 fs.delete(P(self._log_path(), _vname(v)), False)
+                # this handle deleted the version ON PURPOSE: time
+                # travel to it must now fail, not serve from the cache
+                self._manifest_text_cache.pop(v, None)
             else:
                 self._repair_torn(v)  # aged torn claims only
         live: set[str] = set()

@@ -1753,3 +1753,92 @@ def test_compactor_racing_multiprocess_appenders_rebases_losslessly(spark, root)
     assert ops.count("rewrite") == compactions
     total_versions = 2 * n_commits + compactions
     assert t.current_version() == total_versions - 1
+
+
+# -- per-commit overhead pins (fused metadata job + manifest cache) --------
+
+
+def _jobs_in_group(spark, group, fn):
+    """Run ``fn`` under a Spark job group and return how many jobs it
+    submitted (AQE may split one action into several jobs — counts are
+    compared RELATIVELY below, never pinned to AQE internals)."""
+    sc = spark.sparkContext
+    sc.setJobGroup(group, group)
+    try:
+        fn()
+    finally:
+        sc.setJobGroup("", "")
+    return len(sc.statusTracker().getJobIdsForGroup(group))
+
+
+def test_commit_metadata_jobs_invariant_in_bloom_column_count(spark, tmp_path):
+    """Commit-time data-skipping metadata (min/max stats + Bloom words)
+    is ONE Spark action regardless of how many stats/bloom columns the
+    table declares — at a real cluster's commit rate, fixed per-job
+    scheduling overhead is what compounds, so a per-bloom-column job
+    would make wide tables pay O(columns) stage launches per commit."""
+    df = _docs(spark, range(200))
+    narrow = TxTable(
+        spark, str(tmp_path / "narrow"), stats_columns=["val"], bloom_columns=["id"]
+    )
+    wide = TxTable(
+        spark,
+        str(tmp_path / "wide"),
+        stats_columns=["val", "id"],
+        bloom_columns=["id", "tag", "val"],
+    )
+    # warm both paths once so neither measurement pays one-time planning
+    narrow.append(df)
+    wide.append(df)
+    n = _jobs_in_group(spark, "txpin_narrow", lambda: narrow.append(df))
+    w = _jobs_in_group(spark, "txpin_wide", lambda: wide.append(df))
+    assert w == n, f"per-commit jobs grew with bloom columns: {n} -> {w}"
+    # absolute ceiling: stage write + one fused metadata action (AQE may
+    # split the join into a handful of sub-jobs, never per-column)
+    assert n <= 8, f"per-commit job count regressed: {n}"
+    # both tables still prune: the metadata actually landed
+    f_n = narrow._snapshot_files(narrow._read_manifest(narrow.current_version()))
+    assert any(f.get("stats") and f.get("bloom") for f in f_n)
+    f_w = wide._snapshot_files(wide._read_manifest(wide.current_version()))
+    assert any(
+        set((f.get("bloom") or {}).get("cols", {})) == {"id", "tag", "val"}
+        for f in f_w
+    )
+
+
+def test_repeat_snapshot_resolution_hits_manifest_cache(spark, root, monkeypatch):
+    """Committed manifests are immutable, so a handle resolves each
+    version's text from the filesystem AT MOST ONCE — repeat reads and
+    time travel re-read only the advisory head hint, not the manifest
+    chain (O(commits) round trips per read would be the driver-side
+    bottleneck on a long-lived table)."""
+    import aws_glue_redshift_datawarehouse_etl_pipeline_spark.sources.txlog as TX
+
+    t = TxTable(spark, root)
+    for i in range(6):
+        t.append(_docs(spark, range(i * 10, i * 10 + 10)))
+
+    calls = {"n": 0}
+    orig = TX._read_small_text
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(TX, "_read_small_text", counting)
+
+    fresh = TxTable(spark, root)
+    assert fresh.read().count() == 60  # cold: populates the cache
+    cold = calls["n"]
+    assert fresh.read().count() == 60
+    warm = calls["n"] - cold
+    # warm resolution: the head hint is the only text re-read (it is
+    # advisory and mutable); every manifest in the chain is cached
+    assert warm <= 1, f"warm read re-read {warm} files (cache miss)"
+    before = calls["n"]
+    assert fresh.read(version=2).count() == 30  # time travel: fully cached
+    assert calls["n"] == before
+    # a NEW commit by another handle is still visible (missing heads are
+    # never cached): the probe past the cached head finds version 6
+    t.append(_docs(spark, range(100, 105)))
+    assert fresh.read().count() == 65
