@@ -1,0 +1,133 @@
+"""Run the driver's DuckDB-oracle comparison at an arbitrary scale
+factor (the per-round driver gate only runs it at sf0.01 — this script
+closes the "right answer at scale" gap by replaying the same
+row-count + schema + order-insensitive value comparison against a
+bigger directory, default /root/testdata/sf0.1).
+
+Usage:
+    python scripts/oracle_at_sf.py [SF_DIR] [query ...]
+
+With no query names, runs a default set of window queries whose oracle
+SQL is cheap enough for DuckDB at sf0.1 (the heavy shingle / recursive
+CTE oracles stay at sf0.01 where the driver already checks them).
+Prints one line per query and a final SUMMARY line; exit code 1 on any
+mismatch.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Window queries with DuckDB-cheap oracles: the full TPC-H shape
+# family, the ETL/error-channel representatives, and the linear-oracle
+# training-data queries. Excluded (oracle cost, not engine cost):
+# ngram/minhash/contamination shingle SQL, repeated-span/excise
+# per-token SQL, curation composites, semantic/embedding dedup
+# (list-comprehension cosine oracles), streaming (driver-only shape).
+DEFAULT_QUERIES = [
+    "pricing_summary",
+    "parts_supplier_counts",
+    "star_revenue_by_nation",
+    "error_channel_summary",
+    "antijoin_composite_lineitem",
+    "order_priority_exists",
+    "local_supplier_volume_by_nation",
+    "returnflag_priority_counts",
+    "promo_revenue_share",
+    "volume_shipping_nations",
+    "large_order_customers",
+    "disjunctive_part_revenue",
+    "inactive_high_balance_customers",
+    "top_revenue_supplier",
+    "small_quantity_revenue",
+    "sole_problem_supplier",
+    "market_share_by_year",
+    "min_cost_supplier_per_part",
+    "product_profit_by_nation_year",
+    "important_suppliers_by_value",
+    "customer_order_distribution",
+    "excess_volume_suppliers",
+    "dedup_exact_documents",
+    "token_frequency_stats_documents",
+    "language_id_documents",
+    "temperature_mix_documents",
+]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    names = sys.argv[2:] or DEFAULT_QUERIES
+
+    from pyspark.sql import SparkSession
+
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.queries import (
+        all_oracle_sql,
+        all_queries,
+    )
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    queries, oracles = all_queries(), all_oracle_sql()
+
+    con = duckdb.connect()
+    for n in TABLES:
+        con.execute(
+            f"CREATE VIEW {n} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{n}.parquet')"
+        )
+
+    bad = 0
+    for name in names:
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"{name}: SKIP (no oracle)")
+            continue
+        t0 = time.time()
+        sdf = queries[name](spark, sf_dir).toPandas()
+        t_spark = time.time() - t0
+        t0 = time.time()
+        odf = con.execute(sql).fetch_df()
+        t_oracle = time.time() - t0
+        cols = sorted(sdf.columns)
+        ok = sorted(odf.columns) == cols and len(sdf) == len(odf)
+        if ok and len(sdf):
+            a = sdf[cols].sort_values(by=cols, ignore_index=True)
+            b = odf[cols].sort_values(by=cols, ignore_index=True)
+            ok = all(a[c].tolist() == b[c].tolist() for c in cols)
+        status = "EXACT" if ok and len(sdf) else ("EMPTY" if ok else "MISMATCH")
+        if status != "EXACT":
+            bad += 1
+        print(
+            f"{name}: {status} rows={len(sdf)}/{len(odf)} "
+            f"spark={t_spark:.1f}s oracle={t_oracle:.1f}s"
+        )
+    print(f"SUMMARY sf_dir={sf_dir} queries={len(names)} bad={bad}")
+    spark.stop()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
