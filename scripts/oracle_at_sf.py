@@ -16,10 +16,13 @@ mismatch.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TABLES = [
     "region",
