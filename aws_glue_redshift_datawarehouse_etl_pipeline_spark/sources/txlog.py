@@ -1153,14 +1153,6 @@ class TxTable:
         # the returned dict.
         self._manifest_text_cache: dict[int, str] = {}
 
-    def _invalidate_manifest_cache(self) -> None:
-        """Drop cached manifest text — only needed by paths that DELETE
-        log files (restore-by-truncation in tests, torn-claim repair
-        never caches, vacuum deletes but content never changed so stale
-        cache entries remain semantically correct; this is belt and
-        braces for them)."""
-        self._manifest_text_cache.clear()
-
     def _snapshot_files(self, m: dict) -> list[dict]:
         """Materialize the complete live-file list for a manifest:
         full manifests return theirs; delta manifests replay the chain
