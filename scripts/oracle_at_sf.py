@@ -116,12 +116,45 @@ def main() -> int:
         t_oracle = time.time() - t0
         cols = sorted(sdf.columns)
         ok = sorted(odf.columns) == cols and len(sdf) == len(odf)
+        ulp_only = False
         if ok and len(sdf):
             a = sdf[cols].sort_values(by=cols, ignore_index=True)
             b = odf[cols].sort_values(by=cols, ignore_index=True)
             ok = all(a[c].tolist() == b[c].tolist() for c in cols)
-        status = "EXACT" if ok and len(sdf) else ("EMPTY" if ok else "MISMATCH")
-        if status != "EXACT":
+            if not ok:
+                # Distinguish a real mismatch from last-ULP float drift:
+                # DuckDB's DECIMAL→DOUBLE cast is approximately rounded
+                # (scaled-int128 / 10^scale in double arithmetic), so
+                # once an exact decimal aggregate exceeds 2^53 in scaled
+                # units the ORACLE can be one ULP off a correctly-
+                # rounded cast (Spark's BigDecimal.doubleValue is
+                # correctly rounded — verified vs Python Decimal).
+                import math
+
+                def within_ulps(x, y, n=2):
+                    if x == y:
+                        return True
+                    if not (
+                        isinstance(x, float) and isinstance(y, float)
+                    ):
+                        return False
+                    return abs(x - y) <= n * math.ulp(max(abs(x), abs(y)))
+
+                ulp_only = all(
+                    within_ulps(x, y)
+                    for c in cols
+                    for x, y in zip(a[c].tolist(), b[c].tolist())
+                )
+        status = (
+            "EXACT"
+            if ok and len(sdf)
+            else (
+                "EMPTY"
+                if ok
+                else ("ULP (oracle cast drift)" if ulp_only else "MISMATCH")
+            )
+        )
+        if status not in ("EXACT", "ULP (oracle cast drift)"):
             bad += 1
         print(
             f"{name}: {status} rows={len(sdf)}/{len(odf)} "
