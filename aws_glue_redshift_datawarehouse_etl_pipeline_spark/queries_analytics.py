@@ -1797,13 +1797,14 @@ def txlog_point_lookup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max stats can't prune equality on high-cardinality keys once
     files interleave, which is exactly the lookup shape (sample
     inspection, incident forensics) a 100 TB table serves worst
-    without it. Union of three probes, row-filtered on top of the
-    file skip as the contract requires."""
+    without it. All three probes ride ONE multi-key read (one probe
+    job + one scan over the bloom-union of admitted files, instead of
+    three reads unioned — N× fewer fixed job costs at a real lookup
+    rate), row-filtered on top of the file skip as the contract
+    requires."""
     import hashlib
     import shutil
     import tempfile
-
-    from functools import reduce
 
     from aws_glue_redshift_datawarehouse_etl_pipeline_spark.sources.txlog import (
         TxTable,
@@ -1823,13 +1824,11 @@ def txlog_point_lookup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.filter(F.col("o_orderkey") % 4 == band).coalesce(1)
         )
     probes = [7, 7777, 11111]
-    parts = [
-        table.read(equality_filter={"o_orderkey": p}).filter(
-            F.col("o_orderkey") == p
-        )
-        for p in probes
-    ]
-    return reduce(lambda a, b: a.unionByName(b), parts).orderBy("o_orderkey")
+    return (
+        table.read(equality_filter={"o_orderkey": probes})
+        .filter(F.col("o_orderkey").isin(probes))
+        .orderBy("o_orderkey")
+    )
 
 
 @query(

@@ -466,8 +466,9 @@ def _prune_files(
 ) -> list[dict]:
     """Manifest-level file pruning shared by ``read`` and the DML
     rewrite path: Hive path-segment equality, min/max stats-range
-    overlap, and Bloom membership (``bloom_probe`` maps column → the k
-    probe bit positions of the sought value); files without the
+    overlap, and Bloom membership (``bloom_probe`` maps column → a
+    LIST of sought values' k-bit probe positions; a file survives the
+    column when its Bloom admits ANY of them); files without the
     segment/stats/bloom are conservatively kept."""
     if partition_filter:
         want = {k: str(v) for k, v in partition_filter.items()}
@@ -501,14 +502,18 @@ def _prune_files(
                 return True  # no filter recorded — keep conservatively
             if bl.get("m") != bloom_probe["m"] or bl.get("k") != bloom_probe["k"]:
                 return True  # written under different sizing — keep
-            for c, positions in bloom_probe["cols"].items():
+            for c, value_positions in bloom_probe["cols"].items():
                 words = (bl.get("cols") or {}).get(c)
                 if words is None:
                     continue
-                for bit in positions:
-                    w = words.get(str(bit // 64), 0)
-                    if not (int(w) >> (bit % 64)) & 1:
-                        return False  # definitely absent from this file
+                if not any(
+                    all(
+                        (int(words.get(str(bit // 64), 0)) >> (bit % 64)) & 1
+                        for bit in positions
+                    )
+                    for positions in value_positions
+                ):
+                    return False  # every sought value definitely absent
             return True
 
         files = [f for f in files if may_contain(f)]
@@ -1464,19 +1469,33 @@ class TxTable:
     ) -> dict:
         """Probe bit positions for each sought value, computed by the
         SAME expression the build used (xxhash64 over the column's
-        declared type, k seeds, mod m) — a 1-row Spark job, so the two
-        sides can never disagree on hashing. Probe keys are PHYSICAL
-        names (blooms are recorded under them; physical names never
-        change, so pre-rename blooms stay valid)."""
+        declared type, k seeds, mod m) — ONE 1-row Spark job covering
+        every column AND every value, so the two sides can never
+        disagree on hashing and a multi-key point lookup costs the same
+        fixed overhead as a single-key one. A column may map to one
+        value or a list of values (a file is kept when its Bloom admits
+        ANY of them — the IN-list complement of the scalar probe).
+        Probe keys are PHYSICAL names (blooms are recorded under them;
+        physical names never change, so pre-rename blooms stay
+        valid)."""
         mapping = mapping or {}
         m, k = self.bloom_bits, self.bloom_k
         exprs = []
+        nvals: dict[str, int] = {}
         for idx, (c, v) in enumerate(equality_filter.items()):
             dt = schema[c].dataType
-            exprs += [
-                F.pmod(F.xxhash64(F.lit(v).cast(dt), F.lit(i)), F.lit(m)).alias(
-                    f"c{idx}__{i}"
+            vals = list(v) if isinstance(v, (list, tuple, set)) else [v]
+            if not vals:
+                raise ValueError(
+                    f"equality_filter[{c!r}] is an empty list — an IN-() "
+                    "probe matches nothing; drop the key or pass values"
                 )
+            nvals[c] = len(vals)
+            exprs += [
+                F.pmod(
+                    F.xxhash64(F.lit(vv).cast(dt), F.lit(i)), F.lit(m)
+                ).alias(f"c{idx}__{j}__{i}")
+                for j, vv in enumerate(vals)
                 for i in range(k)
             ]
         row = self.spark.range(1).select(*exprs).collect()[0]
@@ -1484,7 +1503,10 @@ class TxTable:
             "m": m,
             "k": k,
             "cols": {
-                mapping.get(c, c): [row[f"c{idx}__{i}"] for i in range(k)]
+                mapping.get(c, c): [
+                    [row[f"c{idx}__{j}__{i}"] for i in range(k)]
+                    for j in range(nvals[c])
+                ]
                 for idx, c in enumerate(equality_filter)
             },
         }
@@ -1551,13 +1573,15 @@ class TxTable:
 
         ``range_filter`` ``{col: (lo, hi)}`` additionally skips files
         whose recorded min/max (``stats_columns`` at write time) cannot
-        intersect ``[lo, hi]``; ``equality_filter`` ``{col: value}``
-        skips files whose Bloom filter (``bloom_columns`` at write
-        time) proves the value absent — the high-cardinality point-
-        lookup complement to ranges. Files without stats/bloom for a
-        column are conservatively KEPT, and the returned frame is NOT
-        re-filtered (file skipping, not row filtering; apply the row
-        predicate too when exact bounds matter)."""
+        intersect ``[lo, hi]``; ``equality_filter`` ``{col: value}`` —
+        or ``{col: [v1, v2, …]}`` for a multi-key lookup — skips files
+        whose Bloom filter (``bloom_columns`` at write time) proves
+        every sought value absent: N point probes cost ONE probe job
+        and ONE scan instead of N reads unioned. Files without
+        stats/bloom for a column are conservatively KEPT, and the
+        returned frame is NOT re-filtered (file skipping, not row
+        filtering; apply the row predicate too when exact bounds
+        matter)."""
         if as_of_ms is not None:
             if version is not None:
                 raise ValueError("pass version OR as_of_ms, not both")

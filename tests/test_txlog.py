@@ -1842,3 +1842,39 @@ def test_repeat_snapshot_resolution_hits_manifest_cache(spark, root, monkeypatch
     # never cached): the probe past the cached head finds version 6
     t.append(_docs(spark, range(100, 105)))
     assert fresh.read().count() == 65
+
+
+def test_multi_key_equality_filter_unions_bloom_pruning(spark, root):
+    """An IN-list point lookup — ``equality_filter={col: [v1, v2, …]}``
+    — keeps exactly the files whose Bloom admits ANY sought value and
+    costs ONE probe job + ONE read instead of N reads unioned, the
+    lookup shape (incident forensics over a handful of ids) a 100 TB
+    table serves through fixed per-job overhead otherwise."""
+    t = TxTable(spark, root, bloom_columns=["id"])
+    # four appends → four disjoint id populations, one file each
+    for lo in (0, 1000, 2000, 3000):
+        t.append(_docs(spark, range(lo, lo + 300)).repartition(1))
+    # two sought ids living in two different files: both rows come back…
+    got = t.read(equality_filter={"id": [100, 2100]})
+    assert got.filter(F.col("id").isin(100, 2100)).count() == 2
+    # …and the other two files are bloom-pruned (tiny FPR slack: < all)
+    assert len(got.inputFiles()) < 4
+    # scalar spelling unchanged (back-compat)
+    one = t.read(equality_filter={"id": 100})
+    assert one.filter("id = 100").count() == 1
+    assert len(one.inputFiles()) < len(got.inputFiles()) + 1
+    # values in NO file may prune everything
+    none = t.read(equality_filter={"id": [999_999, 888_888]})
+    assert none.filter(F.col("id").isin(999_999, 888_888)).count() == 0
+    # an empty IN-() probe is refused loudly, not silently kept
+    with pytest.raises(ValueError, match="empty list"):
+        t.read(equality_filter={"id": []})
+    # the single probe job covers every value: row parity with the
+    # equivalent unioned scalar reads
+    a = set(
+        r["id"]
+        for r in t.read(equality_filter={"id": [100, 2100]})
+        .filter(F.col("id").isin(100, 2100))
+        .collect()
+    )
+    assert a == {100, 2100}
