@@ -772,10 +772,14 @@ def test_bloom_false_positive_rate_within_bound(spark, root):
 
     schema = T.StructType.fromJson(_json.loads(m["schema"]))
     files = t._snapshot_files(m)
+    # one multi-value probe job hashes all 200 absent keys; each key's
+    # k-bit positions are then evaluated per-file individually so the
+    # statistic stays per-key FPR, not any-of-200 union behavior
+    multi = t._bloom_probe(schema, {"id": list(range(10_000, 10_200))})
     fp = 0
-    for probe_id in range(10_000, 10_200):
-        probe = t._bloom_probe(schema, {"id": probe_id})
-        if _prune_files(files, None, None, probe):
+    for positions in multi["cols"]["id"]:
+        single = {"m": multi["m"], "k": multi["k"], "cols": {"id": [positions]}}
+        if _prune_files(files, None, None, single):
             fp += 1
     assert fp / 200 < 0.09, f"FPR {fp/200:.3f} too high"
 
