@@ -1155,7 +1155,15 @@ class TxTable:
         # manifests) per handle. Missing/torn reads are never cached
         # (they may become valid the instant a writer finishes), and
         # the text is re-parsed per call so callers can freely mutate
-        # the returned dict.
+        # the returned dict. Eviction scope: only a SELF-vacuum evicts
+        # what it deletes — a version vacuumed by ANOTHER handle or
+        # process still resolves from this handle's cache, so time
+        # travel to it serves the (immutable, correct-as-of-then)
+        # snapshot instead of failing fast with "no manifest" the way
+        # an uncached handle would; the underlying data files may
+        # already be gone by read time. Accepted stale-read semantics
+        # for an immutable log: cross-process cache invalidation would
+        # need a coordination channel the log deliberately avoids.
         self._manifest_text_cache: dict[int, str] = {}
 
     def _snapshot_files(self, m: dict) -> list[dict]:

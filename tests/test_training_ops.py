@@ -114,6 +114,47 @@ def test_candidate_pair_guard_estimates_post_cap(spark):
     assert pairs == []
 
 
+def test_candidate_pair_guard_skips_estimator_under_cheap_bound(spark):
+    """VERDICT r9 ask #5: on a corpus where P·(n−1)/2 (total postings ×
+    docs, the provable upper bound on Σ f·(f−1)/2) already clears the
+    cap, the default call must run only the O(docs) pre-check job — the
+    explode + groupBy-shuffle estimator is skipped. Pinned RELATIVELY:
+    construction of the default call submits strictly fewer Spark jobs
+    than a construction forced through the full estimator by a tight
+    cap (job counts are never pinned to AQE internals)."""
+
+    def _jobs(group, fn):
+        sc = spark.sparkContext
+        sc.setJobGroup(group, group)
+        try:
+            fn()
+        finally:
+            sc.setJobGroup("", "")
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    j_default = _jobs(
+        "ngram-guard-default",
+        lambda: D.ngram_jaccard_pairs(docs, "doc_id"),  # construct only
+    )
+
+    def forced():
+        try:
+            # a cap under the cheap bound (~6M at sf0.01) forces tier 2;
+            # whether the estimator then refuses or passes is irrelevant
+            # here — either way its job ran.
+            D.ngram_jaccard_pairs(docs, "doc_id", max_candidate_pairs=10)
+        except ValueError:
+            pass
+
+    j_forced = _jobs("ngram-guard-forced", forced)
+    assert j_default < j_forced
+    # the pre-check is one tiny agg action; the observed 3-4 jobs are
+    # the parquet schema-inference read plus AQE's split of the agg —
+    # a small constant, never O(postings)
+    assert j_default <= 4
+
+
 def test_minhash_lsh_dedup_removes_planted_dups(docs):
     kept = D.minhash_lsh_dedup(docs, "doc_id", verify_threshold=0.8)
     ids = sorted(r.doc_id for r in kept.collect())
