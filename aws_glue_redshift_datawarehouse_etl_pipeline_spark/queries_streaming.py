@@ -123,6 +123,123 @@ def streaming_dedup_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_late_data_watermark",
+    oracle="""
+    WITH wm AS (
+        -- Spark tracks per-batch max event time in MILLISECONDS
+        -- (EventTimeStatsAccum floors micros to ms), so the watermark
+        -- established by the first arrival batch — which carries the
+        -- global max by construction — is floor_ms(max ts) - 7 days.
+        SELECT make_timestamp(
+                   epoch_ms(max(ts)) * 1000
+                   - CAST(7 * 24 * 3600 AS BIGINT) * 1000000
+               ) AS cut
+        FROM events
+    )
+    SELECT window_start, window_end, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+        SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP)
+                   AS window_start,
+               CAST(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+                    AS TIMESTAMP) AS window_end,
+               event_id
+        FROM events
+    ), wm
+    -- THE keep/drop boundary: windows still open when the straggler
+    -- tranche arrives keep every row; windows already closed by the
+    -- watermark keep only the rows that arrived before closure
+    -- (the even-event_id tranche) — the odd stragglers are dropped.
+    WHERE window_end > wm.cut OR event_id % 2 = 0
+    GROUP BY window_start, window_end
+    ORDER BY window_start, window_end
+    """,
+)
+def streaming_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA drop boundary, driver-checked (VERDICT r9
+    ask #6). Events arrive in three deliberately ordered micro-batches:
+    (0) the newest day — it carries the global max event time, so after
+    it commits the watermark tracker stands at max(ts) - 7 days;
+    (1) the EVEN-event_id half of everything older; (2) the ODD half of
+    the same range, one batch later. Spark's stateful aggregation
+    filters late input with the PREVIOUS batch's watermark and evicts
+    state with the CURRENT one (watermark propagation semantics,
+    verified empirically on this engine): batch 1 is admitted under the
+    pre-advance watermark and its old windows are then closed by
+    eviction, so when batch 2 delivers the odd stragglers, every row
+    aimed at a closed window (window_end <= max - 7d) is DROPPED while
+    odd rows aimed at still-open windows are aggregated normally. The
+    per-window counts in update mode (max across emissions) therefore
+    read: evens-only in closed windows, all rows in open ones — the
+    oracle encodes exactly that boundary, including Spark's millisecond
+    flooring of the tracked max. An engine that ignores the watermark
+    re-opens closed windows with odd-only counts (max flips wherever
+    odds outnumber evens); one that drops eagerly loses open-window
+    odd rows — both mismatch. The reference's micro-batch loop is
+    processing-time only (awsglue/context.py:602-664); event-time
+    watermark semantics are the engine's documented extension
+    (SURVEY.md §2.10)."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    ev = t(spark, sf_dir, "events")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    stage = os.path.join(tempfile.gettempdir(), f"engine_events_late_{tag}")
+    marker = os.path.join(stage, "_STAGED")
+    if not os.path.exists(marker):
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage, exist_ok=True)
+        max_ts = ev.agg(F.max("ts")).collect()[0][0]
+        head = F.col("ts") >= F.lit(max_ts) - F.expr("interval 1 day")
+        even = F.col("event_id") % 2 == 0
+        now = int(__import__("time").time())
+        for i, batch in enumerate(
+            (
+                ev.filter(head),
+                ev.filter(~head & even),
+                ev.filter(~head & ~even),
+            )
+        ):
+            tmp = os.path.join(stage, f"_tmp_{i}")
+            batch.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(stage, f"batch-{i:03d}.parquet")
+            shutil.move(part, dst)
+            shutil.rmtree(tmp)
+            # the file source replays oldest-modified first
+            # (latestFirst=false): pin arrival order via mtime
+            os.utime(dst, (now - 600 + i * 60, now - 600 + i * 60))
+        open(marker, "w").close()
+    agg = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stage, "*.parquet"))
+        .withWatermark("ts", "7 days")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sink = f"stream_late_{uuid.uuid4().hex[:8]}"
+    sq = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+        )
+        .agg(F.max("n").alias("n"))
+        .orderBy("window_start", "window_end")
+    )
+
+
+@query(
     "streaming_running_source_counts",
     oracle="""
     SELECT source AS key, COUNT(*) AS n
