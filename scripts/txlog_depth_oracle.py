@@ -62,8 +62,6 @@ def main() -> int:
         app_name="txlog-depth-oracle", cpus=16, shuffle_partitions=16
     )
     src = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
-    max_key = src.agg(F.max("o_orderkey")).collect()[0][0]
-    slice_w = (max_key // depth) + 1
 
     con = duckdb.connect()
     con.execute(
@@ -71,6 +69,34 @@ def main() -> int:
         f"read_parquet('{os.path.join(sf_dir, 'orders.parquet')}')"
     )
     con.execute("CREATE TABLE shadow AS SELECT * FROM src WHERE 1=0")
+
+    # RANK-based slice boundaries, not raw key ranges: the sf1 orderkey
+    # space is dense blocks separated by huge gaps, so equal-width key
+    # slices would be mostly empty. Taking the key at every
+    # (total/depth)-th rank gives every slice exactly the same row
+    # count while every append/DML predicate stays a pure literal key
+    # RANGE — so the engine's range_filter pruning hints remain valid
+    # and DuckDB applies byte-identical predicates.
+    total, max_key = con.execute(
+        "SELECT count(*), max(o_orderkey) FROM src"
+    ).fetchone()
+    rps = total // depth  # rows per slice
+    sub = max(rps // 3, 1)
+    wanted = sorted(
+        {i * rps for i in range(depth)}
+        | {i * rps + sub for i in range(depth)}
+        | {i * rps + 2 * sub for i in range(depth)}
+    )
+    key_at = dict(
+        con.execute(
+            "WITH r AS (SELECT o_orderkey AS k, "
+            "row_number() OVER (ORDER BY o_orderkey) - 1 AS rn FROM src) "
+            f"SELECT rn, k FROM r WHERE rn IN ({','.join(map(str, wanted))})"
+        ).fetchall()
+    )
+    B = [key_at[i * rps] for i in range(depth)] + [max_key + 1]
+    T = [key_at[i * rps + sub] for i in range(depth)]
+    U = [key_at[i * rps + 2 * sub] for i in range(depth)]
 
     t = TxTable(
         spark,
@@ -84,7 +110,7 @@ def main() -> int:
     snapshots: list[tuple[int, str, str]] = []  # (engine_version, snap_table, pcol-at-time)
     t0 = time.time()
     for i in range(depth):
-        lo, hi = i * slice_w, (i + 1) * slice_w
+        lo, hi = B[i], B[i + 1]
         op = i % 50
         if i == depth // 2 and pcol == "o_orderpriority":
             t.rename_column("o_orderpriority", "priority_class")
@@ -97,8 +123,8 @@ def main() -> int:
         elif i in (depth // 3, 2 * depth // 3, depth - 1):
             t.compact()
         elif op == 20 and i > 2:
-            # range-pruned DELETE inside the previous slice
-            dlo, dhi = (i - 1) * slice_w, (i - 1) * slice_w + slice_w // 3
+            # range-pruned DELETE of the previous slice's first third
+            dlo, dhi = B[i - 1], T[i - 1]
             t.delete(
                 f"o_orderkey >= {dlo} AND o_orderkey < {dhi}",
                 range_filter={"o_orderkey": (dlo, dhi - 1)},
@@ -108,7 +134,7 @@ def main() -> int:
                 f"AND o_orderkey < {dhi}"
             )
         elif op == 35 and i > 2:
-            ulo, uhi = (i - 1) * slice_w + slice_w // 3, i * slice_w
+            ulo, uhi = U[i - 1], B[i]
             t.update(
                 f"o_orderkey >= {ulo} AND o_orderkey < {uhi}",
                 {"o_totalprice": "o_totalprice + 1.0"},
@@ -119,9 +145,10 @@ def main() -> int:
                 f"WHERE o_orderkey >= {ulo} AND o_orderkey < {uhi}"
             )
         elif op == 45 and i > 10:
-            # MERGE upsert: halve the price of an old slice (pure
-            # update-merge; full-head overwrite semantics)
-            mlo, mhi = (i - 10) * slice_w, (i - 10) * slice_w + slice_w // 4
+            # MERGE upsert: halve the price of an old slice region
+            # (full-head overwrite semantics; keys the i-20 DELETE
+            # removed get re-inserted by the merge on both sides)
+            mlo, mhi = B[i - 10], T[i - 10]
             up = (
                 src.filter(
                     (F.col("o_orderkey") >= mlo) & (F.col("o_orderkey") < mhi)
@@ -130,14 +157,10 @@ def main() -> int:
             )
             if pcol != "o_orderpriority":
                 up = up.withColumnRenamed("o_orderpriority", pcol)
-            # only upsert keys still present in the shadow (a prior
-            # DELETE may have removed some): merge inserts non-matching
-            # keys too, so both sides must agree on the payload
             t.merge(up, ["o_orderkey"])
             con.execute(
-                f"DELETE FROM shadow WHERE o_orderkey IN "
-                f"(SELECT o_orderkey FROM src WHERE o_orderkey >= {mlo} "
-                f"AND o_orderkey < {mhi})"
+                f"DELETE FROM shadow WHERE o_orderkey >= {mlo} "
+                f"AND o_orderkey < {mhi}"
             )
             con.execute(
                 f"INSERT INTO shadow SELECT * REPLACE "
