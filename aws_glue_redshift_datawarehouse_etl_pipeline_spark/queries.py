@@ -589,7 +589,6 @@ PRIORITY: tuple[str, ...] = (
     # view, Q17 avg-quantity correlated scalar, Q21 sole-problem
     # multi-EXISTS, Q8 market share
     "local_supplier_volume_by_nation",
-    "returnflag_priority_counts",
     "promo_revenue_share",
     "volume_shipping_nations",
     "large_order_customers",
@@ -620,6 +619,7 @@ PRIORITY: tuple[str, ...] = (
     "streaming_segment_event_values",
     "streaming_txlog_exactly_once",
     "streaming_running_source_counts",
+    "streaming_late_data_watermark",
     # LLM training-data pipeline: text analysis
     "repeated_span_stats_documents",
     "excise_repeated_spans_documents",
