@@ -75,14 +75,31 @@ def exact_dedup(
     )
 
 
+def _zipped_grams(col: Column | str, n: int) -> Column:
+    """n-gram token windows via n SHIFTED SLICES zipped together, not a
+    per-position slice inside the lambda. HOF lambdas run on the
+    interpreted expression path with NO common-subexpression
+    elimination, so any reference to the tokenization inside the lambda
+    re-runs lower+regexp-split+filter PER ELEMENT — O(tokens) regexp
+    passes per row, quadratic per document (measured 4-6x on the
+    two-projection shape every dedup operator uses: shingle into an
+    array column, then explode). Zipping n shifted copies evaluates the
+    tokenization O(n) times per ROW; the lambda then only reads struct
+    fields of its own element. Element i of the zip is exactly
+    (toks[i], …, toks[i+n-1]), so downstream hashes are bit-identical
+    to the old spelling (pinned by tests/test_training_ops.py)."""
+    toks = tokens(col)
+    cnt = F.size(toks) - (n - 1)
+    return F.arrays_zip(*[F.slice(toks, k + 1, cnt) for k in range(n)])
+
+
 def word_ngrams(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the normalized text."""
-    toks = tokens(col)
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
     grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+        _zipped_grams(col, n),
+        lambda s: F.concat_ws(" ", *[s[str(k)] for k in range(n)]),
     )
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+    return F.when(F.size(tokens(col)) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
 
@@ -91,22 +108,20 @@ def word_ngram_hashes(col: Column | str, n: int = 3) -> Column:
     """Distinct 64-bit hashes of word n-gram shingles — the fast-path
     twin of ``word_ngrams`` for operators that only need shingle
     EQUALITY (inverted-index joins, doc-frequency counts, semi-joins).
-    Hashes ``concat_ws(" ", slice(...))`` INSIDE the same transform
-    lambda: the gram string never leaves the expression (same cost as
-    building string grams — slice/concat_ws are specialized array ops;
-    per-token ``element_at`` variants measured 2.6x slower in the
-    interpreted HOF), and everything downstream of the shingling —
-    explode, shuffle, join — carries 8-byte longs instead of ~n-word
-    strings. Space-separated concat keeps token boundaries, so
-    "a b"+"c" vs "a"+"b c" cannot collide by construction; distinct
-    grams collide only via 64-bit xxhash64 (negligible at any corpus
-    size that fits a cluster)."""
-    toks = tokens(col)
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    Hashes the space-joined gram INSIDE the same transform lambda: the
+    gram string never leaves the expression, and everything downstream
+    of the shingling — explode, shuffle, join — carries 8-byte longs
+    instead of ~n-word strings. Space-separated concat keeps token
+    boundaries, so "a b"+"c" vs "a"+"b c" cannot collide by
+    construction; distinct grams collide only via 64-bit xxhash64
+    (negligible at any corpus size that fits a cluster). Gram windows
+    come from ``_zipped_grams`` (see there for why shifted-slice zips
+    beat per-position slices in the interpreted HOF path by 4-6x)."""
     grams = F.transform(
-        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        _zipped_grams(col, n),
+        lambda s: F.xxhash64(F.concat_ws(" ", *[s[str(k)] for k in range(n)])),
     )
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+    return F.when(F.size(tokens(col)) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<bigint>")
     )
 

@@ -114,6 +114,59 @@ def test_candidate_pair_guard_estimates_post_cap(spark):
     assert pairs == []
 
 
+def test_zipped_gram_spelling_matches_positional_slices(spark):
+    """r10 shingling rewrite: gram windows come from n shifted slices
+    zipped (O(n) tokenizations per row) instead of a per-position slice
+    inside the interpreted lambda (O(tokens) re-tokenizations per row,
+    measured 4-6x slower). The OUTPUT must be bit-identical to the old
+    positional spelling — same strings, same xxhash64 values, same
+    distinct order — or every persisted shingle-keyed artifact breaks."""
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.text import (
+        tokens,
+    )
+
+    def old_hashes(col, n):
+        toks = tokens(col)
+        idx = F.sequence(F.lit(0), F.size(toks) - n)
+        grams = F.transform(
+            idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        )
+        return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+            F.array().cast("array<bigint>")
+        )
+
+    def old_strings(col, n):
+        toks = tokens(col)
+        idx = F.sequence(F.lit(0), F.size(toks) - n)
+        grams = F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+        )
+        return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    edge = spark.createDataFrame(
+        [(100001, ""), (100002, "one"), (100003, "one two"),
+         (100004, "one two three"), (100005, "  A  b\tC  "),
+         (100006, "x " * 40)],
+        "doc_id long, text string",
+    )
+    df = docs.select("doc_id", "text").unionByName(edge)
+    for n in (2, 3, 5):
+        bad = (
+            df.select(
+                D.word_ngram_hashes("text", n).alias("a"),
+                old_hashes("text", n).alias("b"),
+                D.word_ngrams("text", n).alias("c"),
+                old_strings("text", n).alias("d"),
+            )
+            .filter((F.col("a") != F.col("b")) | (F.col("c") != F.col("d")))
+            .count()
+        )
+        assert bad == 0, f"n={n}: zipped spelling diverged"
+
+
 def test_candidate_pair_guard_skips_estimator_under_cheap_bound(spark):
     """VERDICT r9 ask #5: on a corpus where P·(n−1)/2 (total postings ×
     docs, the provable upper bound on Σ f·(f−1)/2) already clears the
