@@ -28,6 +28,7 @@ from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.text import (
     normalized,
     spread_small_scan as _ensure_parallelism,
     tokens,
+    zipped_token_grams as _zipped_grams_impl,
 )
 
 # Decimal accumulator for exact dot products: scale 12 is preserved by
@@ -76,21 +77,11 @@ def exact_dedup(
 
 
 def _zipped_grams(col: Column | str, n: int) -> Column:
-    """n-gram token windows via n SHIFTED SLICES zipped together, not a
-    per-position slice inside the lambda. HOF lambdas run on the
-    interpreted expression path with NO common-subexpression
-    elimination, so any reference to the tokenization inside the lambda
-    re-runs lower+regexp-split+filter PER ELEMENT — O(tokens) regexp
-    passes per row, quadratic per document (measured 4-6x on the
-    two-projection shape every dedup operator uses: shingle into an
-    array column, then explode). Zipping n shifted copies evaluates the
-    tokenization O(n) times per ROW; the lambda then only reads struct
-    fields of its own element. Element i of the zip is exactly
-    (toks[i], …, toks[i+n-1]), so downstream hashes are bit-identical
-    to the old spelling (pinned by tests/test_training_ops.py)."""
-    toks = tokens(col)
-    cnt = F.size(toks) - (n - 1)
-    return F.arrays_zip(*[F.slice(toks, k + 1, cnt) for k in range(n)])
+    """Gram windows via shifted-slice zips (text.zipped_token_grams —
+    see there for the interpreted-HOF CSE rationale). Downstream hashes
+    are bit-identical to the old per-position-slice spelling (pinned by
+    tests/test_training_ops.py)."""
+    return _zipped_grams_impl(col, n)
 
 
 def word_ngrams(col: Column | str, n: int = 3) -> Column:

@@ -49,6 +49,22 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+def zipped_token_grams(col: Column | str, n: int) -> Column:
+    """n-gram token windows via n SHIFTED SLICES zipped together — the
+    building block for every token-gram transform. HOF lambdas run on
+    the interpreted expression path with NO common-subexpression
+    elimination, so a per-position ``F.slice(tokens(col), i+1, n)``
+    inside a lambda re-runs lower+regexp-split+filter PER ELEMENT —
+    O(tokens) tokenizations per row, measured 4-6x slower on the
+    shingle-into-column-then-explode shape. Zipping n shifted copies
+    evaluates the tokenization O(n) times per ROW; the consuming lambda
+    only reads its own element's struct fields (named "0"… "n-1").
+    Element i is exactly (toks[i], …, toks[i+n-1])."""
+    toks = tokens(col)
+    cnt = F.size(toks) - (n - 1)
+    return F.arrays_zip(*[F.slice(toks, k + 1, cnt) for k in range(n)])
+
+
 BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
 
 
@@ -335,9 +351,12 @@ def repetition_stats(
         F.sum("n").alias("n_tokens"), F.max("n").alias("top_n")
     )
     toks = tokens("__t")
+    # shifted-slice zip, not per-position slices: a slice of the
+    # tokens() EXPRESSION inside the lambda re-tokenizes per element
+    # in the interpreted HOF path (see zipped_token_grams)
     bigrams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 2),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        zipped_token_grams("__t", 2),
+        lambda s: F.concat_ws(" ", s["0"], s["1"]),
     )
     bg = base.select(
         "doc",
@@ -457,9 +476,12 @@ def winnow_fingerprints(
         df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t")), "doc"
     )
     toks = tokens("__t")
+    # shifted-slice zip (zipped_token_grams): per-position slices of
+    # the tokens() expression would re-tokenize per element in the
+    # interpreted HOF path
     grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - k),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        zipped_token_grams("__t", k),
+        lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(k)]),
     )
     exploded = base.filter(F.size(toks) >= k + w - 1).select(
         "doc", F.posexplode(grams).alias("pos", "__g")
