@@ -213,6 +213,10 @@ def ngram_jaccard_pairs(
                 ).alias("p")
             ).collect()[0]["p"]
             if est > max_candidate_pairs:
+                # the refused plan is never executed — release the
+                # shingle frame the estimator materialized rather than
+                # leaving it pinned in executor storage
+                sh.unpersist(blocking=False)
                 raise ValueError(
                     f"ngram_jaccard_pairs: the inverted-index self-join would "
                     f"generate ~{int(est):,} candidate rows "
