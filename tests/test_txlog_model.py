@@ -12,6 +12,7 @@ changes layout but never content)."""
 
 from __future__ import annotations
 
+import os
 import random
 
 import pandas as pd
@@ -19,8 +20,14 @@ import pytest
 
 from aws_glue_redshift_datawarehouse_etl_pipeline_spark.sources.txlog import TxTable
 
-SEEDS = [7, 23, 101]
-N_OPS = 22
+# env overrides let a deeper offline fuzz reuse this harness verbatim
+# (e.g. SPARK_GRAFT_MODEL_SEEDS=1,2,3,4 SPARK_GRAFT_MODEL_OPS=60);
+# the committed defaults are the per-suite run
+SEEDS = [
+    int(s)
+    for s in os.environ.get("SPARK_GRAFT_MODEL_SEEDS", "7,23,101").split(",")
+]
+N_OPS = int(os.environ.get("SPARK_GRAFT_MODEL_OPS", "22"))
 
 
 def _snap(df) -> pd.DataFrame:
