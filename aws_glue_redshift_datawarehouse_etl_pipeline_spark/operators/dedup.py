@@ -125,9 +125,18 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_shingle_freq: int | None = None,
     max_candidate_pairs: int | None = 50_000_000,
+    cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """All document pairs with n-gram Jaccard ≥ threshold, via the
     inverted-index self-join (no cross join at any scale).
+
+    When the tier-2 candidate guard runs (see below) it persists the
+    shingled frame so the estimator job and the executed plan share one
+    tokenize+hash scan. Pass ``cache_registry`` (a list) to receive
+    that persisted frame and call ``release_caches`` after the final
+    action on the returned frame — otherwise the pin lives until
+    session teardown (long-lived sessions invoking many guarded calls
+    should always pass a registry).
 
     ``max_shingle_freq`` drops shingles appearing in more than that
     many documents (stop-shingle cut): they contribute O(freq²) pair
@@ -199,8 +208,11 @@ def ngram_jaccard_pairs(
             # guard's eager job re-shingles everything the real plan
             # shingles again); released with the caller's session
             # lifecycle like the other multi-consumer dedup
-            # intermediates.
+            # intermediates, or explicitly via ``cache_registry`` +
+            # ``release_caches``.
             sh = sh.persist()
+            if cache_registry is not None:
+                cache_registry.append(sh)
     if max_shingle_freq is not None or max_candidate_pairs is not None:
         freq = exploded.groupBy("s").agg(F.count(F.lit(1)).alias("f"))
         if max_shingle_freq is not None:
@@ -869,7 +881,19 @@ def cross_ngram_contamination(
     tr_ex = tr.select("train_id", F.explode("s").alias("g"))
     ev_ex = ev.select("eval_id", F.explode("s").alias("g"))
     ev_g = ev_ex.select("g").distinct()
-    if ev_g.limit(broadcast_eval_shingles + 1).count() <= broadcast_eval_shingles:
+    # Two-tier broadcastability decision (the ngram guard's trick,
+    # VERDICT r10 ask #7): distinct eval shingles ≤ total eval postings
+    # Σ|shingles_d|, so one map-side agg over the (persisted-anyway)
+    # eval frame — no explode, no distinct shuffle — proves the common
+    # benchmark-suite call broadcastable without the probe job. Only
+    # when the loose bound exceeds the threshold does the exact
+    # limit+count probe run to decide broadcast vs shuffle join.
+    ev_postings = ev.agg(
+        F.coalesce(F.sum(F.size("s")), F.lit(0))
+    ).collect()[0][0]
+    if ev_postings <= broadcast_eval_shingles or (
+        ev_g.limit(broadcast_eval_shingles + 1).count() <= broadcast_eval_shingles
+    ):
         # eval side broadcasts: drop every train posting that can't
         # match BEFORE any shuffle — the broadcast semi-join runs
         # map-side inside the train scan stage, so the only rows that

@@ -59,9 +59,12 @@ def zipped_token_grams(col: Column | str, n: int) -> Column:
     shingle-into-column-then-explode shape. Zipping n shifted copies
     evaluates the tokenization O(n) times per ROW; the consuming lambda
     only reads its own element's struct fields (named "0"… "n-1").
-    Element i is exactly (toks[i], …, toks[i+n-1])."""
+    Element i is exactly (toks[i], …, toks[i+n-1]). Clamped to a
+    non-negative slice length so docs with < n tokens yield an empty
+    array instead of a runtime error — callers' when(size>=n)/filter
+    guards stay purely semantic (empty-result) gates."""
     toks = tokens(col)
-    cnt = F.size(toks) - (n - 1)
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     return F.arrays_zip(*[F.slice(toks, k + 1, cnt) for k in range(n)])
 
 

@@ -104,8 +104,9 @@ def main() -> None:
     for _ in range(n_passes):
         pass_timings: dict[str, float] = {}
         for name in names:
-            if name in errors:
-                continue
+            # errored queries are retried in later passes (a transient
+            # pass-1 failure must not lose the query entirely); the
+            # error record is dropped below if any pass succeeded.
             # storage hygiene between queries: several dedup/LSH queries
             # persist intermediates for their own multi-consumer stages and
             # (correctly) leave release to the caller's session lifecycle;
@@ -129,6 +130,14 @@ def main() -> None:
         for name in names
         if (samples := [p[name] for p in passes if name in p])
     }
+    samples_per_query = {
+        name: n
+        for name in names
+        if (n := sum(1 for p in passes if name in p))
+    }
+    # a query that succeeded in at least one pass is a measurement, not
+    # an error — keep only queries that failed in EVERY pass in `errors`
+    errors = {k: v for k, v in errors.items() if k not in timings}
     total = round(sum(timings.values()), 4)
     out = {
         "metric": "headline_queries_total",
@@ -141,6 +150,12 @@ def main() -> None:
             round(sum(p.values()), 4) for p in passes
         ],
     }
+    # only surface per-query sample counts when a query missed a pass —
+    # the common all-passes-succeeded case stays one compact JSON line
+    if any(n < n_passes for n in samples_per_query.values()):
+        out["samples_per_query"] = {
+            k: v for k, v in samples_per_query.items() if v < n_passes
+        }
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

@@ -102,7 +102,16 @@ def main() -> int:
             f"read_parquet('{sf_dir}/{n}.parquet')"
         )
 
+    # EMPTY (both engines zero rows) is agreement but verifies nothing
+    # about values at this sf, so it fails the run unless the query is
+    # explicitly allowlisted (comma-separated names in
+    # ORACLE_ALLOW_EMPTY) — zero-row agreement must not masquerade as
+    # coverage.
+    allow_empty = {
+        n for n in os.environ.get("ORACLE_ALLOW_EMPTY", "").split(",") if n
+    }
     bad = 0
+    vacuous = 0
     for name in names:
         sql = oracles.get(name)
         if sql is None:
@@ -189,11 +198,19 @@ def main() -> int:
         )
         if status == "MISMATCH":
             bad += 1
+        elif status.startswith("EMPTY"):
+            vacuous += 1
+            if name not in allow_empty:
+                status += " [FAIL: not in ORACLE_ALLOW_EMPTY]"
+                bad += 1
         print(
             f"{name}: {status} rows={len(sdf)}/{len(odf)} "
             f"spark={t_spark:.1f}s oracle={t_oracle:.1f}s"
         )
-    print(f"SUMMARY sf_dir={sf_dir} queries={len(names)} bad={bad}")
+    print(
+        f"SUMMARY sf_dir={sf_dir} queries={len(names)} bad={bad} "
+        f"vacuous={vacuous}"
+    )
     spark.stop()
     return 1 if bad else 0
 

@@ -208,6 +208,92 @@ def test_candidate_pair_guard_skips_estimator_under_cheap_bound(spark):
     assert j_default <= 4
 
 
+def test_contamination_probe_skipped_under_cheap_bound(spark):
+    """VERDICT r10 ask #7: cross_ngram_contamination's broadcastability
+    decision gets the same two-tier treatment as the ngram guard —
+    distinct eval shingles ≤ total eval postings, so when the map-side
+    postings agg (no explode, no distinct shuffle) already clears
+    broadcast_eval_shingles, the limit+count probe job is skipped.
+    Pinned RELATIVELY: the small-eval default call submits strictly
+    fewer jobs during construction than a call whose threshold forces
+    the exact probe."""
+
+    def _jobs(group, fn):
+        sc = spark.sparkContext
+        sc.setJobGroup(group, group)
+        try:
+            fn()
+        finally:
+            sc.setJobGroup("", "")
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    train = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    ev = spark.createDataFrame(
+        [(1, BASE), (2, OTHER)], "doc_id long, text string"
+    )
+    regs: list[list] = [[], []]
+    j_default = _jobs(
+        "contam-default",
+        lambda: D.cross_ngram_contamination(
+            train, ev, cache_registry=regs[0]
+        ),
+    )
+    # threshold 1 puts the postings bound above it AND makes the exact
+    # probe run (and fail → shuffle-join path); either way its job ran
+    j_forced = _jobs(
+        "contam-forced",
+        lambda: D.cross_ngram_contamination(
+            train, ev, broadcast_eval_shingles=1, cache_registry=regs[1]
+        ),
+    )
+    assert j_default < j_forced
+    assert j_default <= 4  # the eval-postings agg, never the probe
+    for r in regs:
+        D.release_caches(r)
+
+
+def test_zipped_token_grams_total_on_short_docs(spark):
+    """ADVICE r10: the shifted-slice helper must be TOTAL — a doc with
+    fewer than n-1 tokens used to produce a negative slice length
+    (Spark's slice throws on negative length), so any caller that
+    forgot the when(size>=n) guard got a runtime error. The clamp makes
+    short docs yield an empty array; existing guards stay purely
+    semantic gates."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "one two"), (4, "one two three")],
+        "doc_id long, text string",
+    )
+    # raw helper, deliberately WITHOUT the when(size>=n) guard
+    rows = (
+        df.select("doc_id", F.size(X.zipped_token_grams("text", 3)).alias("k"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [r.k for r in rows] == [0, 0, 0, 1]
+
+
+def test_tier2_guard_pin_released_via_cache_registry(spark):
+    """ADVICE r10: on the tier-2 guard PASS path the shingled frame
+    stays persisted (estimator + executed plan share one scan); the
+    caller must be able to release it via cache_registry +
+    release_caches instead of spark.catalog.clearCache()."""
+    # entirely-unique shingles: tier-1 bound P·(n−1)/2 = 60·9/2 = 270
+    # trips a cap of 100, but every shingle freq is 1 so the exact
+    # estimate is 0 — tier 2 runs and PASSES, pinning the frame.
+    rows = [
+        (i, f"a{i} b{i} c{i} d{i} e{i} f{i} g{i} h{i}") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    registry = []
+    pairs = D.ngram_jaccard_pairs(
+        df, "doc_id", max_candidate_pairs=100, cache_registry=registry
+    )
+    assert len(registry) == 1 and registry[0].is_cached
+    assert pairs.collect() == []  # no shared shingles → no pairs
+    D.release_caches(registry)
+    assert registry == []
+
+
 def test_minhash_lsh_dedup_removes_planted_dups(docs):
     kept = D.minhash_lsh_dedup(docs, "doc_id", verify_threshold=0.8)
     ids = sorted(r.doc_id for r in kept.collect())

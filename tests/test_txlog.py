@@ -1882,3 +1882,96 @@ def test_multi_key_equality_filter_unions_bloom_pruning(spark, root):
         .collect()
     )
     assert a == {100, 2100}
+
+
+# ------------------------------------------------ commit-protocol crash injection
+def test_crash_between_stage_and_claim_invisible_then_retry_wins(spark, root):
+    """VERDICT r10 ask #5 — protocol invariant: a writer killed at ANY
+    point before its exclusive-create version claim succeeds leaves NO
+    observable table state. Three crash points are injected in
+    sequence: (a) after staging bytes, before any manifest write; (b)
+    after the claim file is created, before a single byte lands
+    (zero-byte manifest); (c) after partial manifest bytes land (torn
+    JSON). In every state readers see only the committed head, and a
+    RETRIED commit of the same app transaction repairs the torn claim
+    and wins the version — exactly once (a further replay no-ops on its
+    app_txid)."""
+    t = TxTable(spark, root, torn_grace_seconds=0.0)
+    t.append(_docs(spark, range(6)))  # v0
+
+    # (a) crash after staging, before manifest write: the staged bytes
+    # exist on disk but no manifest references them
+    tx = t.begin(app_txid="job-42")
+    tx.append(_docs(spark, range(6, 10), tag="x"))
+    assert tx._staged_files(), "precondition: bytes were staged"
+    del tx  # the writer process vanishes — no commit(), no abort()
+    assert t.current_version() == 0
+    assert t.read().count() == 6
+
+    manifest_v1 = os.path.join(root, "_txlog", f"{1:020d}.json")
+
+    # (b) crash between fs.create(overwrite=False) and the first write:
+    # the claim exists as a ZERO-BYTE file
+    open(manifest_v1, "w").close()
+    assert t.current_version() == 0
+    assert t.read().count() == 6
+
+    # retried commit of the same app transaction: repairs the orphan
+    # claim and wins v1
+    tx2 = t.begin(app_txid="job-42")
+    tx2.append(_docs(spark, range(6, 10), tag="x"))
+    assert tx2.commit() == 1
+    assert t.read().count() == 10
+
+    # (c) crash mid-write: partial JSON bytes for v2
+    manifest_v2 = os.path.join(root, "_txlog", f"{2:020d}.json")
+    with open(manifest_v2, "w") as fh:
+        fh.write('{"version": 2, "op": "append", "files": [{"pa')
+    assert t.current_version() == 1
+    assert t.read().count() == 10
+
+    # an unrelated retried writer repairs and claims v2
+    assert t.append(_docs(spark, range(10, 12), tag="y")) == 2
+    assert t.read().count() == 12
+
+    # exactly-once: replaying app_txid "job-42" after all that still
+    # reports its original version and adds nothing
+    tx3 = t.begin(app_txid="job-42")
+    tx3.append(_docs(spark, range(6, 10), tag="x"))
+    assert tx3.commit() == 1
+    assert t.read().count() == 12
+
+
+def test_crash_after_claim_before_head_hint_commit_is_durable(spark, root):
+    """Protocol invariant, other side of the claim: once the exclusive
+    create of the manifest SUCCEEDS the commit is durable — a writer
+    killed before the advisory head-hint write must not hide it.
+    Injected by suppressing the hint write during one commit and
+    additionally clobbering the hint back to an older version: readers
+    probe forward from the stale hint and still see the head, and a
+    replay of the committed app_txid no-ops instead of double-applying."""
+    t = TxTable(spark, root)
+    t.append(_docs(spark, range(5)))  # v0, hint -> 0
+
+    real_hint = TxTable._write_head_hint
+    TxTable._write_head_hint = lambda self, version: None  # crash before hint
+    try:
+        tx = t.begin(app_txid="ingest-7")
+        tx.append(_docs(spark, range(5, 9), tag="b"))
+        assert tx.commit() == 1
+    finally:
+        TxTable._write_head_hint = real_hint
+
+    # the hint still says 0 (and may legitimately be stale forever)
+    with open(os.path.join(root, "_txlog", "_head_hint"), "w") as fh:
+        fh.write("0")
+    t2 = TxTable(spark, root)  # fresh handle, no warm caches
+    assert t2.current_version() == 1
+    assert t2.read().count() == 9
+
+    # exactly-once across the crash: the retried app transaction sees
+    # its prior commit and no-ops
+    tx2 = t2.begin(app_txid="ingest-7")
+    tx2.append(_docs(spark, range(5, 9), tag="b"))
+    assert tx2.commit() == 1
+    assert t2.read().count() == 9
