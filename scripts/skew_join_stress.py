@@ -1,0 +1,124 @@
+"""Skew-at-scale evidence for salted_equi_join (VERDICT r10 ask #4).
+
+Builds a zipf-ish skewed fact at sf1 scale — one pathological key
+holding ~20% of all rows, the rest spread over a 100k-key space — and
+joins it against a deliberately non-broadcastable 100k-row dimension
+three ways:
+
+  1. plain shuffle join, AQE off        — the hot key lands on ONE reducer
+  2. plain shuffle join, AQE skew-split — Spark's runtime mitigation
+  3. salted_equi_join, AQE off          — the explicit 100 TB tool
+
+For each variant it records wall time (noop-materialized) and the
+MAX/ median reducer load (rows per output partition via
+spark_partition_id(), AQE coalescing disabled where noted) — the
+quantity that decides whether one executor OOMs/straggles at 100 TB.
+
+Usage: python scripts/skew_join_stress.py [SF_DIR] [SALT_BUCKETS]
+Prints one line per variant + a SUMMARY; paste into SCALE.md.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.joins import (
+    salted_equi_join,
+)
+from aws_glue_redshift_datawarehouse_etl_pipeline_spark.session import get_spark
+
+HOT_SHARE = 0.2  # the pathological key's share of fact rows
+KEYSPACE = 100_000
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_sf1"
+    salt_buckets = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    spark = get_spark(app_name="skew-stress", cpus=32, shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    # deterministic zipf-ish key: xxhash64-gated 20% of rows collapse
+    # onto key 0; the rest spread uniformly over the keyspace
+    fact = li.select(
+        F.when(
+            F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(100))
+            < int(HOT_SHARE * 100),
+            F.lit(0),
+        )
+        .otherwise(F.pmod(F.xxhash64("l_partkey", "l_suppkey"), F.lit(KEYSPACE)))
+        .cast("long")
+        .alias("k"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").alias("qty"),
+    )
+    dim = spark.range(KEYSPACE).select(
+        F.col("id").alias("k"),
+        # ~200-byte payload so the 100k-row dim is deliberately fat;
+        # broadcast is additionally disabled below so the experiment
+        # exercises the shuffle-join path a 100 TB dim would take
+        F.concat(F.lit("payload_"), F.lpad(F.col("id").cast("string"), 192, "x")).alias(
+            "attrs"
+        ),
+    )
+    n_fact = fact.count()
+    hot = fact.filter(F.col("k") == 0).count()
+    print(f"fact rows={n_fact:,} hot-key rows={hot:,} ({hot / n_fact:.1%})")
+
+    def run(name, build, aqe, skew_split):
+        spark.catalog.clearCache()
+        spark.conf.set("spark.sql.adaptive.enabled", str(aqe).lower())
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", str(skew_split).lower())
+        # AQE's coalescer would merge small post-shuffle partitions and
+        # blur the per-reducer load reading; the skew experiment wants
+        # raw reducer occupancy (skew-split still operates when on)
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = build()
+        t0 = time.perf_counter()
+        joined.write.format("noop").mode("overwrite").save()
+        wall = time.perf_counter() - t0
+        loads = (
+            joined.groupBy(F.spark_partition_id().alias("p"))
+            .count()
+            .agg(
+                F.max("count").alias("mx"),
+                F.expr("percentile_approx(count, 0.5)").alias("med"),
+                F.count(F.lit(1)).alias("nparts"),
+            )
+            .collect()[0]
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        salted = "__salt" in plan
+        print(
+            f"{name}: wall={wall:.1f}s max_reducer_rows={loads['mx']:,} "
+            f"median_reducer_rows={loads['med']:,} parts={loads['nparts']} "
+            f"salt_in_plan={salted}"
+        )
+        return wall, loads["mx"]
+
+    plain = lambda: fact.join(dim, "k")  # noqa: E731
+    salted = lambda: salted_equi_join(  # noqa: E731
+        fact, dim, on=["k"], salt_buckets=salt_buckets
+    )
+    r_plain = run("plain_join_aqe_off", plain, aqe=False, skew_split=False)
+    r_skew = run("plain_join_aqe_skew_split", plain, aqe=True, skew_split=True)
+    r_salt = run(f"salted_join_{salt_buckets}_buckets_aqe_off", salted, aqe=False, skew_split=False)
+    print(
+        f"SUMMARY sf_dir={sf_dir} hot_share={hot / n_fact:.2f} "
+        f"salt_buckets={salt_buckets} "
+        f"max_reducer plain={r_plain[1]:,} skew_split={r_skew[1]:,} "
+        f"salted={r_salt[1]:,}"
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
