@@ -75,6 +75,20 @@ def main() -> int:
         spark.catalog.clearCache()
         spark.conf.set("spark.sql.adaptive.enabled", str(aqe).lower())
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", str(skew_split).lower())
+        if skew_split:
+            # AQE's skew detector is BYTE-gated with defaults tuned for
+            # cluster-scale partitions (256 MB threshold): a 1.35M-row
+            # local hot partition (~40 MB) never trips it, which is
+            # itself a finding — the runtime mitigation is inert below
+            # its byte floor. Scale the thresholds to this experiment's
+            # partition sizes so the variant measures the MECHANISM.
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+                "8MB",
+            )
+            spark.conf.set(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes", "4MB"
+            )
         # AQE's coalescer would merge small post-shuffle partitions and
         # blur the per-reducer load reading; the skew experiment wants
         # raw reducer occupancy (skew-split still operates when on)
@@ -84,24 +98,26 @@ def main() -> int:
         t0 = time.perf_counter()
         joined.write.format("noop").mode("overwrite").save()
         wall = time.perf_counter() - t0
-        loads = (
-            joined.groupBy(F.spark_partition_id().alias("p"))
-            .count()
-            .agg(
-                F.max("count").alias("mx"),
-                F.expr("percentile_approx(count, 0.5)").alias("med"),
-                F.count(F.lit(1)).alias("nparts"),
-            )
-            .collect()[0]
-        )
+        # per-TASK loads measured on the DataFrame's OWN query execution
+        # (a separate groupBy(spark_partition_id()) probe plans its own
+        # AQE run and was observed NOT to apply the skew split the real
+        # execution applied): .rdd reuses joined's queryExecution, so
+        # the partition sizes reflect exactly the tasks the measured run
+        # scheduled — including AQE's split sub-partitions.
+        sizes = joined.rdd.mapPartitions(
+            lambda it: iter([sum(1 for _ in it)])
+        ).collect()
         plan = joined._jdf.queryExecution().executedPlan().toString()
         salted = "__salt" in plan
+        split = "skew=true" in plan
+        mx = max(sizes)
+        med = sorted(sizes)[len(sizes) // 2]
         print(
-            f"{name}: wall={wall:.1f}s max_reducer_rows={loads['mx']:,} "
-            f"median_reducer_rows={loads['med']:,} parts={loads['nparts']} "
-            f"salt_in_plan={salted}"
+            f"{name}: wall={wall:.1f}s max_task_rows={mx:,} "
+            f"median_task_rows={med:,} tasks={len(sizes)} "
+            f"salt_in_plan={salted} aqe_skew_split_in_plan={split}"
         )
-        return wall, loads["mx"]
+        return wall, mx
 
     plain = lambda: fact.join(dim, "k")  # noqa: E731
     salted = lambda: salted_equi_join(  # noqa: E731
@@ -113,7 +129,7 @@ def main() -> int:
     print(
         f"SUMMARY sf_dir={sf_dir} hot_share={hot / n_fact:.2f} "
         f"salt_buckets={salt_buckets} "
-        f"max_reducer plain={r_plain[1]:,} skew_split={r_skew[1]:,} "
+        f"max_task_rows plain={r_plain[1]:,} skew_split={r_skew[1]:,} "
         f"salted={r_salt[1]:,}"
     )
     spark.stop()
