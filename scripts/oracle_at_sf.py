@@ -10,8 +10,10 @@ Usage:
 With no query names, runs a default set of window queries whose oracle
 SQL is cheap enough for DuckDB at sf0.1 (the heavy shingle / recursive
 CTE oracles stay at sf0.01 where the driver already checks them).
-Prints one line per query and a final SUMMARY line; exit code 1 on any
-mismatch.
+Prints one line per query and a final SUMMARY line (with a vacuous
+count); exit code 1 on any MISMATCH — or on any EMPTY (both engines
+zero rows: agreement, but it verified nothing at this sf) unless the
+query is named in $ORACLE_ALLOW_EMPTY (comma-separated).
 """
 
 from __future__ import annotations
