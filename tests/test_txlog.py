@@ -1975,3 +1975,123 @@ def test_crash_after_claim_before_head_hint_commit_is_durable(spark, root):
     tx2.append(_docs(spark, range(5, 9), tag="b"))
     assert tx2.commit() == 1
     assert t2.read().count() == 9
+
+
+# ------------------------------------------- randomized crash-point fuzz
+# env overrides let a deeper offline fuzz reuse this harness verbatim
+# (e.g. SPARK_GRAFT_CRASH_SEEDS=1,2,3,4 SPARK_GRAFT_CRASH_OPS=40), the
+# same convention as tests/test_txlog_model.py
+_CRASH_SEEDS = [
+    int(s)
+    for s in os.environ.get("SPARK_GRAFT_CRASH_SEEDS", "13,59").split(",")
+]
+_N_CRASH_OPS = int(os.environ.get("SPARK_GRAFT_CRASH_OPS", "16"))
+
+
+@pytest.mark.parametrize("seed", _CRASH_SEEDS)
+def test_random_crash_point_fuzz_protocol_invariants(spark, root, seed):
+    """Randomized interleaving of the commit-protocol crash points the
+    two deterministic tests above cover one at a time: writers vanish
+    after staging, leave zero-byte claim files, leave torn-JSON claims,
+    or commit without the advisory head hint — interleaved with clean
+    commits and exactly-once replays of already-committed app
+    transactions, in a seeded random order. After EVERY step the head
+    snapshot (same handle and, periodically, a cold fresh handle) must
+    equal the model of committed appends only, and at the end time
+    travel to every committed version must reproduce its recorded id
+    set. This is the protocol-level twin of the content-level model
+    fuzz in tests/test_txlog_model.py."""
+    import random
+
+    rng = random.Random(seed)
+    t = TxTable(spark, f"{root}_crashfuzz_{seed}", torn_grace_seconds=0.0)
+    t.append(_docs(spark, range(4)))  # v0
+
+    ids: set[int] = set(range(4))
+    next_id = 4
+    version = 0
+    by_version: dict[int, set[int]] = {0: set(ids)}
+    committed: dict[str, tuple[int, tuple[int, int]]] = {}  # txid -> (v, idrange)
+    log_dir = os.path.join(f"{root}_crashfuzz_{seed}", "_txlog")
+
+    def batch_range(k: int) -> tuple[int, int]:
+        nonlocal next_id
+        lo, hi = next_id, next_id + k
+        next_id = hi
+        return lo, hi
+
+    for step in range(_N_CRASH_OPS):
+        choices = ["stage_only", "zero_claim", "torn_json", "no_hint", "clean"]
+        if committed:
+            choices.append("replay")
+        action = rng.choice(choices)
+
+        if action == "stage_only":
+            # writer vanishes after staging bytes, before any manifest
+            tx = t.begin(app_txid=f"fz-{seed}-{step}")
+            lo, hi = batch_range(rng.randint(1, 3))
+            tx.append(_docs(spark, range(lo, hi), tag="x"))
+            assert tx._staged_files()
+            del tx  # no commit(), no abort()
+        elif action == "zero_claim":
+            # writer vanishes between the exclusive create and byte one
+            open(os.path.join(log_dir, f"{version + 1:020d}.json"), "w").close()
+        elif action == "torn_json":
+            # writer vanishes mid-manifest-write
+            with open(
+                os.path.join(log_dir, f"{version + 1:020d}.json"), "w"
+            ) as fh:
+                fh.write('{"version": %d, "op": "append", "files": [{"pa' % (version + 1))
+        elif action == "no_hint":
+            # commit succeeds but the writer dies before the advisory
+            # head hint lands; additionally clobber the hint backwards
+            txid = f"fz-{seed}-{step}"
+            lo, hi = batch_range(rng.randint(1, 3))
+            real_hint = TxTable._write_head_hint
+            TxTable._write_head_hint = lambda self, v: None
+            try:
+                tx = t.begin(app_txid=txid)
+                tx.append(_docs(spark, range(lo, hi), tag="h"))
+                got = tx.commit()
+            finally:
+                TxTable._write_head_hint = real_hint
+            version += 1
+            assert got == version, (step, action, got, version)
+            with open(os.path.join(log_dir, "_head_hint"), "w") as fh:
+                fh.write("0")
+            ids |= set(range(lo, hi))
+            by_version[version] = set(ids)
+            committed[txid] = (version, (lo, hi))
+        elif action == "clean":
+            txid = f"fz-{seed}-{step}"
+            lo, hi = batch_range(rng.randint(1, 3))
+            tx = t.begin(app_txid=txid)
+            tx.append(_docs(spark, range(lo, hi), tag="c"))
+            got = tx.commit()
+            version += 1
+            assert got == version, (step, action, got, version)
+            ids |= set(range(lo, hi))
+            by_version[version] = set(ids)
+            committed[txid] = (version, (lo, hi))
+        else:  # replay: exactly-once across every injected fault so far
+            txid = rng.choice(sorted(committed))
+            prior_v, (lo, hi) = committed[txid]
+            tx = t.begin(app_txid=txid)
+            tx.append(_docs(spark, range(lo, hi), tag="r"))
+            assert tx.commit() == prior_v, (step, txid)
+
+        # invariant: readers see exactly the committed state
+        assert t.current_version() == version, (step, action)
+        got_ids = {r.id for r in t.read().select("id").collect()}
+        assert got_ids == ids, (step, action)
+        if step % 5 == 4:
+            cold = TxTable(
+                spark, f"{root}_crashfuzz_{seed}", torn_grace_seconds=0.0
+            )
+            assert cold.current_version() == version, (step, action)
+            assert cold.read().count() == len(ids), (step, action)
+
+    # time travel reproduces every committed version despite the faults
+    for v in sorted(by_version):
+        got_ids = {r.id for r in t.read(version=v).select("id").collect()}
+        assert got_ids == by_version[v], v
