@@ -24,20 +24,28 @@ from aws_glue_redshift_datawarehouse_etl_pipeline_spark.streaming.windows import
 )
 
 
-def _source_fingerprint(df: DataFrame, order_col: str) -> str:
-    """Cheap content fingerprint of a staged source: row count + max of
-    the named column. Staged arrival batches replay ONLY while this
-    matches the marker — a marker keyed solely by the sf-dir basename
-    would silently replay stale batches after the testdata directory is
-    regenerated while the oracle reads the fresh data (VERDICT r10 nit
-    #1: a guaranteed future red driver row that looks like an engine
-    bug). One tiny agg job per staged-query call buys the guarantee."""
+def _source_fingerprint(df: DataFrame, order_col: str) -> tuple[str, object]:
+    """Content fingerprint of a staged source: row count + max of the
+    named column + an order-insensitive content hash (sum of per-row
+    ``xxhash64`` over ALL projected columns, summed as exact decimal so
+    ANSI-mode long overflow can never bite). Staged replicas replay
+    ONLY while this matches the marker — a marker keyed solely by the
+    sf-dir basename would silently replay stale batches after the
+    testdata directory is regenerated while the oracle reads the fresh
+    data (VERDICT r10 nit #1), and count+max alone is blind to
+    CONTENT-only regeneration (same ids and cardinality, different
+    payload), which replays just as stale. One tiny agg job per
+    staged-query call buys the guarantee. Returns ``(fingerprint,
+    max(order_col))`` so callers that need the max (the late-batch
+    splitter) share the same job."""
     from pyspark.sql import functions as F
 
     row = df.agg(
-        F.count(F.lit(1)).alias("n"), F.max(order_col).alias("m")
+        F.count(F.lit(1)).alias("n"),
+        F.max(order_col).alias("m"),
+        F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)")).alias("h"),
     ).collect()[0]
-    return f"{row['n']}:{row['m']}"
+    return f"{row['n']}:{row['m']}:{row['h']}", row["m"]
 
 
 def _marker_matches(marker: str, fingerprint: str) -> bool:
@@ -61,7 +69,7 @@ def _stage_events(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
     tag = os.path.basename(sf_dir.rstrip("/"))
     stage = os.path.join(tempfile.gettempdir(), f"engine_events_stage_{tag}")
     marker = os.path.join(stage, "_STAGED_FP")
-    fp = _source_fingerprint(ev, "ts")
+    fp, _ = _source_fingerprint(ev, "ts")
     if not _marker_matches(marker, fp):
         ev.write.mode("overwrite").parquet(stage)
         _write_marker(marker, fp)
@@ -130,7 +138,7 @@ def streaming_dedup_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(sf_dir.rstrip("/"))
     stage = os.path.join(tempfile.gettempdir(), f"engine_docs_fp_stage_{tag}")
     marker = os.path.join(stage, "_STAGED_FP")
-    fp = _source_fingerprint(docs, "doc_id")
+    fp, _ = _source_fingerprint(docs, "doc_id")
     if not _marker_matches(marker, fp):
         # several files → several micro-batches under maxFilesPerTrigger
         docs.repartition(4).write.mode("overwrite").parquet(stage)
@@ -162,9 +170,10 @@ def _stage_late_batches(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, st
     watermark late-data query (newest day first, then even-event_id
     stragglers, then odd stragglers one batch later; arrival order
     pinned via mtime). The marker carries the SOURCE DATA fingerprint
-    (count + max ts), not just the sf-dir name: regenerated testdata
-    re-stages instead of silently replaying stale batches against a
-    fresh oracle."""
+    (``_source_fingerprint``: count + max ts + content hash), not just
+    the sf-dir name: regenerated testdata — including content-only
+    regeneration at unchanged cardinality — re-stages instead of
+    silently replaying stale batches against a fresh oracle."""
     import glob
     import shutil
 
@@ -174,14 +183,10 @@ def _stage_late_batches(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, st
     tag = os.path.basename(sf_dir.rstrip("/"))
     stage = os.path.join(tempfile.gettempdir(), f"engine_events_late_{tag}")
     marker = os.path.join(stage, "_STAGED")
-    src = ev.agg(
-        F.count(F.lit(1)).alias("n"), F.max("ts").alias("m")
-    ).collect()[0]
-    fp = f"{src['n']}:{src['m']}"
+    fp, max_ts = _source_fingerprint(ev, "ts")
     if not _marker_matches(marker, fp):
         shutil.rmtree(stage, ignore_errors=True)
         os.makedirs(stage, exist_ok=True)
-        max_ts = src["m"]
         head = F.col("ts") >= F.lit(max_ts) - F.expr("interval 1 day")
         even = F.col("event_id") % 2 == 0
         now = int(__import__("time").time())
@@ -320,7 +325,7 @@ def streaming_running_source_counts(spark: SparkSession, sf_dir: str) -> DataFra
     tag = os.path.basename(sf_dir.rstrip("/"))
     stage = os.path.join(tempfile.gettempdir(), f"engine_docs_src_stage_{tag}")
     marker = os.path.join(stage, "_STAGED_FP")
-    fp = _source_fingerprint(docs, "doc_id")
+    fp, _ = _source_fingerprint(docs, "doc_id")
     if not _marker_matches(marker, fp):
         docs.repartition(4).write.mode("overwrite").parquet(stage)
         _write_marker(marker, fp)

@@ -151,11 +151,15 @@ def main() -> None:
         ],
     }
     # only surface per-query sample counts when a query missed a pass —
-    # the common all-passes-succeeded case stays one compact JSON line
+    # the common all-passes-succeeded case stays one compact JSON line.
+    # pass_query_counts goes with them: when passes cover different
+    # query subsets their totals aren't comparable as a hot-sitting
+    # signal, and that must be visible in the JSON, not silent.
     if any(n < n_passes for n in samples_per_query.values()):
         out["samples_per_query"] = {
             k: v for k, v in samples_per_query.items() if v < n_passes
         }
+        out["pass_query_counts"] = [len(p) for p in passes]
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

@@ -110,7 +110,9 @@ def main() -> int:
     # ORACLE_ALLOW_EMPTY) — zero-row agreement must not masquerade as
     # coverage.
     allow_empty = {
-        n for n in os.environ.get("ORACLE_ALLOW_EMPTY", "").split(",") if n
+        s
+        for n in os.environ.get("ORACLE_ALLOW_EMPTY", "").split(",")
+        if (s := n.strip())
     }
     bad = 0
     vacuous = 0

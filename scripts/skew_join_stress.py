@@ -9,10 +9,15 @@ three ways:
   2. plain shuffle join, AQE skew-split — Spark's runtime mitigation
   3. salted_equi_join, AQE off          — the explicit 100 TB tool
 
-For each variant it records wall time (noop-materialized) and the
-MAX/ median reducer load (rows per output partition via
-spark_partition_id(), AQE coalescing disabled where noted) — the
-quantity that decides whether one executor OOMs/straggles at 100 TB.
+For each variant it records wall time and the MAX / median reducer
+load (rows per final-plan task) — the quantity that decides whether
+one executor OOMs/straggles at 100 TB. All three readings come from
+ONE query execution per variant: an Arrow-batched per-partition count
+(mapInPandas — narrow, adds no shuffle, demands no partitioning) is
+collected and timed, and the executed plan is read from that same
+run, so under AQE the wall, the task loads, and the plan flags all
+describe the same runtime plan (a noop-write timing plus a separate
+sizes pass would be two executions that AQE may plan differently).
 
 Usage: python scripts/skew_join_stress.py [SF_DIR] [SALT_BUCKETS]
 Prints one line per variant + a SUMMARY; paste into SCALE.md.
@@ -95,19 +100,27 @@ def main() -> int:
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         joined = build()
+        # ONE execution measures everything (see module docstring): the
+        # Arrow-batched per-partition count rides on top of the join as
+        # a narrow stage — one output row per task, including AQE's
+        # split sub-partitions — so wall, task loads, and plan flags
+        # below all describe this single runtime plan. (A separate
+        # groupBy(spark_partition_id()) probe plans its own AQE run and
+        # was observed NOT to apply the skew split; a pickled .rdd count
+        # pushes every joined row through Python row-at-a-time.)
+        import pandas as pd
+
+        def _count_per_task(batches):
+            n = 0
+            for b in batches:
+                n += len(b)
+            yield pd.DataFrame({"n": [n]})
+
+        counted = joined.mapInPandas(_count_per_task, "n long")
         t0 = time.perf_counter()
-        joined.write.format("noop").mode("overwrite").save()
+        sizes = [r.n for r in counted.collect()]
         wall = time.perf_counter() - t0
-        # per-TASK loads measured on the DataFrame's OWN query execution
-        # (a separate groupBy(spark_partition_id()) probe plans its own
-        # AQE run and was observed NOT to apply the skew split the real
-        # execution applied): .rdd reuses joined's queryExecution, so
-        # the partition sizes reflect exactly the tasks the measured run
-        # scheduled — including AQE's split sub-partitions.
-        sizes = joined.rdd.mapPartitions(
-            lambda it: iter([sum(1 for _ in it)])
-        ).collect()
-        plan = joined._jdf.queryExecution().executedPlan().toString()
+        plan = counted._jdf.queryExecution().executedPlan().toString()
         salted = "__salt" in plan
         split = "skew=true" in plan
         mx = max(sizes)

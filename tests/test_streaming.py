@@ -270,9 +270,10 @@ def test_staged_batches_refresh_on_data_change(spark, tmp_path):
     sf_dir = str(tmp_path / "sfX")
     os.makedirs(sf_dir)
 
-    def write_events(n):
+    def write_events(n, vshift=0.0):
         rows = [
-            (i, i % 7, "click", float(i), f"2024-01-0{1 + i % 5} 0{i % 10}:00:00")
+            (i, i % 7, "click", float(i) + vshift,
+             f"2024-01-0{1 + i % 5} 0{i % 10}:00:00")
             for i in range(n)
         ]
         df = spark.createDataFrame(
@@ -309,3 +310,19 @@ def test_staged_batches_refresh_on_data_change(spark, tmp_path):
     assert [os.path.getmtime(b) for b in sorted(
         glob.glob(os.path.join(stage_l, "batch-*.parquet"))
     )] == mtimes
+
+    # CONTENT-only regeneration: same row count, same event_ids, same
+    # timestamps — only the value column changes. Count+max is blind to
+    # this; the content hash in the fingerprint must force a re-stage.
+    write_events(80, vshift=1000.0)
+    _, _ = QS._stage_events(spark, sf_dir)
+    staged_vals = {r.value for r in spark.read.parquet(stage).collect()}
+    assert min(staged_vals) >= 1000.0, "content-only change replayed stale staging"
+    _, _ = QS._stage_late_batches(spark, sf_dir)
+    late_vals = {
+        r.value
+        for r in spark.read.parquet(
+            *sorted(glob.glob(os.path.join(stage_l, "batch-*.parquet")))
+        ).collect()
+    }
+    assert min(late_vals) >= 1000.0, "content-only change replayed stale late batches"
