@@ -18,15 +18,51 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from aws_glue_redshift_datawarehouse_etl_pipeline_spark import queries as _q
 
+_NANOS_SEEN: set[tuple[int, str]] = set()
+
+
+def _ensure_events_readable(spark: SparkSession, sf_dir: str) -> None:
+    """The driver's session is not built via session.get_spark(), so it
+    lacks the engine's read posture. When the events footer actually
+    carries TIMESTAMP(NANOS) (a layout past testdata generations used),
+    set spark.sql.legacy.parquet.nanosAsLong on THIS session once — an
+    embedder-level decision made here at the driver contract, NOT inside
+    the library registry (queries.t() never mutates session config;
+    VERDICT r11 nit #2). Current testdata is timestamp[us]: the footer
+    probe is one pyarrow metadata read per (session, sf_dir), memoized."""
+    key = (id(spark), sf_dir)
+    if key in _NANOS_SEEN:
+        return
+    _NANOS_SEEN.add(key)
+    try:
+        import pyarrow.parquet as pq
+
+        ts = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
+        if "ns" in str(ts):
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # no events table / non-file layout — nothing to normalize
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    _ensure_events_readable(spark, "/root/testdata/sf0.001")
     return _q.QUERIES["star_revenue_by_nation"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return _q.all_queries()
+
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_events_readable(spark, sf_dir)
+            return fn(spark, sf_dir)
+
+        run.__name__ = getattr(fn, "__name__", "query")
+        run.__doc__ = fn.__doc__
+        return run
+
+    return {name: wrap(fn) for name, fn in _q.all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -519,13 +519,49 @@ def simhash_table(
 
 
 def simhash_near_dup_pairs(
-    df: DataFrame, id_col: str, text_col: str = "text", bands: int = 4,
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    bands: int = 4,
     portable: bool = False,
+    max_bucket_size: int | None = None,
+    max_candidate_pairs: int | None = 100_000_000,
+    cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs by SimHash band collision: split the
     hash bits into ``bands`` equal bands; docs equal in any band are
     candidates (any pair at Hamming distance < bands is guaranteed to
-    collide in some band)."""
+    collide in some band).
+
+    The band self-join generates f·(f−1)/2 join rows per (band, bucket)
+    with f docs, so a boilerplate-heavy corpus — thousands of docs whose
+    simhash agrees in some band — goes near-quadratic in that hot
+    bucket. Same protection family as ``ngram_jaccard_pairs``
+    (VERDICT r11 ask #4):
+
+    ``max_bucket_size`` drops (band, bucket) groups larger than the
+    cap before the join. Recall tradeoff, documented: a pair whose ONLY
+    colliding band sits in a dropped bucket is lost — but a bucket that
+    hot means those docs are boilerplate-identical in that band, the
+    regime where exact dedup or MinHash-LSH (whose verify step is
+    candidates-first) is the right tool anyway.
+
+    ``max_candidate_pairs`` is the default-on refusal rail, two-tiered
+    like the ngram guard: tier 1 is an O(1)-job pre-check — with n docs
+    every bucket satisfies f ≤ n, so join rows ≤ bands·n·(n−1)/2; when
+    that loose bound clears the cap the estimator never runs (the
+    common small-corpus call pays one count, no simhash recompute).
+    Tier 2 persists the banded frame (estimator and executed plan share
+    one simhash computation; pass ``cache_registry`` + call
+    ``release_caches`` after the final action, as with the ngram guard)
+    and computes the exact bound Σ f·(f−1)/2 over post-cap bucket
+    sizes, refusing with every escape hatch named when it exceeds the
+    cap. The default is 100M, not the ngram family's 50M: a true
+    near-dup pair collides in up to ``bands`` bands before the final
+    ``distinct``, so the same corpus measures ~``bands``× the join rows
+    of a single-index design (sf1's natural corpus: 13.65M distinct
+    pairs ≈ 55M join rows — a legitimate answer 32 cores return in
+    ~77 s, which a 50M cap would refuse)."""
     width = (60 if portable else 64) // bands
     sh = simhash_table(df, id_col, text_col, portable=portable)
     banded = sh.select(
@@ -542,6 +578,39 @@ def simhash_near_dup_pairs(
             )
         ).alias("band", "bucket"),
     )
+    if max_candidate_pairs is not None:
+        n = df.count()
+        if bands * n * max(n - 1, 0) / 2 <= max_candidate_pairs:
+            max_candidate_pairs = None
+        else:
+            banded = banded.persist()
+            if cache_registry is not None:
+                cache_registry.append(banded)
+    if max_bucket_size is not None or max_candidate_pairs is not None:
+        freq = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("f"))
+        if max_bucket_size is not None:
+            freq = freq.filter(F.col("f") <= max_bucket_size)
+            banded = banded.join(freq.select("band", "bucket"), ["band", "bucket"])
+        if max_candidate_pairs is not None:
+            est = freq.agg(
+                F.coalesce(
+                    F.sum(F.col("f") * (F.col("f") - 1) / 2), F.lit(0.0)
+                ).alias("p")
+            ).collect()[0]["p"]
+            if est > max_candidate_pairs:
+                banded.unpersist(blocking=False)
+                raise ValueError(
+                    f"simhash_near_dup_pairs: the band self-join would generate "
+                    f"~{int(est):,} join rows (Σ f·(f−1)/2 over (band, bucket) "
+                    f"sizes), above max_candidate_pairs={max_candidate_pairs:,}. "
+                    f"A bucket this hot means many documents are "
+                    f"boilerplate-identical in some band. Either set "
+                    f"max_bucket_size (currently {max_bucket_size!r}) to drop "
+                    f"hot buckets (documented recall tradeoff), run exact dedup "
+                    f"or minhash_lsh_dedup first to collapse the boilerplate "
+                    f"mass, or pass max_candidate_pairs=None to run the "
+                    f"quadratic knowingly."
+                )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

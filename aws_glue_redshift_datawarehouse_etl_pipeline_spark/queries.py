@@ -68,15 +68,30 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # The events table's physical ts layout has varied across testdata
         # generations; normalize every variant to a session-tz TIMESTAMP
         # here so no query or test re-rolls the conversion.
-        #   - TIMESTAMP(NANOS): the vectorized reader rejects it; read
-        #     nanos as long and rebuild a microsecond timestamp with
-        #     integer arithmetic (double division loses precision > 2^53).
+        #   - TIMESTAMP(NANOS): requires spark.sql.legacy.parquet.
+        #     nanosAsLong=true at the session (set in session.py::
+        #     get_spark, the engine's session posture; __spark_entry__
+        #     applies it to foreign driver sessions when the footer
+        #     actually carries nanos). A registry read must NOT mutate
+        #     session config itself (VERDICT r11 nit #2) — an embedder's
+        #     shared session keeps its own legacy flags. Nanos arrive as
+        #     long; rebuild a microsecond timestamp with integer
+        #     arithmetic (double division loses precision > 2^53).
         #   - timestamp[us] (no tz): Spark 4 infers TIMESTAMP_NTZ, which
         #     unix_millis/unix_micros reject; cast to TIMESTAMP — the
         #     session tz is UTC (session.py) so wall-clock values are
         #     unchanged and the DuckDB oracle sees identical instants.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        try:
+            df = spark.read.parquet(path)
+        except Exception as ex:  # noqa: BLE001 — rethrown unless nanos
+            if "NANOS" not in str(ex):
+                raise
+            raise RuntimeError(
+                f"{path} stores TIMESTAMP(NANOS); build the session with "
+                "session.get_spark() (which sets spark.sql.legacy.parquet."
+                "nanosAsLong=true) or set that conf on your own session — "
+                "the query registry does not mutate session config."
+            ) from ex
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))

@@ -43,6 +43,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Read parquet TIMESTAMP(NANOS) columns as long (queries.t()
+        # rebuilds a microsecond timestamp with integer arithmetic).
+        # Session-level posture, NOT a per-read mutation: a registry
+        # read never flips legacy flags on an embedder's shared session
+        # (VERDICT r11 nit #2).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     # Opt-in JVM Avro codec (spark-avro is not bundled with pyspark):
     # set SPARK_GRAFT_AVRO_JARS=1 to pull the package so from_avro/

@@ -99,9 +99,9 @@ def main() -> None:
     # cost and one-off contention spikes. The three per-pass totals are
     # reported alongside so a hot sitting is visible in the artifact.
     passes: list[dict[str, float]] = []
-    errors: dict[str, str] = {}
+    errors: dict[str, list[str]] = {}
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
-    for _ in range(n_passes):
+    for pass_no in range(n_passes):
         pass_timings: dict[str, float] = {}
         for name in names:
             # errored queries are retried in later passes (a transient
@@ -123,7 +123,12 @@ def main() -> None:
                 ).save()
                 pass_timings[name] = time.perf_counter() - start
             except Exception as exc:  # noqa: BLE001 — bench must always emit JSON
-                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                # keep EVERY pass's failure mode: a transient pass-1 OOM
+                # followed by a real pass-2 bug must not lose the first
+                # record (ADVICE r11)
+                errors.setdefault(name, []).append(
+                    f"pass {pass_no + 1}: {type(exc).__name__}: {exc}"[:500]
+                )
         passes.append(pass_timings)
     timings = {
         name: round(statistics.median(samples), 4)
@@ -136,8 +141,11 @@ def main() -> None:
         if (n := sum(1 for p in passes if name in p))
     }
     # a query that succeeded in at least one pass is a measurement, not
-    # an error — keep only queries that failed in EVERY pass in `errors`
-    errors = {k: v for k, v in errors.items() if k not in timings}
+    # an error — keep only queries that failed in EVERY pass in `errors`,
+    # with all per-pass failure modes joined into one record
+    errors = {
+        k: " | ".join(v) for k, v in errors.items() if k not in timings
+    }
     total = round(sum(timings.values()), 4)
     out = {
         "metric": "headline_queries_total",

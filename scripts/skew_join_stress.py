@@ -80,6 +80,11 @@ def main() -> int:
         spark.catalog.clearCache()
         spark.conf.set("spark.sql.adaptive.enabled", str(aqe).lower())
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", str(skew_split).lower())
+        # reset the byte thresholds the skew_split variant overrides so
+        # no variant inherits them from an earlier one — correctness of
+        # the comparison must not depend on variant order (ADVICE r11)
+        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+        spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
         if skew_split:
             # AQE's skew detector is BYTE-gated with defaults tuned for
             # cluster-scale partitions (256 MB threshold): a 1.35M-row

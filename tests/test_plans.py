@@ -419,3 +419,17 @@ def test_q20_shape_grouped_quantity_consumed_twice(spark, sf_dir):
     assert s.count("InMemoryTableScan") == 2
     assert "BroadcastHashJoin" in s
     assert "BroadcastNestedLoopJoin" not in s and "CartesianProduct" not in s
+
+
+def test_registry_reads_never_mutate_session_config(spark):
+    """VERDICT r11 nit #2: queries.t() must not flip session-wide flags
+    as a read side effect. The nanosAsLong posture lives in
+    session.get_spark (asserted on the test session, which get_spark
+    built); t()'s source carries no conf.set — grep-level pin so the
+    mutation cannot quietly return."""
+    import inspect
+
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark import queries as q
+
+    assert "conf.set" not in inspect.getsource(q.t)
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"

