@@ -578,12 +578,13 @@ def simhash_near_dup_pairs(
             )
         ).alias("band", "bucket"),
     )
+    pinned: DataFrame | None = None
     if max_candidate_pairs is not None:
         n = df.count()
         if bands * n * max(n - 1, 0) / 2 <= max_candidate_pairs:
             max_candidate_pairs = None
         else:
-            banded = banded.persist()
+            banded = pinned = banded.persist()
             if cache_registry is not None:
                 cache_registry.append(banded)
     if max_bucket_size is not None or max_candidate_pairs is not None:
@@ -598,7 +599,11 @@ def simhash_near_dup_pairs(
                 ).alias("p")
             ).collect()[0]["p"]
             if est > max_candidate_pairs:
-                banded.unpersist(blocking=False)
+                # unpersist the PINNED frame, not the current binding —
+                # the max_bucket_size filter may have rebound `banded`
+                # to an unpersisted derivative
+                if pinned is not None:
+                    pinned.unpersist(blocking=False)
                 raise ValueError(
                     f"simhash_near_dup_pairs: the band self-join would generate "
                     f"~{int(est):,} join rows (Σ f·(f−1)/2 over (band, bucket) "

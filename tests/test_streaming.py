@@ -330,3 +330,45 @@ def test_staged_batches_refresh_on_data_change(spark, tmp_path):
         ).collect()
     }
     assert min(late_vals) >= 1000.0, "content-only change replayed stale late batches"
+
+
+def test_source_fingerprint_memoized_on_stat_signature(spark, tmp_path):
+    """ADVICE r11: four streaming queries staging the same source must
+    scan+hash it once per process — the fingerprint memoizes on the
+    source files' (size, mtime_ns) stat signature — while any rewrite
+    (new mtimes) still recomputes, so the cache can never serve a stale
+    fingerprint for changed data."""
+    import os
+
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark import (
+        queries_streaming as QS,
+    )
+
+    src = str(tmp_path / "events.parquet")
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "event_id long, value double")
+    df.write.mode("overwrite").parquet(src)
+    read = lambda: spark.read.parquet(src)  # noqa: E731
+
+    before = len(QS._FP_CACHE)
+    fp1 = QS._source_fingerprint(read(), "event_id", cache_path=src)
+    assert len(QS._FP_CACHE) == before + 1
+    # second call with an EQUIVALENT frame: served from the cache
+    # (no new entry, identical value)
+    fp2 = QS._source_fingerprint(read(), "event_id", cache_path=src)
+    assert fp2 == fp1 and len(QS._FP_CACHE) == before + 1
+
+    # rewrite with different content: stat signature changes, the agg
+    # reruns, and the fingerprint differs
+    spark.createDataFrame(
+        [(1, 10.0), (2, 99.0)], "event_id long, value double"
+    ).write.mode("overwrite").parquet(src)
+    fp3 = QS._source_fingerprint(read(), "event_id", cache_path=src)
+    assert fp3[0] != fp1[0]
+    assert len(QS._FP_CACHE) == before + 2
+
+    # a DIFFERENT projection of the same files is a different cache key
+    fp4 = QS._source_fingerprint(
+        read().select("event_id"), "event_id", cache_path=src
+    )
+    assert fp4[0] != fp3[0]
+    assert len(QS._FP_CACHE) == before + 3
