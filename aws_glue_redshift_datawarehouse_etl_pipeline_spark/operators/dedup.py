@@ -558,10 +558,15 @@ def simhash_near_dup_pairs(
     sizes, refusing with every escape hatch named when it exceeds the
     cap. The default is 100M, not the ngram family's 50M: a true
     near-dup pair collides in up to ``bands`` bands before the final
-    ``distinct``, so the same corpus measures ~``bands``× the join rows
-    of a single-index design (sf1's natural corpus: 13.65M distinct
-    pairs ≈ 55M join rows — a legitimate answer 32 cores return in
-    ~77 s, which a 50M cap would refuse)."""
+    ``distinct``, so a boilerplate-identical cluster costs ``bands``×
+    its pair count in join rows. Measured on the natural word-shuffle
+    corpus (r12): sf1 (50k docs) est 14.49M join rows → 13.65M
+    distinct pairs (avg ~1.06 colliding bands); sf2 (100k docs) est
+    58.18M → 54.66M pairs, a legitimate answer 16 cores return in
+    ~105 s, which a 50M cap would refuse. Bucket count holds at ~6k
+    while occupancy doubles, so est grows ~4× per doubling — the
+    default refuses this corpus shape from ~130k docs up, exactly the
+    regime where the answer itself goes quadratic."""
     width = (60 if portable else 64) // bands
     sh = simhash_table(df, id_col, text_col, portable=portable)
     banded = sh.select(

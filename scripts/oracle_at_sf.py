@@ -115,6 +115,11 @@ def main() -> int:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "24g")
         .config("spark.ui.enabled", "false")
+        # engine read posture (session.py::get_spark sets the same):
+        # queries.t() no longer mutates session config per-read, so a
+        # session that reads a TIMESTAMP(NANOS) events layout must
+        # carry the flag itself
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
