@@ -622,16 +622,37 @@ def simhash_near_dup_pairs(
                     f"quadratic knowingly."
                 )
     a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .distinct()
+    joined = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc") < F.col("b.doc")),
     )
+    if max_bucket_size is None:
+        # A pair colliding in k bands appears k times in the join; the
+        # naive dedup is a global `.distinct()` — a WIDE SHUFFLE of
+        # every join row (est 58M at sf2's natural corpus). Both full
+        # hashes ride the banded frame, so instead keep each pair only
+        # at its FIRST colliding band: a pure bitwise codegen filter
+        # inside the join stage emits every pair exactly once and the
+        # dedup shuffle disappears. Only valid when no bucket was
+        # dropped — under max_bucket_size a pair whose first colliding
+        # band sits in a dropped bucket must still surface via a later
+        # surviving band, so the capped path keeps the distinct.
+        def _band_at(h, j: int):
+            return F.shiftright(h, j * width).bitwiseAND(F.lit((1 << width) - 1))
+
+        first_collide = F.lit(bands - 1)
+        for j in range(bands - 2, -1, -1):
+            first_collide = F.when(
+                _band_at(F.col("a.h"), j) == _band_at(F.col("b.h"), j), F.lit(j)
+            ).otherwise(first_collide)
+        return joined.filter(F.col("a.band") == first_collide).select(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+        )
+    return joined.select(
+        F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+    ).distinct()
 
 
 def dot_exact(x: Column, y: Column) -> Column:

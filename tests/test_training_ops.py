@@ -375,6 +375,30 @@ def test_simhash_bucket_cap_bounds_output(boilerplate_docs):
     assert {(r.doc_a, r.doc_b) for r in pairs} == {(100, 101)}
 
 
+def test_simhash_first_collide_band_equals_distinct_path(boilerplate_docs):
+    """The default (no bucket cap) path dedups multi-band collisions
+    with a first-colliding-band FILTER instead of a global distinct —
+    a pure codegen predicate in the join stage replacing a wide
+    shuffle of every join row. The 40 hash-identical boilerplate docs
+    collide in ALL 4 bands (the maximal multi-band case), so set
+    equality against the distinct-based path (max_bucket_size huge →
+    nothing dropped, distinct retained) proves exactly-once emission;
+    the executed plans pin that the filter path carries no
+    doc_a-keyed dedup aggregate while the distinct path does (the
+    aggregate, not its exchange, is the stable marker — AQE may
+    coalesce or elide the shuffle at test partition sizes)."""
+    fc = D.simhash_near_dup_pairs(boilerplate_docs, "doc_id")
+    di = D.simhash_near_dup_pairs(boilerplate_docs, "doc_id", max_bucket_size=10**9)
+    a = sorted((r.doc_a, r.doc_b) for r in fc.collect())
+    b = sorted((r.doc_a, r.doc_b) for r in di.collect())
+    assert a == b
+    assert len(a) == 780 + 1  # C(40,2) boilerplate pairs + planted pair
+    fc_plan = fc._jdf.queryExecution().executedPlan().toString()
+    di_plan = di._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate(keys=[doc_a" not in fc_plan
+    assert "HashAggregate(keys=[doc_a" in di_plan
+
+
 def test_simhash_guard_default_passes_and_is_exact(docs):
     """Under the bound, the default-on guard must not change the
     candidate set: identical pairs with and without the guard."""
