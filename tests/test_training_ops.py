@@ -375,6 +375,28 @@ def test_simhash_bucket_cap_bounds_output(boilerplate_docs):
     assert {(r.doc_a, r.doc_b) for r in pairs} == {(100, 101)}
 
 
+def test_simhash_first_collide_randomized_corpus_equals_distinct(spark):
+    """Randomized partial-band collisions (the fixture above covers the
+    maximal all-bands case): 60 docs drawn from a 12-word vocab with
+    heavy repetition produce pairs colliding in 1..4 bands; the
+    first-collide filter path and the distinct path must emit the
+    identical pair set for every seed."""
+    import random
+
+    for seed in (3, 17, 92):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(12)]
+        docs = spark.createDataFrame(
+            [(i, " ".join(rng.choices(vocab, k=rng.randint(8, 20)))) for i in range(60)],
+            "doc_id long, text string",
+        )
+        fc = D.simhash_near_dup_pairs(docs, "doc_id", max_candidate_pairs=None)
+        di = D.simhash_near_dup_pairs(docs, "doc_id", max_bucket_size=10**9)
+        a = sorted((r.doc_a, r.doc_b) for r in fc.collect())
+        b = sorted((r.doc_a, r.doc_b) for r in di.collect())
+        assert a == b and a, seed
+
+
 def test_simhash_first_collide_band_equals_distinct_path(boilerplate_docs):
     """The default (no bucket cap) path dedups multi-band collisions
     with a first-colliding-band FILTER instead of a global distinct —
