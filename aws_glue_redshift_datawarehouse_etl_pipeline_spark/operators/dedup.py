@@ -337,22 +337,65 @@ def minhash_lsh_pairs(
     portable: bool = False,
     cache: bool = True,
     eager_cache: bool = True,
+    max_bucket_size: int | None = None,
+    max_candidate_pairs: int | None = 100_000_000,
     cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: split the signature into ``bands`` bands of
     ``num_hashes/bands`` rows; documents sharing any band hash are
-    candidates. One shuffle on (band_index, band_hash). Pairs are
-    deduplicated across bands.
+    candidates. One shuffle on (band_index, band_hash). A pair sharing
+    k bands appears k times in the self-join; on the default path each
+    pair is kept only at its FIRST colliding band — a pure codegen
+    filter over the per-doc band-bucket array both join rows carry, so
+    no global ``.distinct()`` shuffle of the join output (same
+    technique as ``simhash_near_dup_pairs``, proven there in r12). The
+    filter compares the exact bucket values the join matched on, so
+    emission is exactly-once by construction, md5 collisions included.
+
+    The band self-join generates f·(f−1)/2 join rows per (band, bucket)
+    with f docs, so a boilerplate-heavy corpus — thousands of docs with
+    identical signatures in some band — goes near-quadratic in that hot
+    bucket. Same two-tier protection as ``simhash_near_dup_pairs``:
+
+    ``max_bucket_size`` drops (band, bucket) groups larger than the cap
+    before the join. Recall tradeoff, documented: a pair whose ONLY
+    colliding band sits in a dropped bucket is lost — but a bucket that
+    hot means those docs are boilerplate-identical in that band, the
+    regime where ``exact_dedup`` should run first anyway. Under the cap
+    a pair whose first colliding band was dropped must still surface
+    via a later surviving band, so the capped path keeps the
+    ``.distinct()``.
+
+    ``max_candidate_pairs`` is the default-on refusal rail: tier 1 is
+    an O(1)-job pre-check — with n docs every bucket satisfies f ≤ n,
+    so join rows ≤ bands·n·(n−1)/2; when that loose bound clears the
+    cap the estimator never runs (the common small-corpus call pays at
+    most one count). Tier 2 computes the exact bound Σ f·(f−1)/2 over
+    post-cap bucket sizes and refuses with every escape hatch named
+    when it exceeds the cap; the banded frame feeding the estimator is
+    recomputed from the signature cache when ``cache=True`` (cheap:
+    posexplode + ``bands`` md5s per doc) and persisted otherwise. The
+    default cap is 100M for the same reason as SimHash's: a true
+    near-dup pair costs up to ``bands``× its count in join rows.
 
     Persisted intermediates are appended to ``cache_registry`` when
     given; a long-lived session should pass a list and unpersist its
     entries after the final action on the returned frame (see
     ``release_caches``) — otherwise the signature cache stays pinned in
     executor storage until the session ends."""
+    if bands < 1:
+        raise ValueError(f"bands must be >= 1, got {bands}")
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
+    if rows < 1:
+        raise ValueError(
+            f"num_hashes={num_hashes} with bands={bands} leaves zero signature "
+            f"rows per band — every document would share every (empty) band "
+            f"bucket and the self-join would be all-pairs."
+        )
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, n, portable)
+    n_docs: int | None = None
     if cache:
         # both sides of the self-join read the same banded frame; the
         # signature aggregation doesn't canonicalize to a reused
@@ -368,32 +411,91 @@ def minhash_lsh_pairs(
             # (3-5x run-to-run swings). The eager pass costs one extra
             # read of the pipeline but makes first-run latency
             # predictable; benchmarks that amortize over best-of-N may
-            # pass eager_cache=False to skip it.
-            sigs.count()
+            # pass eager_cache=False to skip it. The count doubles as
+            # the guard's tier-1 doc count (tighter than df.count():
+            # docs with no shingles produce no banded rows).
+            n_docs = sigs.count()
+    # the per-doc band-bucket array rides the banded frame so the
+    # first-collide filter can compare ALL bands' buckets on a join row
     banded = sigs.select(
         "doc",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.md5(
-                    F.concat_ws(
-                        ",", F.transform(F.slice("sig", b * rows + 1, rows), lambda x: x.cast("string"))
-                    )
-                ),
-            )
-        ).alias("band", "bucket"),
-    )
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.md5(
+                F.concat_ws(
+                    ",", F.transform(F.slice("sig", b * rows + 1, rows), lambda x: x.cast("string"))
+                )
+            ),
+        ).alias("bks"),
+    ).select("doc", "bks", F.posexplode("bks").alias("band", "bucket"))
+    pinned: DataFrame | None = None
+    if max_candidate_pairs is not None:
+        if n_docs is None:
+            n_docs = df.count()
+        if bands * n_docs * max(n_docs - 1, 0) / 2 <= max_candidate_pairs:
+            max_candidate_pairs = None
+        elif not cache:
+            # estimator + executed plan must share one signature
+            # computation; with cache=True the sigs cache already
+            # provides that and re-deriving banded from it is cheap
+            banded = pinned = banded.persist()
+            if cache_registry is not None:
+                cache_registry.append(banded)
+    if max_bucket_size is not None or max_candidate_pairs is not None:
+        freq = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("f"))
+        if max_bucket_size is not None:
+            freq = freq.filter(F.col("f") <= max_bucket_size)
+            banded = banded.join(freq.select("band", "bucket"), ["band", "bucket"])
+        if max_candidate_pairs is not None:
+            est = freq.agg(
+                F.coalesce(
+                    F.sum(F.col("f") * (F.col("f") - 1) / 2), F.lit(0.0)
+                ).alias("p")
+            ).collect()[0]["p"]
+            if est > max_candidate_pairs:
+                if pinned is not None:
+                    pinned.unpersist(blocking=False)
+                raise ValueError(
+                    f"minhash_lsh_pairs: the band self-join would generate "
+                    f"~{int(est):,} join rows (Σ f·(f−1)/2 over (band, bucket) "
+                    f"sizes), above max_candidate_pairs={max_candidate_pairs:,}. "
+                    f"A bucket this hot means many documents share identical "
+                    f"MinHash signatures in some band — boilerplate mass. Either "
+                    f"set max_bucket_size (currently {max_bucket_size!r}) to "
+                    f"drop hot buckets (documented recall tradeoff), run "
+                    f"exact_dedup first to collapse the boilerplate mass, or "
+                    f"pass max_candidate_pairs=None to run the quadratic "
+                    f"knowingly."
+                )
     a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .distinct()
+    joined = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc") < F.col("b.doc")),
     )
+    if max_bucket_size is None:
+        # Keep each pair only at its first colliding band: the join
+        # matched a.bucket == b.bucket at this row's band, and the two
+        # bks arrays hold the SAME md5 values the other bands' join
+        # rows matched on, so `a.band == min{j: a.bks[j] == b.bks[j]}`
+        # selects exactly one of a pair's k join rows — set-identical
+        # to the old global `.distinct()` with no wide shuffle of the
+        # join output. Only valid when no bucket was dropped — under
+        # max_bucket_size a pair whose first colliding band sat in a
+        # dropped bucket must still surface via a later surviving band,
+        # so the capped path below keeps the distinct.
+        first_collide = F.lit(bands - 1)
+        for j in range(bands - 2, -1, -1):
+            first_collide = F.when(
+                F.col("a.bks")[j] == F.col("b.bks")[j], F.lit(j)
+            ).otherwise(first_collide)
+        return joined.filter(F.col("a.band") == first_collide).select(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+        )
+    return joined.select(
+        F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+    ).distinct()
 
 
 def minhash_lsh_dedup(
@@ -407,6 +509,8 @@ def minhash_lsh_dedup(
     portable: bool = False,
     transitive: bool = False,
     eager_cache: bool = True,
+    max_bucket_size: int | None = None,
+    max_candidate_pairs: int | None = 100_000_000,
     cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Near-dup removal: LSH candidates (optionally verified with true
@@ -422,13 +526,19 @@ def minhash_lsh_dedup(
     component — cluster-level semantics at the cost of O(diameter)
     label-propagation rounds over the (tiny) candidate graph.
 
+    ``max_bucket_size`` / ``max_candidate_pairs`` pass through to
+    ``minhash_lsh_pairs`` (hot-bucket drop + two-tier quadratic-join
+    refusal rail — see there for semantics and recall tradeoffs).
+
     Pass ``cache_registry`` (a list) to receive every persisted
     intermediate; call ``release_caches`` on it after the final action
     on the returned frame so a long-lived session doesn't accumulate
     pinned signature/pair caches."""
     pairs = minhash_lsh_pairs(
         df, id_col, text_col, num_hashes, bands, n, portable,
-        eager_cache=eager_cache, cache_registry=cache_registry,
+        eager_cache=eager_cache, max_bucket_size=max_bucket_size,
+        max_candidate_pairs=max_candidate_pairs,
+        cache_registry=cache_registry,
     )
     if verify_threshold is not None:
         # Verify ONLY the LSH candidates, and shingle ONLY the docs that
@@ -557,9 +667,12 @@ def simhash_near_dup_pairs(
     and computes the exact bound Σ f·(f−1)/2 over post-cap bucket
     sizes, refusing with every escape hatch named when it exceeds the
     cap. The default is 100M, not the ngram family's 50M: a true
-    near-dup pair collides in up to ``bands`` bands before the final
-    ``distinct``, so a boilerplate-identical cluster costs ``bands``×
-    its pair count in join rows. Measured on the natural word-shuffle
+    near-dup pair collides in up to ``bands`` bands in the self-join,
+    so a boilerplate-identical cluster costs ``bands``× its pair count
+    in join rows (the per-pair multiplicity is then shed by the
+    first-colliding-band filter on the default path; a dedup
+    ``distinct`` survives only on the ``max_bucket_size``-capped
+    path). Measured on the natural word-shuffle
     corpus (r12): sf1 (50k docs) est 14.49M join rows → 13.65M
     distinct pairs (avg ~1.06 colliding bands); sf2 (100k docs) est
     58.18M → 54.66M pairs, a legitimate answer 16 cores return in
@@ -567,7 +680,18 @@ def simhash_near_dup_pairs(
     while occupancy doubles, so est grows ~4× per doubling — the
     default refuses this corpus shape from ~130k docs up, exactly the
     regime where the answer itself goes quadratic."""
-    width = (60 if portable else 64) // bands
+    nbits = 60 if portable else 64
+    if bands < 1:
+        raise ValueError(f"bands must be >= 1, got {bands}")
+    width = nbits // bands
+    if width < 1:
+        # bands > nbits makes every band slice zero bits wide: every
+        # document shares every (empty) band and the self-join is
+        # all-pairs with a vacuous first-collide filter. Fail fast.
+        raise ValueError(
+            f"bands={bands} exceeds the {nbits}-bit hash width — each band "
+            f"must cover at least one bit (bands <= {nbits})."
+        )
     sh = simhash_table(df, id_col, text_col, portable=portable)
     banded = sh.select(
         "doc",

@@ -5,8 +5,15 @@ SimHash, IVF) that the driver only rows-checks."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
+
+# matches HashAggregate/SortAggregate/ObjectHashAggregate keyed on
+# doc_a — the stable marker of a pair-dedup aggregate in an executed
+# plan, robust to Spark picking a different aggregate flavor
+_DEDUP_AGG = re.compile(r"aggregate\(keys=\[doc_a", re.IGNORECASE)
 
 from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators import dedup as D
 from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators import multimodal as M
@@ -417,8 +424,11 @@ def test_simhash_first_collide_band_equals_distinct_path(boilerplate_docs):
     assert len(a) == 780 + 1  # C(40,2) boilerplate pairs + planted pair
     fc_plan = fc._jdf.queryExecution().executedPlan().toString()
     di_plan = di._jdf.queryExecution().executedPlan().toString()
-    assert "HashAggregate(keys=[doc_a" not in fc_plan
-    assert "HashAggregate(keys=[doc_a" in di_plan
+    # any aggregate flavor keyed on doc_a is the dedup marker — Spark
+    # may plan distinct as Hash/Sort/ObjectHashAggregate depending on
+    # version/config, so pin the aggregate kind loosely (ADVICE r12)
+    assert not _DEDUP_AGG.search(fc_plan)
+    assert _DEDUP_AGG.search(di_plan)
 
 
 def test_simhash_guard_default_passes_and_is_exact(docs):
@@ -448,6 +458,130 @@ def test_simhash_guard_cache_registry_releases(boilerplate_docs):
     pinned = registry[0]
     D.release_caches(registry)
     assert not pinned.is_cached and not registry
+
+
+def test_minhash_candidate_guard_refuses_boilerplate_corpus(boilerplate_docs):
+    """VERDICT r12 ask #2: the MinHash band self-join has the same
+    quadratic hot-bucket failure mode as SimHash's (42 docs, 40
+    signature-identical → Σ f·(f−1)/2 = 4·(780+1) = 3124 join rows);
+    the default-on guard must refuse before the join runs and name
+    every escape hatch."""
+    with pytest.raises(ValueError, match="max_candidate_pairs"):
+        D.minhash_lsh_pairs(
+            boilerplate_docs, "doc_id", max_candidate_pairs=100
+        ).collect()
+    try:
+        D.minhash_lsh_pairs(
+            boilerplate_docs, "doc_id", max_candidate_pairs=100
+        ).collect()
+    except ValueError as ex:
+        msg = str(ex)
+        assert "max_bucket_size" in msg and "exact_dedup" in msg
+        assert "max_candidate_pairs=None" in msg
+
+
+def test_minhash_bucket_cap_bounds_output(boilerplate_docs):
+    """max_bucket_size drops the hot (band, bucket) groups before the
+    join: the boilerplate mass (40 signature-identical docs × 4 hot
+    buckets) contributes zero pairs, the planted cold pair survives,
+    and the post-cap estimate passes a bound the uncapped corpus
+    trips."""
+    pairs = D.minhash_lsh_pairs(
+        boilerplate_docs, "doc_id", max_bucket_size=10, max_candidate_pairs=100
+    ).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(100, 101)}
+
+
+def test_minhash_first_collide_band_equals_distinct_path(boilerplate_docs):
+    """The default (no bucket cap) path dedups multi-band collisions
+    with a first-colliding-band FILTER over the per-doc band-bucket
+    arrays instead of a global distinct — the filter compares the SAME
+    md5 bucket values the join matched on, so emission is exactly-once
+    by construction. The 40 signature-identical boilerplate docs
+    collide in ALL 4 bands (maximal multiplicity); set equality
+    against the distinct-based path (max_bucket_size huge → nothing
+    dropped, distinct retained) proves it, and the executed plans pin
+    that the filter path carries no doc_a-keyed dedup aggregate while
+    the distinct path does."""
+    fc = D.minhash_lsh_pairs(boilerplate_docs, "doc_id")
+    di = D.minhash_lsh_pairs(boilerplate_docs, "doc_id", max_bucket_size=10**9)
+    a = sorted((r.doc_a, r.doc_b) for r in fc.collect())
+    b = sorted((r.doc_a, r.doc_b) for r in di.collect())
+    assert a == b
+    assert len(a) == 780 + 1  # C(40,2) boilerplate pairs + planted pair
+    fc_plan = fc._jdf.queryExecution().executedPlan().toString()
+    di_plan = di._jdf.queryExecution().executedPlan().toString()
+    assert not _DEDUP_AGG.search(fc_plan)
+    assert _DEDUP_AGG.search(di_plan)
+
+
+def test_minhash_first_collide_randomized_corpus_equals_distinct(spark):
+    """Randomized partial-band collisions: 60 docs drawn from a
+    12-word vocab with heavy repetition produce signature agreement in
+    1..4 bands, plus one planted identical pair (all-bands case,
+    guarantees non-vacuity for every seed); the first-collide filter
+    path and the distinct path must emit the identical pair set."""
+    import random
+
+    for seed in (3, 17, 92):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(12)]
+        rows = [
+            (i, " ".join(rng.choices(vocab, k=rng.randint(8, 20))))
+            for i in range(60)
+        ]
+        rows += [(1000, BASE), (1001, BASE)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        fc = D.minhash_lsh_pairs(docs, "doc_id", max_candidate_pairs=None)
+        di = D.minhash_lsh_pairs(docs, "doc_id", max_bucket_size=10**9)
+        a = sorted((r.doc_a, r.doc_b) for r in fc.collect())
+        b = sorted((r.doc_a, r.doc_b) for r in di.collect())
+        assert a == b and (1000, 1001) in a, seed
+
+
+def test_minhash_guard_default_passes_and_is_exact(docs):
+    """Under the bound, the default-on guard must not change the
+    candidate set: identical pairs with and without the guard."""
+    guarded = D.minhash_lsh_pairs(docs, "doc_id")
+    unguarded = D.minhash_lsh_pairs(docs, "doc_id", max_candidate_pairs=None)
+    a = sorted((r.doc_a, r.doc_b) for r in guarded.collect())
+    b = sorted((r.doc_a, r.doc_b) for r in unguarded.collect())
+    assert a == b and a  # non-vacuous
+
+
+def test_minhash_guard_cache_registry_releases(boilerplate_docs):
+    """When tier 2 runs WITHOUT the signature cache (cache=False), the
+    estimator pins the banded frame so the executed plan shares one
+    signature computation; the caller-supplied registry must receive
+    it so release_caches can drop it after the final action."""
+    registry: list = []
+    pairs = D.minhash_lsh_pairs(
+        boilerplate_docs,
+        "doc_id",
+        cache=False,
+        max_bucket_size=10,
+        max_candidate_pairs=100,
+        cache_registry=registry,
+    )
+    assert pairs.count() == 1
+    assert len(registry) == 1 and registry[0].is_cached
+    pinned = registry[0]
+    D.release_caches(registry)
+    assert not pinned.is_cached and not registry
+
+
+def test_band_width_entry_guards(docs):
+    """ADVICE r12: degenerate band counts must fail fast instead of
+    silently planning an all-pairs join (zero-bit SimHash bands / a
+    zero-row MinHash band make every bucket collide)."""
+    with pytest.raises(ValueError, match="bands"):
+        D.simhash_near_dup_pairs(docs, "doc_id", bands=0)
+    with pytest.raises(ValueError, match="at least one bit"):
+        D.simhash_near_dup_pairs(docs, "doc_id", bands=100)
+    with pytest.raises(ValueError, match="bands"):
+        D.minhash_lsh_pairs(docs, "doc_id", bands=0)
+    with pytest.raises(ValueError, match="zero signature"):
+        D.minhash_lsh_pairs(docs, "doc_id", num_hashes=0, bands=4)
 
 
 @pytest.fixture(scope="module")
