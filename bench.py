@@ -19,6 +19,25 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from aws_glue_redshift_datawarehouse_etl_pipeline_spark import queries as q
 from aws_glue_redshift_datawarehouse_etl_pipeline_spark.session import get_spark
 
+# BASELINE.md's sitting-qualification rule ("a sitting qualifies ...
+# only when its warm passes agree"): pass 1 carries whole-stage-codegen
+# JIT, so agreement is judged on passes 2..n. Historical calibration:
+# qualifying sittings read 2-7% warm spread, host-noise sittings 25%+
+# (BENCH_r12 = 25%, disqualified by the judge at adjudication cost —
+# VERDICT r12 ask #3 is this flag). 10% splits the two populations.
+WARM_SPREAD_QUALIFY = 0.10
+
+
+def warm_pass_spread(pass_totals: list[float]) -> float | None:
+    """Relative spread (max-min)/min of the warm pass totals (all but
+    the first). None when fewer than two warm totals exist — a 1- or
+    2-pass sitting carries no agreement evidence."""
+    warm = pass_totals[1:]
+    if len(warm) < 2 or min(warm) <= 0:
+        return None
+    return (max(warm) - min(warm)) / min(warm)
+
+
 BENCH_QUERIES = [
     # relational / star-schema core
     "pricing_summary",
@@ -147,6 +166,15 @@ def main() -> None:
         k: " | ".join(v) for k, v in errors.items() if k not in timings
     }
     total = round(sum(timings.values()), 4)
+    # sitting self-qualification (VERDICT r12 ask #3): spread is
+    # computed over totals restricted to queries present in EVERY pass,
+    # so a query that missed a pass can't skew the comparison; a
+    # sitting whose warm passes disagree beyond the threshold is a
+    # host-noise sitting by BASELINE.md's own rule and says so in the
+    # artifact instead of leaving the judgment to the reader.
+    common = [name for name in names if all(name in p for p in passes)]
+    comparable_totals = [sum(p[n] for n in common) for p in passes]
+    spread = warm_pass_spread(comparable_totals)
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -157,6 +185,8 @@ def main() -> None:
         "pass_totals": [
             round(sum(p.values()), 4) for p in passes
         ],
+        "warm_spread": round(spread, 4) if spread is not None else None,
+        "qualifies": spread is not None and spread <= WARM_SPREAD_QUALIFY,
     }
     # only surface per-query sample counts when a query missed a pass —
     # the common all-passes-succeeded case stays one compact JSON line.
