@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from aws_glue_redshift_datawarehouse_etl_pipeline_spark import queries as _q
 
-_NANOS_SEEN: set[tuple[int, str]] = set()
+_NANOS_SEEN: set[tuple[str, str]] = set()
 
 
 def _ensure_events_readable(spark: SparkSession, sf_dir: str) -> None:
@@ -29,8 +29,12 @@ def _ensure_events_readable(spark: SparkSession, sf_dir: str) -> None:
     embedder-level decision made here at the driver contract, NOT inside
     the library registry (queries.t() never mutates session config;
     VERDICT r11 nit #2). Current testdata is timestamp[us]: the footer
-    probe is one pyarrow metadata read per (session, sf_dir), memoized."""
-    key = (id(spark), sf_dir)
+    probe is one pyarrow metadata read per (session, sf_dir), memoized
+    on applicationId — stable for a session's lifetime and never
+    reused, unlike id(spark), whose address a garbage-collected session
+    can hand to a new one and silently skip its probe (VERDICT r12
+    nit #3)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key in _NANOS_SEEN:
         return
     _NANOS_SEEN.add(key)
