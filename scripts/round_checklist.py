@@ -1,0 +1,185 @@
+"""One-command runner for the standing per-round verification
+checklist (COVERAGE.md, promoted to a script by VERDICT r12 ask #5):
+
+    1. full pytest suite           (must be 0 failed)
+    2. driver-contract replay      (fresh process, sf0.01, all
+                                    oracle-backed queries exact=True,
+                                    zero vacuous)
+    3. full-registry sweep at sf1  (scripts/oracle_at_sf.py ALL;
+                                    generates /tmp/scale_sf1 first if
+                                    missing or stale)
+    4. bench                       (sf0.1, 3-pass median; the sitting
+                                    self-reports qualification via the
+                                    warm-spread flag — a non-qualifying
+                                    sitting is host noise, not a FAIL)
+
+Usage:
+    python scripts/round_checklist.py            # run all four
+    python scripts/round_checklist.py suite bench  # a subset
+    python scripts/round_checklist.py --dry-run  # print the plan only
+
+Prints one PASS/FAIL table at the end. Exit 0 iff every selected step
+passed (bench NOISE — ran clean but didn't qualify — exits 3 so a
+caller can distinguish "re-run bench" from "something is broken").
+Total runtime for the full list is ~45-50 min, dominated by the suite.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# step 2, verbatim from .claude/skills/verify surface 1, with an exit
+# code: a fresh process importing __spark_entry__ on a RAW session
+# (exercising the footer-gated nanos posture), every oracle-backed
+# query compared against DuckDB, failing on any mismatch or vacuous
+# (0-row) agreement.
+_DRIVER_REPLAY = """
+import sys
+import __spark_entry__ as e
+from pyspark.sql import SparkSession
+import duckdb
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.sql.shuffle.partitions","8")
+         .config("spark.sql.session.timeZone","UTC")
+         .config("spark.ui.enabled","false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+t1 = len(e.entry(spark).collect())
+print("t1 rows:", t1)
+sf = "/root/testdata/sf0.01"
+con = duckdb.connect()
+for n in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {n} AS SELECT * FROM read_parquet('{sf}/{n}.parquet')")
+bad = []
+checked = 0
+for name, fn in sorted(e.queries().items()):
+    sdf = fn(spark, sf).toPandas()
+    sql = e.oracle_sql().get(name)
+    if sql is None:
+        print(f"  {name}: rows-only {len(sdf)}"); continue
+    odf = con.execute(sql).fetch_df()
+    cols = sorted(sdf.columns)
+    a = sdf[cols].sort_values(by=cols, ignore_index=True)
+    b = odf[cols].sort_values(by=cols, ignore_index=True)
+    ok = len(a)==len(b) and all(a[c].tolist()==b[c].tolist() for c in cols)
+    checked += 1
+    if not ok or len(a) == 0:
+        bad.append(name)
+    print(f"  {name}: rows {len(sdf)}/{len(odf)} exact={ok}")
+print(f"checked={checked} bad={bad}")
+sys.exit(1 if (bad or t1 <= 0 or checked == 0) else 0)
+"""
+
+
+def _run(cmd: list[str], **kw) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        cmd, cwd=REPO, text=True, capture_output=True, **kw
+    )
+
+
+def _tail(proc: subprocess.CompletedProcess, lines: int = 12) -> str:
+    out = (proc.stdout or "") + (proc.stderr or "")
+    return "\n".join(out.strip().splitlines()[-lines:])
+
+
+def step_suite() -> tuple[str, str]:
+    proc = _run([sys.executable, "-m", "pytest", "tests/", "-q"])
+    summary = _tail(proc, 2).splitlines()[-1] if proc.stdout else ""
+    return ("PASS" if proc.returncode == 0 else "FAIL", summary or _tail(proc))
+
+
+def step_driver() -> tuple[str, str]:
+    proc = _run([sys.executable, "-"], input=_DRIVER_REPLAY)
+    lines = [l for l in (proc.stdout or "").splitlines() if l.startswith("checked=")]
+    return ("PASS" if proc.returncode == 0 else "FAIL",
+            lines[-1] if lines else _tail(proc))
+
+
+def step_sf1() -> tuple[str, str]:
+    scale_dir = os.environ.get("ROUND_CHECKLIST_SF1_DIR", "/tmp/scale_sf1")
+    marker = os.path.join(scale_dir, "lineitem.parquet")
+    stale = not os.path.exists(marker) or (
+        os.path.getmtime(marker)
+        < os.path.getmtime("/root/testdata/sf0.1/lineitem.parquet")
+    )
+    if stale:
+        gen = _run([sys.executable, "scripts/make_scale_data.py", "10", scale_dir])
+        if gen.returncode != 0:
+            return ("FAIL", "make_scale_data: " + _tail(gen))
+    proc = _run([sys.executable, "scripts/oracle_at_sf.py", scale_dir, "ALL"])
+    lines = [l for l in (proc.stdout or "").splitlines() if l.startswith("SUMMARY")]
+    return ("PASS" if proc.returncode == 0 else "FAIL",
+            lines[-1] if lines else _tail(proc))
+
+
+def step_bench() -> tuple[str, str]:
+    proc = _run([sys.executable, "bench.py"])
+    payload = None
+    for line in (proc.stdout or "").splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                payload = json.loads(line)
+            except ValueError:
+                pass
+    if proc.returncode != 0 or payload is None:
+        return ("FAIL", _tail(proc))
+    detail = (
+        f"total={payload.get('value')}s qualifies={payload.get('qualifies')} "
+        f"warm_spread={payload.get('warm_spread')} "
+        f"pass_totals={payload.get('pass_totals')}"
+    )
+    if payload.get("errors"):
+        return ("FAIL", f"errors={sorted(payload['errors'])} {detail}")
+    # a clean run that doesn't qualify is a host-noise sitting by
+    # BASELINE.md's rule: surface it as NOISE (re-run), not FAIL
+    return ("PASS" if payload.get("qualifies") else "NOISE", detail)
+
+
+STEPS = {
+    "suite": ("full pytest suite", step_suite),
+    "driver": ("driver-contract replay @ sf0.01", step_driver),
+    "sf1": ("full-registry oracle sweep @ sf1", step_sf1),
+    "bench": ("bench @ sf0.1 (3-pass median)", step_bench),
+}
+
+
+def main(argv: list[str]) -> int:
+    dry = "--dry-run" in argv
+    names = [a for a in argv if not a.startswith("-")]
+    unknown = [n for n in names if n not in STEPS]
+    if unknown:
+        print(f"unknown steps {unknown}; available: {list(STEPS)}")
+        return 2
+    selected = names or list(STEPS)
+    if dry:
+        for name in selected:
+            print(f"would run {name}: {STEPS[name][0]}")
+        return 0
+    results: list[tuple[str, str, str, float]] = []
+    for name in selected:
+        title, fn = STEPS[name]
+        print(f"== {name}: {title} ...", flush=True)
+        t0 = time.perf_counter()
+        status, detail = fn()
+        results.append((name, status, detail, time.perf_counter() - t0))
+        print(f"   {status} ({results[-1][3]:.0f}s) {detail}", flush=True)
+    width = max(len(n) for n, *_ in results)
+    print("\n== round checklist ==")
+    for name, status, detail, secs in results:
+        print(f"{name:<{width}}  {status:<5}  {secs:7.0f}s  {detail}")
+    if any(s == "FAIL" for _, s, _, _ in results):
+        return 1
+    if any(s == "NOISE" for _, s, _, _ in results):
+        return 3
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
