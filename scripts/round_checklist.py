@@ -77,10 +77,21 @@ sys.exit(1 if (bad or t1 <= 0 or checked == 0) else 0)
 """
 
 
-def _run(cmd: list[str], **kw) -> subprocess.CompletedProcess:
-    return subprocess.run(
+def _run(cmd: list[str], log_name: str | None = None, **kw) -> subprocess.CompletedProcess:
+    proc = subprocess.run(
         cmd, cwd=REPO, text=True, capture_output=True, **kw
     )
+    # full step output is evidence (e.g. the sf1 sweep log becomes the
+    # round's ORACLE_SCALE artifact): dump it when a log dir is set
+    log_dir = os.environ.get("ROUND_CHECKLIST_LOG_DIR")
+    if log_dir and log_name:
+        os.makedirs(log_dir, exist_ok=True)
+        with open(os.path.join(log_dir, log_name), "w") as fh:
+            fh.write(proc.stdout or "")
+            if proc.stderr:
+                fh.write("\n==== stderr ====\n")
+                fh.write(proc.stderr)
+    return proc
 
 
 def _tail(proc: subprocess.CompletedProcess, lines: int = 12) -> str:
@@ -89,13 +100,13 @@ def _tail(proc: subprocess.CompletedProcess, lines: int = 12) -> str:
 
 
 def step_suite() -> tuple[str, str]:
-    proc = _run([sys.executable, "-m", "pytest", "tests/", "-q"])
+    proc = _run([sys.executable, "-m", "pytest", "tests/", "-q"], log_name="suite.log")
     summary = _tail(proc, 2).splitlines()[-1] if proc.stdout else ""
     return ("PASS" if proc.returncode == 0 else "FAIL", summary or _tail(proc))
 
 
 def step_driver() -> tuple[str, str]:
-    proc = _run([sys.executable, "-"], input=_DRIVER_REPLAY)
+    proc = _run([sys.executable, "-"], log_name="driver_replay.log", input=_DRIVER_REPLAY)
     lines = [l for l in (proc.stdout or "").splitlines() if l.startswith("checked=")]
     return ("PASS" if proc.returncode == 0 else "FAIL",
             lines[-1] if lines else _tail(proc))
@@ -112,14 +123,14 @@ def step_sf1() -> tuple[str, str]:
         gen = _run([sys.executable, "scripts/make_scale_data.py", "10", scale_dir])
         if gen.returncode != 0:
             return ("FAIL", "make_scale_data: " + _tail(gen))
-    proc = _run([sys.executable, "scripts/oracle_at_sf.py", scale_dir, "ALL"])
+    proc = _run([sys.executable, "scripts/oracle_at_sf.py", scale_dir, "ALL"], log_name="oracle_sf1.log")
     lines = [l for l in (proc.stdout or "").splitlines() if l.startswith("SUMMARY")]
     return ("PASS" if proc.returncode == 0 else "FAIL",
             lines[-1] if lines else _tail(proc))
 
 
 def step_bench() -> tuple[str, str]:
-    proc = _run([sys.executable, "bench.py"])
+    proc = _run([sys.executable, "bench.py"], log_name="bench.log")
     payload = None
     for line in (proc.stdout or "").splitlines():
         line = line.strip()
