@@ -471,8 +471,13 @@ def minhash_lsh_pairs(
                 ).alias("p")
             ).collect()[0]["p"]
             if est > max_candidate_pairs:
+                # release every frame this call pinned: the raise means
+                # the caller never gets a handle to act on (the
+                # cache_registry contract covers the success path)
                 if pinned is not None:
                     pinned.unpersist(blocking=False)
+                if cache:
+                    sigs.unpersist(blocking=False)
                 raise ValueError(
                     f"minhash_lsh_pairs: the band self-join would generate "
                     f"~{int(est):,} join rows (Σ f·(f−1)/2 over (band, bucket) "
@@ -495,7 +500,7 @@ def minhash_lsh_pairs(
     if max_bucket_size is None:
         # Keep each pair only at its first colliding band: the join
         # matched a.bucket == b.bucket at this row's band, and the two
-        # bks arrays hold the SAME md5 values the other bands' join
+        # bks arrays hold the SAME bucket hashes the other bands' join
         # rows matched on, so `a.band == min{j: a.bks[j] == b.bks[j]}`
         # selects exactly one of a pair's k join rows — set-identical
         # to the old global `.distinct()` with no wide shuffle of the

@@ -478,6 +478,15 @@ def test_minhash_candidate_guard_refuses_boilerplate_corpus(boilerplate_docs):
         msg = str(ex)
         assert "max_bucket_size" in msg and "exact_dedup" in msg
         assert "max_candidate_pairs=None" in msg
+    # the raise must release every frame the call pinned — the caller
+    # never gets a handle to act on (registry contract is success-path)
+    registry: list = []
+    with pytest.raises(ValueError):
+        D.minhash_lsh_pairs(
+            boilerplate_docs, "doc_id", max_candidate_pairs=100,
+            cache_registry=registry,
+        ).collect()
+    assert registry and all(not f.is_cached for f in registry)
 
 
 def test_minhash_bucket_cap_bounds_output(boilerplate_docs):
