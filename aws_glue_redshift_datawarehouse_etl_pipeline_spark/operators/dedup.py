@@ -375,7 +375,8 @@ def minhash_lsh_pairs(
     post-cap bucket sizes and refuses with every escape hatch named
     when it exceeds the cap; the banded frame feeding the estimator is
     recomputed from the signature cache when ``cache=True`` (cheap:
-    posexplode + ``bands`` md5s per doc) and persisted otherwise. The
+    posexplode + ``bands`` band hashes per doc) and persisted
+    otherwise. The
     default cap is 100M for the same reason as SimHash's: a true
     near-dup pair costs up to ``bands``× its count in join rows.
 
