@@ -783,7 +783,18 @@ def minhash_lsh_dedup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs → Jaccard ≥ 0.8 verification → min-id survivor
     anti-join) is reproduced in the oracle SQL, so the exact survivor
     set is cross-engine checked. Production runs use the xxhash64 fast
-    path (`minhash_lsh_dedup_documents`, rows-only)."""
+    path (`minhash_lsh_dedup_documents`, rows-only).
+
+    Bucket-key caveat (since r13, ADVICE r13): the engine's portable
+    band buckets are 60-bit md5-PREFIX longs (compact shuffle rows),
+    while this oracle joins on the full 128-bit md5 hex of the same
+    slice. The candidate sets are identical modulo 60-bit-prefix
+    collisions — an engine-only candidate the oracle never generates —
+    so survivor EXACT-ness additionally rests on the Jaccard ≥ 0.8
+    verify filtering any such pair (a false candidate is overwhelmingly
+    a non-duplicate). Same negligible collision class the 60-bit
+    portable signatures themselves already rest on; empirically EXACT
+    at sf1 (49,758/49,758)."""
     return D.minhash_lsh_dedup(
         t(spark, sf_dir, "documents"), "doc_id", "text",
         verify_threshold=0.8, portable=True,
@@ -1603,7 +1614,12 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     the result is oracle-exact; the cap is what keeps the verification
     harness from becoming the workload at scale (the sf1 decade
     measured the unguarded pass at 290 s for 20k vectors — quadratic,
-    SCALE.md)."""
+    SCALE.md).
+
+    Since r14 this query is registry-only (the correctness gate); the
+    BENCHED row is ``semantic_dedup_production`` — this one's
+    three-pipeline structure measures the verification harness, not
+    the operator (VERDICT r13 ask #3)."""
     emb = t(spark, sf_dir, "embeddings")
     n = emb.count()
     caches: list[DataFrame] = []
@@ -1647,6 +1663,41 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.withColumn("bucketed_superset_ok", F.lit(superset_ok))
         .orderBy("vec_id")
     )
+
+
+@query("semantic_dedup_production")
+def semantic_dedup_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION SemDedup pipeline alone (operators/dedup.py::
+    semantic_dedup): one bucketed dedup of the full corpus with
+    corpus-scaled buckets (n/125 centroids, probe 2) — the exact
+    configuration a 100 TB run would use. This is the BENCHED row for
+    the semantic-dedup family (VERDICT r13 ask #3): the former benched
+    row, ``semantic_dedup_survivors``, runs THREE pipelines (production
+    + exact-verify + bucketed-verify with interleaved persists), so its
+    wall-clock measured the verification harness — maximally sensitive
+    to ambient memory pressure — rather than the operator. That query
+    keeps the DuckDB oracle and the exact-vs-bucketed superset
+    invariant as a registry-only correctness gate; this one measures
+    the operator.
+
+    Rows-only by design (like the xxhash64 fast-path twins): the
+    bucketed survivor set depends on the coarse-quantizer centroid
+    assignment, which has no tractable SQL spelling. Its correctness
+    twin ``semantic_dedup_survivors`` is window-green (oracle-exact
+    survivors at sf0.01 and the bucketed-superset invariant exercised
+    end-to-end at every size)."""
+    emb = t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    caches: list[DataFrame] = []
+    out = D.semantic_dedup(
+        emb, threshold=0.4, num_buckets=max(4, n // 125), probe=2,
+        refine_rounds=0, cache_registry=caches,
+    ).select("vec_id").persist()
+    # materialize the (tiny, id-only) survivors eagerly so the heavy
+    # norm/assignment caches release BEFORE the caller's action
+    out.count()
+    D.release_caches(caches)
+    return out.orderBy("vec_id")
 
 
 @query(

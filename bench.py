@@ -27,6 +27,62 @@ from aws_glue_redshift_datawarehouse_etl_pipeline_spark.session import get_spark
 # VERDICT r12 ask #3 is this flag). 10% splits the two populations.
 WARM_SPREAD_QUALIFY = 0.10
 
+# Absolute load canary (VERDICT r13 ask #2). The warm-spread rule has a
+# sustained-load blind spot: steady external load inflates every pass
+# uniformly, so warm passes still agree (BENCH_r13: 98.8 s = 2.54x
+# baseline with 8% spread, certified `qualifies: true`). The canary is a
+# trivially small, never-touched query pinned to its BASELINE.md r10
+# median; a sitting whose canary median exceeds the inflation threshold
+# is running under ambient load regardless of spread, and must not
+# qualify. 1.3x splits the populations: calm sittings historically read
+# the canary at 0.8-1.2x its median, the BENCH_r13 load sitting at 4.2x,
+# and the r13 "calm-window" sittings the judge scored at 1.45x overall
+# read untouched short queries 1.2-1.4x. The canary basis is sf0.1-only
+# (BASELINE.md's table is sf0.1); at any other SF there is no pinned
+# basis and qualification stays spread-only, with canary fields null.
+CANARY_QUERY = "top_orders_by_value"
+CANARY_BASELINE_SF01 = 0.17  # BASELINE.md "THE judging baseline" table
+CANARY_INFLATED_RATIO = 1.3
+
+# Hypervisor steal-time cross-check (r14). The "ambient load" that
+# inflated r12-r13 sittings is CPU STEAL: /proc/stat col 8 — cycles the
+# hypervisor denied this VM while its vCPUs were runnable. It is
+# invisible to loadavg and process listings (the r13 adjudication saw
+# "loadavg 1-3.8 with zero VM processes") and it is ~0% on an idle VM
+# even when the co-tenant is busy, because an idle vCPU is never
+# runnable — so only a measurement DURING the workload detects it.
+# Measured this round: 0.0-0.2% over idle windows, 16.9% during a probe
+# window whose sitting read ~1.4x baseline. A sitting that was denied
+# more than STEAL_INFLATED of its CPU is contended regardless of what
+# the warm spread or even the canary says (sustained steal keeps warm
+# passes in agreement — the exact BENCH_r13 blind spot).
+STEAL_INFLATED = 0.05
+
+
+def read_proc_stat() -> tuple[int, int] | None:
+    """(steal_jiffies, total_jiffies) from /proc/stat, None off-Linux."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(v) for v in parts[1:9]]
+    except (OSError, ValueError, IndexError):
+        return None
+    if len(vals) < 8:
+        return None
+    return vals[7], sum(vals)
+
+
+def steal_fraction(
+    before: tuple[int, int] | None, after: tuple[int, int] | None
+) -> float | None:
+    """Fraction of CPU time stolen between two read_proc_stat snapshots."""
+    if before is None or after is None:
+        return None
+    dsteal, dtotal = after[0] - before[0], after[1] - before[1]
+    if dtotal <= 0:
+        return None
+    return dsteal / dtotal
+
 
 def warm_pass_spread(pass_totals: list[float]) -> float | None:
     """Relative spread (max-min)/min of the warm pass totals (all but
@@ -36,6 +92,41 @@ def warm_pass_spread(pass_totals: list[float]) -> float | None:
     if len(warm) < 2 or min(warm) <= 0:
         return None
     return (max(warm) - min(warm)) / min(warm)
+
+
+def sitting_verdict(
+    spread: float | None,
+    canary_ratio: float | None,
+    canary_required: bool,
+    steal_pct: float | None = None,
+) -> tuple[bool, bool | None]:
+    """(qualifies, load_inflated) for a sitting.
+
+    ``spread``, ``canary_ratio`` and ``steal_pct`` are the ROUNDED
+    values that are emitted in the artifact, so a reader recomputing
+    from the JSON always agrees with the flags (ADVICE r13: the old
+    code judged the unrounded spread, so ``warm_spread: 0.1`` could
+    print alongside ``qualifies: false``).
+
+    ``canary_required`` is True exactly when the sitting runs at the
+    judged SF (0.1) — there the sitting must pass ALL gates (spread +
+    canary + steal), and a missing canary measurement (errored in
+    every pass) means load cannot be certified, so the sitting does
+    not qualify. At other SFs there is no pinned canary basis, so the
+    load check is steal-only (steal is SF-independent); with no steal
+    measurement either (off-Linux), qualification is spread-only, as
+    before r14.
+    """
+    spread_ok = spread is not None and spread <= WARM_SPREAD_QUALIFY
+    steal_bad = steal_pct is not None and steal_pct > STEAL_INFLATED
+    if canary_required:
+        if canary_ratio is None:
+            return False, steal_bad if steal_pct is not None else None
+        load_inflated = canary_ratio > CANARY_INFLATED_RATIO or steal_bad
+        return spread_ok and not load_inflated, load_inflated
+    if steal_pct is None:
+        return spread_ok, None
+    return spread_ok and not steal_bad, steal_bad
 
 
 BENCH_QUERIES = [
@@ -88,7 +179,12 @@ BENCH_QUERIES = [
     # framework overhead (two file streams + state store), which the
     # hourly-counts entry already represents for streaming.
     "txlog_dml_orders",
-    "semantic_dedup_survivors",
+    # r14 (VERDICT r13 ask #3): the benched semantic-dedup row is the
+    # production pipeline alone; `semantic_dedup_survivors` (three
+    # pipelines: production + exact-verify + bucketed-verify) stays in
+    # the registry as the oracle/invariant gate but out of the bench —
+    # its wall-clock measured the verification harness, not the operator.
+    "semantic_dedup_production",
 ]
 
 
@@ -119,8 +215,10 @@ def main() -> None:
     # reported alongside so a hot sitting is visible in the artifact.
     passes: list[dict[str, float]] = []
     errors: dict[str, list[str]] = {}
+    stat_snaps: list[tuple[int, int] | None] = []
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     for pass_no in range(n_passes):
+        stat_snaps.append(read_proc_stat())
         pass_timings: dict[str, float] = {}
         for name in names:
             # errored queries are retried in later passes (a transient
@@ -149,6 +247,7 @@ def main() -> None:
                     f"pass {pass_no + 1}: {type(exc).__name__}: {exc}"[:500]
                 )
         passes.append(pass_timings)
+    stat_snaps.append(read_proc_stat())
     timings = {
         name: round(statistics.median(samples), 4)
         for name in names
@@ -173,8 +272,25 @@ def main() -> None:
     # host-noise sitting by BASELINE.md's own rule and says so in the
     # artifact instead of leaving the judgment to the reader.
     common = [name for name in names if all(name in p for p in passes)]
-    comparable_totals = [sum(p[n] for n in common) for p in passes]
+    comparable_totals = [round(sum(p[n] for n in common), 4) for p in passes]
     spread = warm_pass_spread(comparable_totals)
+    spread = round(spread, 4) if spread is not None else None
+    canary_required = sf == 0.1
+    canary_ratio = (
+        round(timings[CANARY_QUERY] / CANARY_BASELINE_SF01, 4)
+        if canary_required and CANARY_QUERY in timings
+        else None
+    )
+    pass_steal = [
+        steal_fraction(stat_snaps[i], stat_snaps[i + 1])
+        for i in range(len(stat_snaps) - 1)
+    ]
+    steal_pct = steal_fraction(stat_snaps[0], stat_snaps[-1])
+    steal_pct = round(steal_pct, 4) if steal_pct is not None else None
+    qualifies, load_inflated = sitting_verdict(
+        spread, canary_ratio, canary_required, steal_pct
+    )
+    pass_totals = [round(sum(p.values()), 4) for p in passes]
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -182,12 +298,22 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "stat": f"median_of_{n_passes}",
-        "pass_totals": [
-            round(sum(p.values()), 4) for p in passes
+        "pass_totals": pass_totals,
+        "warm_spread": spread,
+        "canary_query": CANARY_QUERY if canary_required else None,
+        "canary_ratio": canary_ratio,
+        "steal_pct": steal_pct,
+        "pass_steal_pct": [
+            round(s, 4) if s is not None else None for s in pass_steal
         ],
-        "warm_spread": round(spread, 4) if spread is not None else None,
-        "qualifies": spread is not None and spread <= WARM_SPREAD_QUALIFY,
+        "load_inflated": load_inflated,
+        "qualifies": qualifies,
     }
+    # when a query missed a pass, the unrestricted pass_totals are not
+    # comparable as a hot-sitting signal; emit the common-query-restricted
+    # totals the spread was actually judged on (ADVICE r13)
+    if comparable_totals != pass_totals:
+        out["comparable_pass_totals"] = comparable_totals
     # only surface per-query sample counts when a query missed a pass —
     # the common all-passes-succeeded case stays one compact JSON line.
     # pass_query_counts goes with them: when passes cover different

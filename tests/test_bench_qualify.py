@@ -12,7 +12,14 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import WARM_SPREAD_QUALIFY, warm_pass_spread
+from bench import (
+    CANARY_BASELINE_SF01,
+    CANARY_INFLATED_RATIO,
+    CANARY_QUERY,
+    WARM_SPREAD_QUALIFY,
+    sitting_verdict,
+    warm_pass_spread,
+)
 
 
 def test_qualifying_sitting_from_r12_adjudication():
@@ -55,3 +62,125 @@ def test_threshold_boundary_is_inclusive():
     spread = warm_pass_spread([99.0, warm_lo, warm_hi])
     assert spread == pytest.approx(WARM_SPREAD_QUALIFY)
     assert spread <= WARM_SPREAD_QUALIFY
+
+
+# --- absolute load canary (VERDICT r13 ask #2) ---
+
+
+def test_bench_r13_sustained_load_sitting_now_disqualifies():
+    # the exact blind spot the canary closes: BENCH_r13 read 98.8 s at
+    # 8% warm spread (qualifies under the old rule) with
+    # top_orders_by_value at 0.72 s = 4.24x its 0.17 s baseline median
+    canary_ratio = round(0.72 / CANARY_BASELINE_SF01, 4)
+    qualifies, load_inflated = sitting_verdict(0.08, canary_ratio, True)
+    assert load_inflated is True
+    assert qualifies is False
+
+
+def test_calm_sitting_passes_both_gates():
+    qualifies, load_inflated = sitting_verdict(0.05, 1.0, True)
+    assert load_inflated is False
+    assert qualifies is True
+
+
+def test_canary_threshold_boundary_is_inclusive():
+    # exactly at the inflation threshold still qualifies (>, not >=)
+    qualifies, load_inflated = sitting_verdict(0.05, CANARY_INFLATED_RATIO, True)
+    assert load_inflated is False
+    assert qualifies is True
+    qualifies, load_inflated = sitting_verdict(
+        0.05, CANARY_INFLATED_RATIO + 0.0001, True
+    )
+    assert load_inflated is True
+    assert qualifies is False
+
+
+def test_missing_canary_at_judged_sf_cannot_certify():
+    # canary errored in every pass at sf0.1: load cannot be certified,
+    # the sitting must not self-report as qualifying
+    qualifies, load_inflated = sitting_verdict(0.05, None, True)
+    assert load_inflated is None
+    assert qualifies is False
+
+
+def test_non_judged_sf_stays_spread_only():
+    # at sf != 0.1 there is no pinned canary basis: spread-only rule
+    qualifies, load_inflated = sitting_verdict(0.05, None, False)
+    assert load_inflated is None
+    assert qualifies is True
+    qualifies, _ = sitting_verdict(0.25, None, False)
+    assert qualifies is False
+
+
+def test_bad_spread_fails_even_with_calm_canary():
+    # bursty noise (the original rule's territory) still disqualifies
+    qualifies, load_inflated = sitting_verdict(0.25, 1.0, True)
+    assert load_inflated is False
+    assert qualifies is False
+
+
+def test_verdict_judged_on_rounded_spread():
+    # ADVICE r13: the artifact rounds warm_spread to 4 decimals; the
+    # flag must be judged on the same rounded value so a reader
+    # recomputing from the JSON always agrees. 0.10004 rounds to 0.1
+    # which is <= the threshold — the artifact says 0.1/qualifies=true.
+    rounded = round(0.10004, 4)
+    qualifies, _ = sitting_verdict(rounded, 1.0, True)
+    assert qualifies is True
+
+
+def test_canary_is_a_pinned_benchmark_query():
+    from bench import BENCH_QUERIES
+
+    assert CANARY_QUERY in BENCH_QUERIES
+
+
+# --- hypervisor steal-time cross-check (r14) ---
+
+
+def test_steal_gate_disqualifies_contended_sitting():
+    # measured this round: 16.9% steal during a probe window whose
+    # sitting read ~1.4x baseline with 0.2% warm spread — both older
+    # gates blind (spread agrees, and a lucky canary median could pass)
+    from bench import STEAL_INFLATED
+
+    qualifies, load_inflated = sitting_verdict(0.002, 1.2, True, 0.169)
+    assert load_inflated is True
+    assert qualifies is False
+    assert 0.169 > STEAL_INFLATED
+
+
+def test_steal_floor_passes():
+    # idle/uncontended floor measured at 0.0-0.2%
+    qualifies, load_inflated = sitting_verdict(0.05, 1.0, True, 0.002)
+    assert load_inflated is False
+    assert qualifies is True
+
+
+def test_steal_unreadable_falls_back_to_canary_gate():
+    # off-Linux (no /proc/stat): canary-only, exactly the pre-steal rule
+    qualifies, load_inflated = sitting_verdict(0.05, 1.0, True, None)
+    assert load_inflated is False
+    assert qualifies is True
+
+
+def test_non_judged_sf_uses_steal_only_load_check():
+    # sf1 sitting: no canary basis, but steal is SF-independent
+    qualifies, load_inflated = sitting_verdict(0.05, None, False, 0.169)
+    assert load_inflated is True
+    assert qualifies is False
+    qualifies, load_inflated = sitting_verdict(0.05, None, False, 0.002)
+    assert load_inflated is False
+    assert qualifies is True
+
+
+def test_steal_fraction_math():
+    from bench import read_proc_stat, steal_fraction
+
+    assert steal_fraction((100, 1000), (150, 2000)) == pytest.approx(0.05)
+    assert steal_fraction(None, (150, 2000)) is None
+    assert steal_fraction((100, 1000), (100, 1000)) is None  # zero window
+    snap = read_proc_stat()
+    if snap is not None:  # Linux: sane live values
+        steal, total = snap
+        assert 0 <= steal <= total

@@ -241,6 +241,13 @@ def test_semantic_dedup_survivors_is_anti_join_shaped(spark, sf_dir):
     assert "CartesianProduct" not in s
 
 
+def test_semantic_dedup_production_is_anti_join_shaped(spark, sf_dir):
+    """The r14 benched production row keeps the same survivor shape."""
+    s = plan(spark, sf_dir, "semantic_dedup_production")
+    assert "LeftAnti" in s
+    assert "CartesianProduct" not in s
+
+
 def test_q4_shape_semi_join_carries_key_only(spark, sf_dir):
     s = plan(spark, sf_dir, "order_priority_exists")
     assert "LeftSemi" in s

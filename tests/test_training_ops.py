@@ -504,9 +504,10 @@ def test_minhash_bucket_cap_bounds_output(boilerplate_docs):
 def test_minhash_first_collide_band_equals_distinct_path(boilerplate_docs):
     """The default (no bucket cap) path dedups multi-band collisions
     with a first-colliding-band FILTER over the per-doc band-bucket
-    arrays instead of a global distinct — the filter compares the SAME
-    md5 bucket values the join matched on, so emission is exactly-once
-    by construction. The 40 signature-identical boilerplate docs
+    arrays instead of a global distinct — the filter compares the same
+    band-bucket hashes the join matched on (xxhash64 longs on the
+    default path, 60-bit md5-prefix longs on the portable path), so
+    emission is exactly-once by construction. The 40 signature-identical boilerplate docs
     collide in ALL 4 bands (maximal multiplicity); set equality
     against the distinct-based path (max_bucket_size huge → nothing
     dropped, distinct retained) proves it, and the executed plans pin
@@ -1616,6 +1617,35 @@ def test_semantic_dedup_survivors_guarded_branch(spark, monkeypatch):
     ids = [r.vec_id for r in out]
     assert len(set(ids)) == len(ids) <= 500
     assert ids == sorted(ids)  # orderBy("vec_id") contract
+
+
+def test_semantic_dedup_production_superset_of_exact(spark):
+    """The r14 benched row (production bucketed pipeline alone,
+    corpus-scaled buckets): survivors are unique, sorted, and a
+    SUPERSET of the exact all-pairs survivors — bucketed pairs are a
+    subset of exact pairs by construction, so the greedy drop removes
+    at most the exact losers. (The oracle-backed three-pipeline
+    invariant query `semantic_dedup_survivors` remains the correctness
+    gate; this pins the rows-only benched twin to the same guarantee.)"""
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark import queries as q
+
+    q.register_all()
+    sf = "/root/testdata/sf0.001"
+    out = q.QUERIES["semantic_dedup_production"](spark, sf).collect()
+    ids = [r.vec_id for r in out]
+    assert ids and ids == sorted(ids) and len(set(ids)) == len(ids)
+    emb = spark.read.parquet(sf + "/embeddings.parquet")
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    exact = {
+        r.vec_id
+        for r in semantic_dedup(
+            emb, threshold=0.4, num_buckets=1, probe=1, refine_rounds=0
+        ).select("vec_id").collect()
+    }
+    assert exact <= set(ids)
 
 
 def test_semantic_dedup_preserves_all_columns(spark):
