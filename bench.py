@@ -40,8 +40,11 @@ WARM_SPREAD_QUALIFY = 0.10
 # read untouched short queries 1.2-1.4x. The canary basis is sf0.1-only
 # (BASELINE.md's table is sf0.1); at any other SF there is no pinned
 # basis and qualification stays spread-only, with canary fields null.
+# The basis moves with the judging table: 0.17 against the r10 table,
+# 0.23 since the r14 re-base (host regime shift, code at parity — see
+# BASELINE.md "THE judging baseline" and artifacts_r14/ A/Bs).
 CANARY_QUERY = "top_orders_by_value"
-CANARY_BASELINE_SF01 = 0.17  # BASELINE.md "THE judging baseline" table
+CANARY_BASELINE_SF01 = 0.23  # BASELINE.md "THE judging baseline" table (r14)
 CANARY_INFLATED_RATIO = 1.3
 
 # Hypervisor steal-time cross-check (r14). The "ambient load" that

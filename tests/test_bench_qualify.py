@@ -70,7 +70,8 @@ def test_threshold_boundary_is_inclusive():
 def test_bench_r13_sustained_load_sitting_now_disqualifies():
     # the exact blind spot the canary closes: BENCH_r13 read 98.8 s at
     # 8% warm spread (qualifies under the old rule) with
-    # top_orders_by_value at 0.72 s = 4.24x its 0.17 s baseline median
+    # top_orders_by_value at 0.72 s — 4.2x the r10 basis, 3.1x the
+    # current basis, far over the threshold under either table
     canary_ratio = round(0.72 / CANARY_BASELINE_SF01, 4)
     qualifies, load_inflated = sitting_verdict(0.08, canary_ratio, True)
     assert load_inflated is True
