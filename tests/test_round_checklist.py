@@ -63,3 +63,72 @@ def test_status_aggregation_exit_codes(monkeypatch):
             {f"s{i}": (f"t{i}", fake(s)) for i, s in enumerate(statuses)},
         )
         assert rc.main([]) == expected
+
+
+# --- bench retry loop (VERDICT r13 ask #6) ---
+
+
+import json as _json
+import subprocess as _subprocess
+
+
+def _fake_bench_run(payloads):
+    """Substitute for rc._run: each call pops the next bench payload."""
+    calls = []
+
+    def run(cmd, log_name=None, **kw):
+        calls.append(cmd)
+        payload = payloads.pop(0)
+        return _subprocess.CompletedProcess(
+            cmd, returncode=0, stdout=_json.dumps(payload) + "\n", stderr="")
+
+    return run, calls
+
+
+def test_bench_step_retries_until_qualifying(monkeypatch):
+    monkeypatch.setenv("ROUND_CHECKLIST_BENCH_ATTEMPTS", "3")
+    monkeypatch.setattr(rc, "_wait_for_calm", lambda *a, **k: True)
+    run, calls = _fake_bench_run([
+        {"value": 60.0, "qualifies": False, "warm_spread": 0.3},
+        {"value": 47.0, "qualifies": True, "warm_spread": 0.03,
+         "canary_ratio": 1.0, "steal_pct": 0.001},
+    ])
+    monkeypatch.setattr(rc, "_run", run)
+    status, detail = rc.step_bench()
+    assert status == "PASS"
+    assert "attempt 2/3" in detail
+    assert len(calls) == 2
+
+
+def test_bench_step_noise_after_bounded_attempts(monkeypatch):
+    monkeypatch.setenv("ROUND_CHECKLIST_BENCH_ATTEMPTS", "2")
+    monkeypatch.setattr(rc, "_wait_for_calm", lambda *a, **k: False)
+    run, calls = _fake_bench_run([
+        {"value": 60.0, "qualifies": False, "warm_spread": 0.3},
+        {"value": 61.0, "qualifies": False, "warm_spread": 0.25},
+    ])
+    monkeypatch.setattr(rc, "_run", run)
+    status, detail = rc.step_bench()
+    assert status == "NOISE"
+    assert "no qualifying sitting in 2 attempts" in detail
+    assert len(calls) == 2
+
+
+def test_bench_step_fail_stops_retries(monkeypatch):
+    # a broken bench (errors in the payload) is FAIL immediately, not
+    # a retryable noise sitting
+    monkeypatch.setenv("ROUND_CHECKLIST_BENCH_ATTEMPTS", "3")
+    monkeypatch.setattr(rc, "_wait_for_calm", lambda *a, **k: True)
+    run, calls = _fake_bench_run([
+        {"value": 60.0, "qualifies": False, "errors": {"q1": "boom"}},
+        {"value": 47.0, "qualifies": True},
+    ])
+    monkeypatch.setattr(rc, "_run", run)
+    status, detail = rc.step_bench()
+    assert status == "FAIL"
+    assert len(calls) == 1
+
+
+def test_steal_under_load_returns_fraction():
+    s = rc._steal_under_load(0.3)
+    assert s is None or 0.0 <= s <= 1.0
