@@ -429,10 +429,9 @@ def minhash_lsh_pairs(
     # collision-heavy corpora. Fast path: xxhash64 straight over the
     # band's slice of sig longs, no string materialization. Portable
     # path: the engine's 60-bit md5-prefix hash of the comma-joined
-    # slice (same _portable_hash family as the signatures; the DuckDB
-    # oracle joins on full md5 strings — identical candidates modulo
-    # 60-bit-prefix collisions, the same negligible class the portable
-    # signatures already rest on).
+    # slice (same _portable_hash family as the signatures; since r15
+    # the DuckDB oracle computes this exact 60-bit bucket too, so the
+    # candidate sets are key-identical across engines).
     if portable:
         def _bucket_at(b: int) -> Column:
             joined_slice = F.concat_ws(

@@ -756,7 +756,9 @@ def simhash_portable_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY doc, g.i
     ), banded AS (
       SELECT doc, i // 4 AS band,
-             md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY i)) AS bucket
+             CAST(('0x' || substr(md5(CAST(i // 4 AS VARCHAR) || '|' ||
+                 string_agg(CAST(h AS VARCHAR), ',' ORDER BY i)), 1, 15))
+               AS BIGINT) AS bucket
       FROM sig GROUP BY doc, i // 4
     ), cand AS (
       SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
@@ -785,16 +787,14 @@ def minhash_lsh_dedup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     set is cross-engine checked. Production runs use the xxhash64 fast
     path (`minhash_lsh_dedup_documents`, rows-only).
 
-    Bucket-key caveat (since r13, ADVICE r13): the engine's portable
-    band buckets are 60-bit md5-PREFIX longs (compact shuffle rows),
-    while this oracle joins on the full 128-bit md5 hex of the same
-    slice. The candidate sets are identical modulo 60-bit-prefix
-    collisions — an engine-only candidate the oracle never generates —
-    so survivor EXACT-ness additionally rests on the Jaccard ≥ 0.8
-    verify filtering any such pair (a false candidate is overwhelmingly
-    a non-duplicate). Same negligible collision class the 60-bit
-    portable signatures themselves already rest on; empirically EXACT
-    at sf1 (49,758/49,758)."""
+    Bucket-key identity (r15, closing ADVICE r13 #1 / VERDICT r14 ask
+    #5): the oracle now computes the engine's EXACT band bucket — the
+    60-bit md5-prefix long of ``"{band}|{h0},{h1},...}"`` (the
+    ``_portable_hash`` family, band index as seed) — so both engines
+    share one collision class and the candidate sets are key-identical
+    by construction, not merely equal modulo 60-bit-prefix collisions
+    filtered by the Jaccard ≥ 0.8 verify. Survivor EXACT-ness rests on
+    key identity again (the r13–r14 weaker guarantee is retired)."""
     return D.minhash_lsh_dedup(
         t(spark, sf_dir, "documents"), "doc_id", "text",
         verify_threshold=0.8, portable=True,
@@ -861,7 +861,9 @@ def simhash_near_dup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY doc, g.i
     ), banded AS (
       SELECT doc, i // 4 AS band,
-             md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY i)) AS bucket
+             CAST(('0x' || substr(md5(CAST(i // 4 AS VARCHAR) || '|' ||
+                 string_agg(CAST(h AS VARCHAR), ',' ORDER BY i)), 1, 15))
+               AS BIGINT) AS bucket
       FROM sig GROUP BY doc, i // 4
     ), cand AS (
       SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b

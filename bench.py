@@ -47,6 +47,16 @@ CANARY_QUERY = "top_orders_by_value"
 CANARY_BASELINE_SF01 = 0.23  # BASELINE.md "THE judging baseline" table (r14)
 CANARY_INFLATED_RATIO = 1.3
 
+# Which era of BASELINE.md's judging table the constants above come
+# from. Emitted in every artifact together with ``canary_basis`` (the
+# constant actually divided by), so a sitting is self-describing across
+# table re-bases: the r14 re-base left foundational artifacts carrying
+# `qualifies: false` flags that were only explicable via BASELINE.md
+# prose, because their canary was judged against the basis the re-base
+# replaced (VERDICT r14 "what's wrong" #1). Bump this tag whenever the
+# judging table (and with it CANARY_BASELINE_SF01) is re-based.
+TABLE_VERSION = "r14"
+
 # Hypervisor steal-time cross-check (r14). The "ambient load" that
 # inflated r12-r13 sittings is CPU STEAL: /proc/stat col 8 — cycles the
 # hypervisor denied this VM while its vCPUs were runnable. It is
@@ -102,6 +112,7 @@ def sitting_verdict(
     canary_ratio: float | None,
     canary_required: bool,
     steal_pct: float | None = None,
+    max_pass_steal_pct: float | None = None,
 ) -> tuple[bool, bool | None]:
     """(qualifies, load_inflated) for a sitting.
 
@@ -119,15 +130,26 @@ def sitting_verdict(
     load check is steal-only (steal is SF-independent); with no steal
     measurement either (off-Linux), qualification is spread-only, as
     before r14.
+
+    ``max_pass_steal_pct`` is the worst single-pass steal reading
+    (max of the emitted ``pass_steal_pct`` values). The whole-sitting
+    average alone has a burst blind spot: one heavily-stolen pass
+    (e.g. 14% in one of three, ~0% in the others → overall < 5%)
+    skews that pass's per-query timings yet passes the average gate
+    (ADVICE r14). A sitting is contended when EITHER the average OR
+    any single pass exceeds STEAL_INFLATED.
     """
     spread_ok = spread is not None and spread <= WARM_SPREAD_QUALIFY
-    steal_bad = steal_pct is not None and steal_pct > STEAL_INFLATED
+    steal_bad = (steal_pct is not None and steal_pct > STEAL_INFLATED) or (
+        max_pass_steal_pct is not None and max_pass_steal_pct > STEAL_INFLATED
+    )
+    have_steal = steal_pct is not None or max_pass_steal_pct is not None
     if canary_required:
         if canary_ratio is None:
-            return False, steal_bad if steal_pct is not None else None
+            return False, steal_bad if have_steal else None
         load_inflated = canary_ratio > CANARY_INFLATED_RATIO or steal_bad
         return spread_ok and not load_inflated, load_inflated
-    if steal_pct is None:
+    if not have_steal:
         return spread_ok, None
     return spread_ok and not steal_bad, steal_bad
 
@@ -290,8 +312,13 @@ def main() -> None:
     ]
     steal_pct = steal_fraction(stat_snaps[0], stat_snaps[-1])
     steal_pct = round(steal_pct, 4) if steal_pct is not None else None
+    pass_steal_rounded = [
+        round(s, 4) if s is not None else None for s in pass_steal
+    ]
+    measured_pass_steal = [s for s in pass_steal_rounded if s is not None]
+    max_pass_steal = max(measured_pass_steal) if measured_pass_steal else None
     qualifies, load_inflated = sitting_verdict(
-        spread, canary_ratio, canary_required, steal_pct
+        spread, canary_ratio, canary_required, steal_pct, max_pass_steal
     )
     pass_totals = [round(sum(p.values()), 4) for p in passes]
     out = {
@@ -305,10 +332,14 @@ def main() -> None:
         "warm_spread": spread,
         "canary_query": CANARY_QUERY if canary_required else None,
         "canary_ratio": canary_ratio,
+        # self-description across judging-table re-bases (VERDICT r14):
+        # the basis the canary was actually divided by and the table
+        # era it belongs to, so a reader never needs BASELINE.md
+        # archaeology to interpret this sitting's flags.
+        "canary_basis": CANARY_BASELINE_SF01 if canary_required else None,
+        "table_version": TABLE_VERSION,
         "steal_pct": steal_pct,
-        "pass_steal_pct": [
-            round(s, 4) if s is not None else None for s in pass_steal
-        ],
+        "pass_steal_pct": pass_steal_rounded,
         "load_inflated": load_inflated,
         "qualifies": qualifies,
     }

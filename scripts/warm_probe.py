@@ -55,19 +55,33 @@ def main() -> None:
     spark = get_spark(app_name="warm-probe", cpus=args.cpus,
                       shuffle_partitions=args.cpus)
     timings: dict[str, list[float]] = {n: [] for n in names}
+    errors: dict[str, list[str]] = {}
     loadavgs: list[float] = []
     snaps: list = []
-    for pass_no in range(args.runs):
-        loadavgs.append(round(os.getloadavg()[0], 2))
+    # per-query isolation + stop-in-finally (ADVICE r14): one failing
+    # query mid-probe must not abort the run and lose every prior pass
+    # timing — the error is recorded per pass and the partial JSON is
+    # still emitted, mirroring bench.py's own isolation policy.
+    try:
+        for pass_no in range(args.runs):
+            loadavgs.append(round(os.getloadavg()[0], 2))
+            snaps.append(read_proc_stat())
+            order = names if pass_no % 2 == 0 else list(reversed(names))
+            for name in order:
+                spark.catalog.clearCache()
+                start = time.perf_counter()
+                try:
+                    q.QUERIES[name](spark, args.sf_dir).write.format(
+                        "noop").mode("overwrite").save()
+                    timings[name].append(
+                        round(time.perf_counter() - start, 4))
+                except Exception as exc:  # noqa: BLE001 — probe must emit JSON
+                    errors.setdefault(name, []).append(
+                        f"pass {pass_no + 1}: "
+                        f"{type(exc).__name__}: {exc}"[:500])
         snaps.append(read_proc_stat())
-        order = names if pass_no % 2 == 0 else list(reversed(names))
-        for name in order:
-            spark.catalog.clearCache()
-            start = time.perf_counter()
-            q.QUERIES[name](spark, args.sf_dir).write.format("noop").mode(
-                "overwrite").save()
-            timings[name].append(round(time.perf_counter() - start, 4))
-    snaps.append(read_proc_stat())
+    finally:
+        spark.stop()
     # per-pass hypervisor steal — the contention signal loadavg can't
     # see (bench.py r14); a pass with >5% steal is externally contended
     pass_steal = [
@@ -86,8 +100,9 @@ def main() -> None:
         ],
         "sf_dir": args.sf_dir,
     }
+    if errors:
+        out["errors"] = {k: " | ".join(v) for k, v in errors.items()}
     print(json.dumps(out))
-    spark.stop()
 
 
 if __name__ == "__main__":

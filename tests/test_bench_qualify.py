@@ -185,3 +185,75 @@ def test_steal_fraction_math():
     if snap is not None:  # Linux: sane live values
         steal, total = snap
         assert 0 <= steal <= total
+
+
+# --- r15: per-pass steal gate + self-describing artifacts -----------
+
+
+def test_single_contended_pass_disqualifies_despite_clean_average():
+    # ADVICE r14: one 14%-steal pass among three near-zero ones keeps
+    # the whole-sitting average under 5% (≈4.7%) yet skews that pass's
+    # per-query timings — the per-pass maximum must trip the gate
+    qualifies, load_inflated = sitting_verdict(
+        0.05, 1.0, True, 0.047, max_pass_steal_pct=0.14
+    )
+    assert load_inflated is True
+    assert qualifies is False
+
+
+def test_per_pass_steal_floor_passes():
+    qualifies, load_inflated = sitting_verdict(
+        0.05, 1.0, True, 0.002, max_pass_steal_pct=0.004
+    )
+    assert load_inflated is False
+    assert qualifies is True
+
+
+def test_per_pass_steal_gate_applies_at_non_judged_sf():
+    # sf1 sitting (no canary basis): the steal-only load check must
+    # also see the per-pass maximum
+    qualifies, load_inflated = sitting_verdict(
+        0.05, None, False, 0.03, max_pass_steal_pct=0.12
+    )
+    assert load_inflated is True
+    assert qualifies is False
+
+
+def test_max_pass_steal_alone_provides_load_evidence():
+    # overall steal unreadable but per-pass readings exist: the sitting
+    # still carries load evidence and is judged on it
+    qualifies, load_inflated = sitting_verdict(
+        0.05, None, False, None, max_pass_steal_pct=0.002
+    )
+    assert load_inflated is False
+    assert qualifies is True
+
+
+def test_omitting_max_pass_steal_preserves_r14_behavior():
+    # existing four-arg call sites (artifacts, older tooling) must
+    # judge exactly as before
+    assert sitting_verdict(0.05, 1.0, True, 0.002) == (True, False)
+    assert sitting_verdict(0.05, 1.0, True, 0.169) == (False, True)
+
+
+def test_artifact_self_description_constants():
+    # VERDICT r14 "what's wrong" #1: every artifact must carry the
+    # canary basis it was judged against and the table era it belongs
+    # to. The constants are the single source of truth bench.py emits.
+    from bench import CANARY_BASELINE_SF01, TABLE_VERSION
+
+    assert TABLE_VERSION == "r14"  # bump together with a re-base
+    assert CANARY_BASELINE_SF01 == pytest.approx(0.23)
+
+
+def test_bench_main_emits_canary_basis_and_table_version():
+    # the emission wiring, not just the constants: main() builds the
+    # artifact dict with canary_basis/table_version keys. Parse the
+    # source rather than running a SparkSession.
+    import inspect
+
+    import bench
+
+    src = inspect.getsource(bench.main)
+    assert '"canary_basis"' in src
+    assert '"table_version"' in src
