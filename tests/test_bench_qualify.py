@@ -257,3 +257,54 @@ def test_bench_main_emits_canary_basis_and_table_version():
     src = inspect.getsource(bench.main)
     assert '"canary_basis"' in src
     assert '"table_version"' in src
+
+
+# --- r15: sitting scorer (scripts/score_sitting.py) -----------------
+
+
+def _load_scorer():
+    import importlib.util
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "score_sitting", os.path.join(repo, "scripts", "score_sitting.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_scorer_table_matches_baseline_md():
+    # the embedded table must stay in sync with BASELINE.md's r14 table
+    ss = _load_scorer()
+    assert len(ss.R14_TABLE) == 31
+    assert ss.TABLE_TOTAL == pytest.approx(48.65, abs=0.06)  # doc says 48.7 (rounded)
+    assert ss.R14_TABLE["top_orders_by_value"] == pytest.approx(
+        CANARY_BASELINE_SF01
+    )  # canary basis moves with the table
+
+
+def test_scorer_ratios_and_downward_trigger():
+    ss = _load_scorer()
+    # a sitting exactly at the table scores 1.0x, no trigger
+    at_table = {"queries": dict(ss.R14_TABLE), "canary_ratio": 1.0,
+                "qualifies": True}
+    s = ss.score(at_table)
+    assert s["table_ratio"] == pytest.approx(1.0)
+    assert s["over_1_3x"] == 0 and not s["downward_trigger"]
+    # the r10-regime shape: ~0.75x total AND canary ~0.74 -> trigger
+    fast = {"queries": {k: v * 0.74 for k, v in ss.R14_TABLE.items()},
+            "canary_ratio": 0.74, "qualifies": True}
+    assert ss.score(fast)["downward_trigger"] is True
+    # fast total but canary normal (one lucky row) -> NO trigger
+    fast_no_canary = dict(fast, canary_ratio=1.0)
+    assert ss.score(fast_no_canary)["downward_trigger"] is False
+
+
+def test_scorer_handles_missing_queries():
+    ss = _load_scorer()
+    partial = {"queries": {"pricing_summary": 1.9}, "canary_ratio": None}
+    s = ss.score(partial)
+    assert s["table_ratio"] == pytest.approx(1.0)
+    assert len(s["missing"]) == 30
+    assert s["downward_trigger"] is False
