@@ -586,7 +586,20 @@ def minhash_lsh_dedup(
             .join(F.broadcast(cand_ids), "doc", "left_semi")
             .repartition(df.sparkSession.sparkContext.defaultParallelism, "doc")
             .select("doc", shingle("__t", n).alias("s"))
+            # both verify joins consume this frame under DIFFERENT
+            # aliases (doc_a/doc_b), which blocks exchange reuse — the
+            # unpersisted spelling ran the corpus scan + candidate
+            # semi-join + shingling twice per action (verified in the
+            # r15 before-plan: two independent BroadcastExchange
+            # subtrees over the same scan). Persist + eager count: one
+            # scan populates the cache, both broadcast builds read it
+            # (lazy persist would let the two builds race population,
+            # the same race minhash_lsh_pairs eager-caches sigs for).
+            .persist()
         )
+        if cache_registry is not None:
+            cache_registry.append(sh)
+        sh.count()
         verified = (
             pairs.join(
                 sh.select(F.col("doc").alias("doc_a"), F.col("s").alias("sa")), "doc_a"

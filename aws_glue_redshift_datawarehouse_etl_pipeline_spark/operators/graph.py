@@ -188,26 +188,36 @@ def connected_components(
     clusters."""
     if algorithm not in ("propagation", "star"):
         raise ValueError(f"unknown algorithm: {algorithm!r}")
-    edges = (
-        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .union(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
-        .persist()
-    )
-    # count the PERSISTED edge frame: this one action materializes the
-    # cache that either branch (collect, or every propagation round)
-    # reads — the upstream pair pipeline runs exactly once
-    n_edges = edges.count() // 2
+    # Persist the UNDIRECTED pair list and derive everything from that
+    # cache. The old spelling doubled into a directed edge list BEFORE
+    # the materializing count, so the (potentially expensive) upstream
+    # pair pipeline — e.g. the MinHash candidate join + Jaccard
+    # verification — executed once per union branch inside one action:
+    # the whole verify ran twice to build edges once (measured ~2x the
+    # r14 basis on minhash_lsh_dedup_transitive_fast at sf0.1). Caching
+    # the halved pair list makes the pipeline run exactly once; the
+    # driver fast path collects pairs directly (union-find treats each
+    # row as an undirected union, so the reversed copies added nothing
+    # but rows), and the distributed paths rebuild the doubled view
+    # with two cheap cache reads.
+    pairs_c = pairs.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).persist()
+    n_edges = pairs_c.count()
     if n_edges <= driver_threshold:
         try:
-            edge_rows = [(r.src, r.dst) for r in edges.collect()]
+            edge_rows = [(r.src, r.dst) for r in pairs_c.collect()]
             return _driver_union_find(nodes, edge_rows, id_col)
         finally:
-            edges.unpersist()
+            pairs_c.unpersist()
+    edges = pairs_c.union(
+        pairs_c.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
     if algorithm == "star":
         try:
             return _star_components(nodes, edges, id_col, max_iter)
         finally:
-            edges.unpersist()
+            pairs_c.unpersist()
     labels = nodes.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("component")
     ).persist()
@@ -247,7 +257,7 @@ def connected_components(
             f"connected_components did not converge in {max_iter} iterations"
         )
     finally:
-        edges.unpersist()
+        pairs_c.unpersist()
 
 
 def dedup_by_components(

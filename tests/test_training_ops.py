@@ -1018,6 +1018,54 @@ def test_connected_components_chain_and_isolates(spark):
     assert fast == expected and dist == expected and star == expected
 
 
+def test_connected_components_materializes_pairs_once(spark):
+    """r15 optimization pin: the driver union-find path persists the
+    UNDOUBLED pair list and collects it from cache, so the upstream
+    pair pipeline (in production: the full MinHash candidate join +
+    Jaccard verification) evaluates exactly once. The old spelling
+    doubled into a directed edge list before the materializing count,
+    running the pipeline once per union branch — an accumulator on the
+    pair source counts evaluated rows and must equal the pair count,
+    not 2x it."""
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators import graph as G
+
+    acc = spark.sparkContext.accumulator(0)
+    raw = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "doc_a long, doc_b long"
+    )
+
+    def tag(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    pairs = raw.mapInPandas(tag, raw.schema)
+    nodes = spark.range(6).select(F.col("id"))
+    got = {(r.id, r.component) for r in G.connected_components(nodes, pairs).collect()}
+    assert got == {(0, 0), (1, 0), (2, 0), (3, 3), (4, 3), (5, 5)}
+    assert acc.value == 3, (
+        f"pair pipeline evaluated {acc.value} rows for 3 pairs — the "
+        f"union-find path must materialize pairs exactly once"
+    )
+
+
+def test_lsh_verify_shingles_cached_once(spark, docs):
+    """r15 optimization pin: the Jaccard-verify candidate shingle frame
+    is persisted and registered (the two verify joins consume it under
+    different aliases, which blocks exchange reuse — unpersisted it ran
+    the corpus scan + semi-join + shingling twice per action). Registry
+    must now carry sigs + candidate pairs + verify shingles."""
+    reg: list = []
+    out = D.minhash_lsh_dedup(
+        docs, "doc_id", "text", verify_threshold=0.8, cache_registry=reg
+    )
+    out.count()
+    assert len(reg) >= 3, (
+        f"expected sigs + pairs + verify-shingle caches registered, got {len(reg)}"
+    )
+    D.release_caches(reg)
+
+
 def test_star_components_converge_logarithmically_on_long_path(spark):
     """A 10k-node path graph has diameter 10k — min-label propagation
     would need ~10k rounds, far past max_iter. The large-star/
