@@ -81,6 +81,33 @@ def test_cobucketed_join_helper_matches(spark, bucketed_pair, sf_dir):
         spark.sql("DROP TABLE IF EXISTS b_lineitem_renamed")
 
 
+def test_bucketed_write_one_file_per_bucket(spark, sf_dir, tmp_path):
+    """r15 optimization pin: the default write repartitions on the
+    bucket columns first, so an N-partition input yields exactly
+    num_buckets data files (not up to N x num_buckets) — the layout
+    Spark requires before it trusts sortBy for the sort-free merge
+    join. A bucket spread over several files silently re-sorts every
+    read."""
+    import glob
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").repartition(16)
+    write_bucketed_table(
+        orders, "b_onefile", ["o_orderkey"], 4, sort_cols=["o_orderkey"]
+    )
+    try:
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        loc = f"{warehouse.rstrip('/')}/b_onefile".replace("file:", "")
+        files = [
+            f for f in glob.glob(f"{loc}/*")
+            if not f.rsplit("/", 1)[-1].startswith(("_", "."))
+        ]
+        assert len(files) == 4, files
+        # and the table still round-trips
+        assert spark.table("b_onefile").count() == orders.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_onefile")
+
+
 def test_analyze_table_records_stats_for_cbo(spark, bucketed_pair):
     from aws_glue_redshift_datawarehouse_etl_pipeline_spark.sources.bucketed import (
         analyze_table,
