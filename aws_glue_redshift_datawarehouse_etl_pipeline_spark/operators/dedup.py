@@ -934,14 +934,21 @@ def embedding_near_dup_pairs_bucketed(
     if probe > 1:
         assigned = assign_clusters(spread, cents, vec_col, probe=probe)
     # both sides of the within-bucket self-join consume this frame; the
-    # centroid assignment (C x D distance per row) and the exact-decimal
-    # self-norm are the expensive narrow work, so persist one
-    # materialization instead of computing them twice (the self-join
-    # does not canonicalize to a reused exchange)
+    # centroid assignment (C x D distance per row) is the expensive
+    # narrow work, so persist one materialization instead of computing
+    # it twice (the self-join does not canonicalize to a reused
+    # exchange). The exact-decimal self-norm does NOT ride here (r15):
+    # it is an interpreted DECIMAL(30,12) fold per CORPUS row, yet only
+    # the survivor pairs — a vanishing fraction — ever need exactness.
+    # The GEMM prefilter derives float64 norms from the batch itself
+    # (difference vs the exact norm is ~1e-15 relative, absorbed by the
+    # prefilter's existing 1e-6 margin contract), and the exact norms
+    # are recomputed inside the final exact-cosine expression for
+    # survivors only — same dot_exact folds, so the reported values and
+    # the threshold decision are bit-identical.
     normed = assigned.select(
         F.col(id_col).alias("id"),
         vec.alias("v"),
-        dot_exact(vec, vec).alias("nn"),
         F.col("__cluster").alias("b"),
     ).persist()
     if cache_registry is not None:
@@ -982,7 +989,7 @@ def embedding_near_dup_pairs_bucketed(
         if len(ids) < 2:
             return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0]})
         mat = np.stack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
-        inv = 1.0 / np.sqrt(pdf["nn"].to_numpy(dtype=np.float64))
+        inv = 1.0 / np.sqrt((mat * mat).sum(axis=1))
         unit = mat * inv[:, None]
         gram = unit @ unit.T
         iu, ju = np.triu_indices(len(ids), k=1)
@@ -1002,21 +1009,21 @@ def embedding_near_dup_pairs_bucketed(
         cand = cand.dropDuplicates(["id_a", "id_b"])
     # survivors of the fast prefilter are the near-dup regime — a
     # vanishing fraction — so fetching vectors back for the exact
-    # fold is two joins on a tiny left side
-    vecs = normed.dropDuplicates(["id"]).select("id", "v", "nn")
-    a = vecs.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nn").alias("na")
-    )
-    bb = vecs.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nn").alias("nb")
-    )
+    # fold is two joins on a tiny left side; the exact-decimal self
+    # norms run HERE, once per survivor row, never per corpus row
+    vecs = normed.dropDuplicates(["id"]).select("id", "v")
+    a = vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    bb = vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     return (
         cand.join(a, "id_a")
         .join(bb, "id_b")
         .withColumn(
             "cosine",
             dot_exact(F.col("va"), F.col("vb"))
-            / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))),
+            / (
+                F.sqrt(dot_exact(F.col("va"), F.col("va")))
+                * F.sqrt(dot_exact(F.col("vb"), F.col("vb")))
+            ),
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
