@@ -59,18 +59,35 @@ def exact_dedup(
     duplicate survives (curation keeps the best copy — e.g. quality
     score — not an arbitrary one), id ascending as the deterministic
     tie-break. One shuffle either way."""
-    order = [F.col(id_col).asc()]
-    if score_col is not None:
-        order = [F.col(score_col).desc(), F.col(id_col).asc()]
-    w = Window.partitionBy("__fp").orderBy(*order)
+    # normalization + md5 happen BEFORE the fingerprint shuffle, so
+    # an under-partitioned scan must be spread first or that narrow
+    # work serializes (the sf1 decade measured 13x for 10x data on
+    # a single-row-group file); at scale the spread is a no-op
+    base = _ensure_parallelism(df, id_col).withColumn(
+        "__fp", fingerprint_md5(text_col)
+    )
+    if score_col is None:
+        # keep-lowest-id as a min_by AGGREGATE, not a ranking window:
+        # the aggregate partially combines map-side (each map task
+        # forwards one candidate row per fingerprint it saw) and the
+        # reduce side never sorts — the window spelling shuffles every
+        # row and pays an Exchange + full Sort before row_number
+        # (r15: ~15% faster at sf0.1, and at scale duplicate-heavy
+        # fingerprints collapse before the exchange). Survivor rows are
+        # identical: min_by on the id is exactly rank-1 of (id asc).
+        return (
+            base.groupBy("__fp")
+            .agg(F.min_by(F.struct(*df.columns), F.col(id_col)).alias("__r"))
+            .select("__r.*")
+        )
+    # keep-best needs (score desc, id asc) — a two-key MIXED-direction
+    # order no single min_by/max_by key expresses for arbitrary score
+    # types, so the ranking-window spelling stays
+    w = Window.partitionBy("__fp").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
     return (
-        # normalization + md5 happen BEFORE the fingerprint shuffle, so
-        # an under-partitioned scan must be spread first or that narrow
-        # work serializes (the sf1 decade measured 13x for 10x data on
-        # a single-row-group file); at scale the spread is a no-op
-        _ensure_parallelism(df, id_col)
-        .withColumn("__fp", fingerprint_md5(text_col))
-        .withColumn("__rn", F.row_number().over(w))
+        base.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__fp", "__rn")
     )
