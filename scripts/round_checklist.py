@@ -145,7 +145,10 @@ def step_sf1() -> tuple[str, str]:
     except OSError as exc:
         return ("FAIL", f"staleness probe: {exc}")
     if stale:
-        gen = _run([sys.executable, "scripts/make_scale_data.py", "10", scale_dir])
+        # make_scale_data's CLI is OUTDIR [N] — the r14 spelling passed
+        # them swapped, which only ever surfaced when /tmp/scale_sf1
+        # was missing (every r14 run had it pre-built)
+        gen = _run([sys.executable, "scripts/make_scale_data.py", scale_dir, "10"])
         if gen.returncode != 0:
             return ("FAIL", "make_scale_data: " + _tail(gen))
     proc = _run([sys.executable, "scripts/oracle_at_sf.py", scale_dir, "ALL"], log_name="oracle_sf1.log")
