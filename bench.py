@@ -41,10 +41,14 @@ WARM_SPREAD_QUALIFY = 0.10
 # (BASELINE.md's table is sf0.1); at any other SF there is no pinned
 # basis and qualification stays spread-only, with canary fields null.
 # The basis moves with the judging table: 0.17 against the r10 table,
-# 0.23 since the r14 re-base (host regime shift, code at parity — see
-# BASELINE.md "THE judging baseline" and artifacts_r14/ A/Bs).
+# 0.23 across the r14 era (host regime shift, code at parity), and
+# 0.17 again since the r15 DOWNWARD re-base — two fully-qualifying r15
+# sittings read the untouched canary at 0.72-0.77x the r14 basis
+# (0.166/0.176 s, i.e. the r10 level), tripping BASELINE.md's own
+# symmetric trigger; per the governance rule the ratchet moves down
+# (see BASELINE.md "THE judging baseline (r15)" and artifacts_r15/).
 CANARY_QUERY = "top_orders_by_value"
-CANARY_BASELINE_SF01 = 0.23  # BASELINE.md "THE judging baseline" table (r14)
+CANARY_BASELINE_SF01 = 0.17  # BASELINE.md "THE judging baseline" table (r15)
 CANARY_INFLATED_RATIO = 1.3
 
 # Which era of BASELINE.md's judging table the constants above come
@@ -55,7 +59,7 @@ CANARY_INFLATED_RATIO = 1.3
 # prose, because their canary was judged against the basis the re-base
 # replaced (VERDICT r14 "what's wrong" #1). Bump this tag whenever the
 # judging table (and with it CANARY_BASELINE_SF01) is re-based.
-TABLE_VERSION = "r14"
+TABLE_VERSION = "r15"
 
 # Hypervisor steal-time cross-check (r14). The "ambient load" that
 # inflated r12-r13 sittings is CPU STEAL: /proc/stat col 8 — cycles the

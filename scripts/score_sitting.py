@@ -1,11 +1,11 @@
 """Score a bench.py sitting artifact per-query against THE judging
-table (BASELINE.md, r14 re-base) — the adjudication VERDICT r14 ask #3
+table (BASELINE.md, r15 re-base) — the adjudication VERDICT r14 ask #3
 wants done both directions:
 
 - upward: per-query ratios vs the table, worst offenders, the 2x gate;
 - downward: BASELINE.md's own re-base trigger (sittings reading
-  ~<=0.75x the table with canary ~<=0.75 mean the host returned to the
-  r10 regime and the table must be re-based DOWN, not celebrated).
+  ~<=0.78x the table with canary ~<=0.8 mean the host moved to a
+  faster regime and the table must be re-based DOWN, not celebrated).
 
 Usage:
     python scripts/score_sitting.py ARTIFACT.json [more.json ...]
@@ -15,53 +15,56 @@ per artifact: {"file", "total", "table_ratio", "qualifies",
 "worst": [[query, ratio], ...], "over_1_3x": N, "downward_trigger": bool}.
 """
 
+
 from __future__ import annotations
 
 import json
 import sys
 
-# BASELINE.md "THE judging baseline" (r14) — per-query medians, sf0.1
-# local[32]. Kept in sync with the doc table; tests/test_bench_qualify
-# pins the sum. The canary basis lives in bench.py (0.23, same table).
-R14_TABLE = {
-    "pricing_summary": 1.90,
-    "star_revenue_by_nation": 1.22,
-    "antijoin_composite_lineitem": 1.47,
-    "merge_upsert_orders": 0.65,
-    "topk_customers_per_nation": 0.57,
-    "top_orders_by_value": 0.23,
-    "asof_purchase_last_click": 0.83,
-    "range_join_error_context": 0.56,
-    "snapshot_diff_orders": 1.02,
-    "funnel_view_click_purchase": 1.30,
-    "retention_weekly_purchases": 0.60,
-    "token_count_documents": 0.29,
-    "dedup_exact_documents": 0.71,
-    "minhash_lsh_dedup_documents": 3.28,
-    "minhash_lsh_dedup_transitive_fast": 3.99,
-    "stratified_sample_documents": 0.22,
-    "embedding_cosine_topk": 0.62,
-    "embedding_near_dup_bucketed_pairs": 2.03,
-    "contamination_check_documents": 4.28,
-    "token_budget_per_source": 0.67,
-    "pack_sequences_documents": 1.18,
-    "streaming_hourly_event_counts": 2.57,
-    "cobucketed_join_revenue": 2.23,
-    "multimodal_image_dims": 1.37,
-    "txlog_orders_time_travel": 1.80,
-    "local_supplier_volume_by_nation": 1.31,
-    "repeated_span_stats_documents": 2.38,
-    "large_order_customers": 1.31,
-    "parts_supplier_counts": 1.18,
-    "txlog_dml_orders": 4.53,
-    "semantic_dedup_production": 2.35,
+# BASELINE.md "THE judging baseline" (r15) — per-query medians of the
+# two fully-qualifying r15 sittings, sf0.1 local[32], on r15 final
+# code. Kept in sync with the doc table; tests/test_bench_qualify pins
+# the sum. The canary basis lives in bench.py (0.17, same table).
+JUDGING_TABLE = {
+    "pricing_summary": 1.74,
+    "star_revenue_by_nation": 1.02,
+    "antijoin_composite_lineitem": 1.27,
+    "merge_upsert_orders": 0.51,
+    "topk_customers_per_nation": 0.40,
+    "top_orders_by_value": 0.17,
+    "asof_purchase_last_click": 0.58,
+    "range_join_error_context": 0.42,
+    "snapshot_diff_orders": 0.63,
+    "funnel_view_click_purchase": 0.99,
+    "retention_weekly_purchases": 0.43,
+    "token_count_documents": 0.20,
+    "dedup_exact_documents": 0.72,
+    "minhash_lsh_dedup_documents": 2.44,
+    "minhash_lsh_dedup_transitive_fast": 2.67,
+    "stratified_sample_documents": 0.21,
+    "embedding_cosine_topk": 0.54,
+    "embedding_near_dup_bucketed_pairs": 1.75,
+    "contamination_check_documents": 3.43,
+    "token_budget_per_source": 0.50,
+    "pack_sequences_documents": 0.88,
+    "streaming_hourly_event_counts": 1.53,
+    "cobucketed_join_revenue": 1.30,
+    "multimodal_image_dims": 1.05,
+    "txlog_orders_time_travel": 1.26,
+    "local_supplier_volume_by_nation": 1.07,
+    "repeated_span_stats_documents": 1.90,
+    "large_order_customers": 1.12,
+    "parts_supplier_counts": 0.93,
+    "txlog_dml_orders": 2.14,
+    "semantic_dedup_production": 1.97,
 }
-TABLE_TOTAL = round(sum(R14_TABLE.values()), 2)  # 48.7
+TABLE_TOTAL = round(sum(JUDGING_TABLE.values()), 2)  # 35.8
 
-# BASELINE.md's symmetric re-base trigger: the host back at the r10
-# regime reads ~0.75x the r14 table with the canary at ~0.13-0.18 s
-# (~0.75x of 0.23). Flag it so a phantom "speedup" is investigated as
-# a downward re-base instead of celebrated.
+# BASELINE.md's symmetric re-base trigger (era-generic): a qualifying
+# sitting far under the table WITH the untouched canary equally under
+# its basis means the host regime moved, not the code. Flag it so a
+# phantom "speedup" is investigated as a downward re-base instead of
+# celebrated — exactly how the r15 re-base was caught and executed.
 DOWNWARD_TOTAL_RATIO = 0.78
 DOWNWARD_CANARY_RATIO = 0.80
 
@@ -70,11 +73,11 @@ def score(artifact: dict) -> dict:
     queries = artifact.get("queries", {})
     ratios = {
         name: round(queries[name] / basis, 4)
-        for name, basis in R14_TABLE.items()
+        for name, basis in JUDGING_TABLE.items()
         if name in queries and basis > 0
     }
     common_total = round(sum(queries[n] for n in ratios), 2)
-    common_basis = round(sum(R14_TABLE[n] for n in ratios), 2)
+    common_basis = round(sum(JUDGING_TABLE[n] for n in ratios), 2)
     table_ratio = round(common_total / common_basis, 4) if common_basis else None
     worst = sorted(ratios.items(), key=lambda kv: -kv[1])[:5]
     canary_ratio = artifact.get("canary_ratio")
@@ -93,7 +96,7 @@ def score(artifact: dict) -> dict:
         "table_version": artifact.get("table_version"),
         "worst": [[n, r] for n, r in worst],
         "over_1_3x": sum(1 for r in ratios.values() if r > 1.3),
-        "missing": sorted(set(R14_TABLE) - set(queries)),
+        "missing": sorted(set(JUDGING_TABLE) - set(queries)),
         "downward_trigger": downward,
     }
 
@@ -116,7 +119,7 @@ def main(argv: list[str]) -> int:
             print(f"   missing from artifact: {s['missing']}")
         if s["downward_trigger"]:
             print("   !! DOWNWARD RE-BASE TRIGGER: host regime looks "
-                  "faster than the r14 table — re-base per BASELINE.md "
+                  "faster than the judging table — re-base per BASELINE.md "
                   "governance, do not report a speedup")
         print(json.dumps({"file": path, **s}))
     return 0

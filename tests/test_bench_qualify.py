@@ -242,8 +242,8 @@ def test_artifact_self_description_constants():
     # to. The constants are the single source of truth bench.py emits.
     from bench import CANARY_BASELINE_SF01, TABLE_VERSION
 
-    assert TABLE_VERSION == "r14"  # bump together with a re-base
-    assert CANARY_BASELINE_SF01 == pytest.approx(0.23)
+    assert TABLE_VERSION == "r15"  # bump together with a re-base
+    assert CANARY_BASELINE_SF01 == pytest.approx(0.17)
 
 
 def test_bench_main_emits_canary_basis_and_table_version():
@@ -275,11 +275,11 @@ def _load_scorer():
 
 
 def test_scorer_table_matches_baseline_md():
-    # the embedded table must stay in sync with BASELINE.md's r14 table
+    # the embedded table must stay in sync with BASELINE.md's r15 table
     ss = _load_scorer()
-    assert len(ss.R14_TABLE) == 31
-    assert ss.TABLE_TOTAL == pytest.approx(48.65, abs=0.06)  # doc says 48.7 (rounded)
-    assert ss.R14_TABLE["top_orders_by_value"] == pytest.approx(
+    assert len(ss.JUDGING_TABLE) == 31
+    assert ss.TABLE_TOTAL == pytest.approx(35.77, abs=0.06)  # doc says 35.8 (rounded)
+    assert ss.JUDGING_TABLE["top_orders_by_value"] == pytest.approx(
         CANARY_BASELINE_SF01
     )  # canary basis moves with the table
 
@@ -287,13 +287,13 @@ def test_scorer_table_matches_baseline_md():
 def test_scorer_ratios_and_downward_trigger():
     ss = _load_scorer()
     # a sitting exactly at the table scores 1.0x, no trigger
-    at_table = {"queries": dict(ss.R14_TABLE), "canary_ratio": 1.0,
+    at_table = {"queries": dict(ss.JUDGING_TABLE), "canary_ratio": 1.0,
                 "qualifies": True}
     s = ss.score(at_table)
     assert s["table_ratio"] == pytest.approx(1.0)
     assert s["over_1_3x"] == 0 and not s["downward_trigger"]
     # the r10-regime shape: ~0.75x total AND canary ~0.74 -> trigger
-    fast = {"queries": {k: v * 0.74 for k, v in ss.R14_TABLE.items()},
+    fast = {"queries": {k: v * 0.74 for k, v in ss.JUDGING_TABLE.items()},
             "canary_ratio": 0.74, "qualifies": True}
     assert ss.score(fast)["downward_trigger"] is True
     # fast total but canary normal (one lucky row) -> NO trigger
@@ -303,7 +303,10 @@ def test_scorer_ratios_and_downward_trigger():
 
 def test_scorer_handles_missing_queries():
     ss = _load_scorer()
-    partial = {"queries": {"pricing_summary": 1.9}, "canary_ratio": None}
+    partial = {
+        "queries": {"pricing_summary": ss.JUDGING_TABLE["pricing_summary"]},
+        "canary_ratio": None,
+    }
     s = ss.score(partial)
     assert s["table_ratio"] == pytest.approx(1.0)
     assert len(s["missing"]) == 30
