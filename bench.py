@@ -50,6 +50,15 @@ WARM_SPREAD_QUALIFY = 0.10
 CANARY_QUERY = "top_orders_by_value"
 CANARY_BASELINE_SF01 = 0.17  # BASELINE.md "THE judging baseline" table (r15)
 CANARY_INFLATED_RATIO = 1.3
+# The basis is sf0.1 AT local[32] (the judging table's config). The
+# driver also benches at LOWER core counts to measure scaling; there
+# the canary inflates in proportion to the narrower cluster, not to
+# ambient load, so gating those sittings on the 32-core basis
+# mis-flagged them load_inflated (r15 measurement-semantics fix,
+# disclosed in OPTIMIZATION_r15.md): at sf0.1 with any other core
+# count, qualification is spread+steal only and the canary fields are
+# null, exactly like a non-judged SF.
+CANARY_BASELINE_CPUS = 32
 
 # Which era of BASELINE.md's judging table the constants above come
 # from. Emitted in every artifact together with ``canary_basis`` (the
@@ -304,7 +313,7 @@ def main() -> None:
     comparable_totals = [round(sum(p[n] for n in common), 4) for p in passes]
     spread = warm_pass_spread(comparable_totals)
     spread = round(spread, 4) if spread is not None else None
-    canary_required = sf == 0.1
+    canary_required = sf == 0.1 and cpus == CANARY_BASELINE_CPUS
     canary_ratio = (
         round(timings[CANARY_QUERY] / CANARY_BASELINE_SF01, 4)
         if canary_required and CANARY_QUERY in timings

@@ -311,3 +311,19 @@ def test_scorer_handles_missing_queries():
     assert s["table_ratio"] == pytest.approx(1.0)
     assert len(s["missing"]) == 30
     assert s["downward_trigger"] is False
+
+
+def test_canary_scope_is_the_table_config():
+    # r15 measurement-semantics fix: the canary basis is sf0.1 AT
+    # local[32] (the judging table's config). The driver also benches
+    # at lower core counts to measure scaling — there the canary
+    # inflates with the narrower cluster, not with load, so those
+    # sittings must be judged spread+steal only (canary fields null),
+    # like a non-judged SF. Pin the constant and the main() wiring.
+    import inspect
+
+    import bench
+
+    assert bench.CANARY_BASELINE_CPUS == 32
+    src = inspect.getsource(bench.main)
+    assert "cpus == CANARY_BASELINE_CPUS" in src
