@@ -58,7 +58,14 @@ def exact_dedup(
     Default policy: lowest id. With ``score_col``: the highest-scoring
     duplicate survives (curation keeps the best copy — e.g. quality
     score — not an arbitrary one), id ascending as the deterministic
-    tie-break. One shuffle either way."""
+    tie-break. One shuffle either way.
+
+    Precondition: ``id_col`` must be non-null (every corpus here keys
+    rows by a required id). The min_by spelling SKIPS null ordering
+    keys, so an all-null-id fingerprint group would yield a fabricated
+    all-NULL row where the old ranking window kept a real null-id row
+    (NULLS FIRST) — the 'survivor rows identical' equivalence below is
+    stated under this precondition (ADVICE r15)."""
     # normalization + md5 happen BEFORE the fingerprint shuffle, so
     # an under-partitioned scan must be spread first or that narrow
     # work serializes (the sf1 decade measured 13x for 10x data on
@@ -573,7 +580,12 @@ def minhash_lsh_dedup(
     Pass ``cache_registry`` (a list) to receive every persisted
     intermediate; call ``release_caches`` on it after the final action
     on the returned frame so a long-lived session doesn't accumulate
-    pinned signature/pair caches."""
+    pinned signature/pair caches. Note ``verify_threshold`` registers
+    TWO extra caches (the candidate pairs and the candidate-shingle
+    frame — the latter feeds both verify joins, which alias-blind
+    exchange reuse would otherwise recompute); without a registry both
+    stay pinned until session teardown, deduped across repeat calls by
+    Spark's CacheManager like the signature cache (ADVICE r15)."""
     pairs = minhash_lsh_pairs(
         df, id_col, text_col, num_hashes, bands, n, portable,
         eager_cache=eager_cache, max_bucket_size=max_bucket_size,

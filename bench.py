@@ -136,13 +136,16 @@ def sitting_verdict(
     print alongside ``qualifies: false``).
 
     ``canary_required`` is True exactly when the sitting runs at the
-    judged SF (0.1) — there the sitting must pass ALL gates (spread +
-    canary + steal), and a missing canary measurement (errored in
-    every pass) means load cannot be certified, so the sitting does
-    not qualify. At other SFs there is no pinned canary basis, so the
-    load check is steal-only (steal is SF-independent); with no steal
-    measurement either (off-Linux), qualification is spread-only, as
-    before r14.
+    judging table's config — sf 0.1 AND the table's core count
+    (``CANARY_BASELINE_CPUS``, local[32]) — there the sitting must
+    pass ALL gates (spread + canary + steal), and a missing canary
+    measurement (errored in every pass) means load cannot be
+    certified, so the sitting does not qualify. At any other
+    (sf, cpus) there is no pinned canary basis (the canary inflates
+    with a narrower cluster, not ambient load), so the load check is
+    steal-only (steal is SF- and core-count-independent); with no
+    steal measurement either (off-Linux), qualification is
+    spread-only, as before r14.
 
     ``max_pass_steal_pct`` is the worst single-pass steal reading
     (max of the emitted ``pass_steal_pct`` values). The whole-sitting
@@ -340,6 +343,13 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # full measurement config in the artifact itself (VERDICT r15
+        # "what's wrong" #3): the canary-scope rule makes cpus
+        # interpretation-critical, and sf_dir disambiguates same-sf
+        # datasets (e.g. regenerated sf1 trees) — a reader must never
+        # have to infer either from the filename.
+        "cpus": cpus,
+        "sf_dir": sf_dir,
         "stat": f"median_of_{n_passes}",
         "pass_totals": pass_totals,
         "warm_spread": spread,

@@ -259,6 +259,20 @@ def test_bench_main_emits_canary_basis_and_table_version():
     assert '"table_version"' in src
 
 
+def test_bench_main_emits_cpus_and_sf_dir():
+    # VERDICT r15 "what's wrong" #3: the canary-scope rule makes the
+    # core count interpretation-critical, so the one-line JSON must
+    # carry the measurement config itself — a reader must never infer
+    # cpus or the data directory from the artifact's filename.
+    import inspect
+
+    import bench
+
+    src = inspect.getsource(bench.main)
+    assert '"cpus": cpus' in src
+    assert '"sf_dir": sf_dir' in src
+
+
 # --- r15: sitting scorer (scripts/score_sitting.py) -----------------
 
 
