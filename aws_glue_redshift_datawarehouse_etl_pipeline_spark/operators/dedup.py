@@ -1175,8 +1175,6 @@ def cross_ngram_contamination(
     if cache_registry is not None:
         cache_registry.append(ev)
     tr_ex = tr.select("train_id", F.explode("s").alias("g"))
-    ev_ex = ev.select("eval_id", F.explode("s").alias("g"))
-    ev_g = ev_ex.select("g").distinct()
     # Two-tier broadcastability decision (the ngram guard's trick,
     # VERDICT r10 ask #7): distinct eval shingles ≤ total eval postings
     # Σ|shingles_d|, so one map-side agg over the (persisted-anyway)
@@ -1187,17 +1185,78 @@ def cross_ngram_contamination(
     ev_postings = ev.agg(
         F.coalesce(F.sum(F.size("s")), F.lit(0))
     ).collect()[0][0]
-    if ev_postings <= broadcast_eval_shingles or (
-        ev_g.limit(broadcast_eval_shingles + 1).count() <= broadcast_eval_shingles
+    if ev_postings <= broadcast_eval_shingles:
+        # The loose bound holds, so the full eval POSTINGS list (id,
+        # size, shingle) is itself broadcast-bound — build it as the
+        # round's ONE broadcast relation, keyed on the shingle, and
+        # reuse it for every eval-side consumer (r16, guide §2.4/§3.1):
+        #   1. the train pre-filter semi-join (map-side inside the
+        #      train scan stage — only eval-intersecting postings ever
+        #      move, exactly as before; a semi-join probes key
+        #      existence, so duplicate g rows behave like the old
+        #      distinct-g set),
+        #   2. the pair join itself (streams the train postings against
+        #      the broadcast — the train side is never collected or
+        #      shuffled; the old spelling left the strategy to size
+        #      estimates, which locally broadcast the TRAIN side — a
+        #      shape that breaks at the 8 GB relation cap at scale),
+        #   3. the per-eval shingle count, carried through the pair
+        #      aggregation (constant per eval_id) instead of a fourth
+        #      broadcast build + join.
+        # One broadcast build replaces three (distinct-g, train-side,
+        # ev_sizes) plus the distinct shuffle, and both join sites hit
+        # the SAME exchange (ReusedExchange in the plan); the eval
+        # cache is already materialized, so the build never recomputes
+        # shingling.
+        ev_b = F.broadcast(
+            ev.select(
+                "eval_id",
+                F.size("s").alias("n_eval_shingles"),
+                F.explode("s").alias("g"),
+            )
+        )
+        # Persisted because BOTH the stop-shingle df count and the
+        # final join consume it: without the cache the 100 TB train
+        # scan + shingling runs twice. What's cached is only the
+        # eval-intersecting postings — a vanishing fraction.
+        tr_ex = tr_ex.join(ev_b, "g", "left_semi").persist()
+        if cache_registry is not None:
+            cache_registry.append(tr_ex)
+        allowed = (
+            tr_ex.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= stop_shingle_cap)
+            .select("g")
+        )
+        # stop-shingle cap via groupBy + left-semi, NOT a Window — see
+        # the shuffle-path comment below for the skew rationale
+        tr_allowed = tr_ex.join(F.broadcast(allowed), "g", "left_semi")
+        scored = (
+            tr_allowed.join(ev_b, "g")
+            .groupBy("eval_id", "train_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_common"),
+                # constant within the group (one size per eval doc);
+                # min is the deterministic way to carry it through
+                F.min("n_eval_shingles").alias("n_eval_shingles"),
+            )
+            .withColumn(
+                "overlap",
+                F.col("n_common").cast("double")
+                / F.col("n_eval_shingles").cast("double"),
+            )
+        )
+        return _contamination_best(scored)
+    ev_ex = ev.select("eval_id", F.explode("s").alias("g"))
+    ev_g = ev_ex.select("g").distinct()
+    if (
+        ev_g.limit(broadcast_eval_shingles + 1).count()
+        <= broadcast_eval_shingles
     ):
-        # eval side broadcasts: drop every train posting that can't
-        # match BEFORE any shuffle — the broadcast semi-join runs
-        # map-side inside the train scan stage, so the only rows that
-        # ever move are eval-intersecting postings. Persisted because
-        # BOTH the stop-shingle df count and the final join consume it:
-        # without the cache the 100 TB train scan + shingling runs
-        # twice. What's cached is only the eval-intersecting postings —
-        # a vanishing fraction of the corpus.
+        # middle tier: postings exceed the threshold but the DISTINCT
+        # shingle set fits — broadcast just the key set for the train
+        # pre-filter; the pair join stays a shuffle join (both sides
+        # big). Persist rationale as above.
         tr_ex = tr_ex.join(F.broadcast(ev_g), "g", "left_semi").persist()
         if cache_registry is not None:
             cache_registry.append(tr_ex)
@@ -1225,6 +1284,13 @@ def cross_ngram_contamination(
         "overlap",
         F.col("n_common").cast("double") / F.col("n_eval_shingles").cast("double"),
     )
+    return _contamination_best(scored)
+
+
+def _contamination_best(scored: DataFrame) -> DataFrame:
+    """Final per-eval argmax over (eval_id, train_id, n_common,
+    n_eval_shingles, overlap) candidate rows — shared by both join
+    shapes of ``cross_ngram_contamination``."""
     return scored.groupBy("eval_id").agg(
         F.max_by(
             F.struct(
