@@ -108,8 +108,38 @@ def _zipped_grams(col: Column | str, n: int) -> Column:
     return _zipped_grams_impl(col, n)
 
 
+def _gram_guard_sql(quoted: str, n: int, gram_body: str, elem_type: str) -> str:
+    """CASE WHEN size(tokens) >= n THEN array_distinct(transform(zip,
+    s -> <gram_body>)) ELSE empty — the shared single-expr spelling of
+    the two shingle builders (see text.py's fast-path rationale)."""
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.text import (
+        _tokens_sql,
+        _zipped_grams_sql,
+    )
+
+    zipped = _zipped_grams_sql(quoted, n)
+    return (
+        f"CASE WHEN size({_tokens_sql(quoted)}) >= {n} "
+        f"THEN array_distinct(transform({zipped}, s -> {gram_body})) "
+        f"ELSE CAST(array() AS array<{elem_type}>) END"
+    )
+
+
+def _gram_concat_sql(n: int) -> str:
+    fields = ", ".join(f"s['{k}']" for k in range(n))
+    return f"concat_ws(' ', {fields})"
+
+
 def word_ngrams(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the normalized text."""
+    if isinstance(col, str):
+        from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.text import (
+            _quote_ident,
+        )
+
+        return F.expr(
+            _gram_guard_sql(_quote_ident(col), n, _gram_concat_sql(n), "string")
+        )
     grams = F.transform(
         _zipped_grams(col, n),
         lambda s: F.concat_ws(" ", *[s[str(k)] for k in range(n)]),
@@ -132,6 +162,19 @@ def word_ngram_hashes(col: Column | str, n: int = 3) -> Column:
     (negligible at any corpus size that fits a cluster). Gram windows
     come from ``_zipped_grams`` (see there for why shifted-slice zips
     beat per-position slices in the interpreted HOF path by 4-6x)."""
+    if isinstance(col, str):
+        from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.text import (
+            _quote_ident,
+        )
+
+        return F.expr(
+            _gram_guard_sql(
+                _quote_ident(col),
+                n,
+                f"xxhash64({_gram_concat_sql(n)})",
+                "bigint",
+            )
+        )
     grams = F.transform(
         _zipped_grams(col, n),
         lambda s: F.xxhash64(F.concat_ws(" ", *[s[str(k)] for k in range(n)])),

@@ -7,6 +7,8 @@ scan-bound at any scale.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -25,6 +27,26 @@ LANG_PRIORITY = ["en", "de", "fr", "es"]
 _PUNCT_CLASS = "[.,;:!?]"
 
 
+def _conf_bytes(spark, key: str, default: int) -> int:
+    """A size-suffixed Spark conf value ('134217728b', '128m') as int."""
+    try:
+        v = str(spark.conf.get(key)).strip().lower()
+    except Exception:  # noqa: BLE001 — conf miss falls back to the default
+        return default
+    for suf, mult in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                      ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                      ("b", 1)):
+        if v.endswith(suf):
+            v = v[: -len(suf)]
+            break
+    else:
+        mult = 1
+    try:
+        return int(v) * mult
+    except ValueError:
+        return default
+
+
 def spread_small_scan(df: DataFrame, *key_cols: str) -> DataFrame:
     """Spread CPU-bound per-row work (regex tokenization, hashing,
     shingling) across the session's cores. A small single-row-group
@@ -32,17 +54,99 @@ def spread_small_scan(df: DataFrame, *key_cols: str) -> DataFrame:
     split inside a row group — which would serialize every expression
     evaluated before the first shuffle. Repartition only when the scan
     is under-partitioned; at 100 TB the scan already carries >=
-    defaultParallelism partitions and this inserts nothing."""
-    target = df.sparkSession.sparkContext.defaultParallelism
+    defaultParallelism partitions and this inserts nothing.
+
+    The under-partitioned test is decided from the scan's FILE
+    inventory (``inputFiles`` + sizes vs the session's split configs),
+    not ``df.rdd.getNumPartitions()``: materializing the RDD DAG just
+    to count partitions costs ~150-400 ms of driver-side analysis per
+    call at ANY scale (guide §5 — measured r16; this helper runs 1-3x
+    per text/dedup query), and on a real table it forces the full file
+    listing besides. The two regimes that matter are clear-cut from
+    sizes alone — a table that packs into one split spreads, a table
+    with >= one file (or one maxPartitionBytes of raw bytes) per core
+    doesn't; only the ambiguous middle band (and non-file sources,
+    e.g. in-memory test frames) falls back to the exact RDD check."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — non-file plans use the exact path
+        files = []
+    if files:
+        if len(files) >= target:
+            return df  # every file yields at least one scan partition
+        try:
+            from urllib.parse import unquote, urlparse
+
+            sizes = [
+                os.path.getsize(unquote(urlparse(f).path)) for f in files
+            ]
+        except OSError:
+            sizes = None
+        if sizes is not None:
+            max_pb = _conf_bytes(
+                spark, "spark.sql.files.maxPartitionBytes", 128 << 20
+            )
+            open_cost = _conf_bytes(
+                spark, "spark.sql.files.openCostInBytes", 4 << 20
+            )
+            if sum(sizes) + open_cost * len(files) <= max_pb:
+                # the whole scan packs into ONE split — under-partitioned
+                # for any multi-core session
+                return (
+                    df.repartition(target, *key_cols)
+                    if key_cols
+                    else df.repartition(target)
+                )
+            if sum(sizes) >= target * max_pb:
+                return df  # at least target splits by byte range
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target, *key_cols) if key_cols else df.repartition(target)
     return df
 
 
+# --- single-expr SQL spellings of the hot token builders (r16) -------
+#
+# Building these Column trees through the pyspark functions API costs
+# one py4j round trip PER NODE — measured ~70-100 ms per
+# word_ngram_hashes call and ~0.5 s of pure driver time per
+# contamination/minhash query invocation (guide §5: driver overhead).
+# When the input is a plain column NAME, the whole tree is instead
+# handed to the JVM as ONE ``F.expr`` string (a single round trip +
+# a fast SQL parse). The SQL spells the IDENTICAL function tree, so
+# every downstream value (token arrays, gram structs, xxhash64
+# shingles) is bit-identical — pinned by
+# tests/test_training_ops.py::test_expr_fastpath_parity. Column-typed
+# inputs keep the functions-API path unchanged.
+#
+# The whitespace regex is spelled concat(char(92), 's+') — i.e. '\s+'
+# without any string-literal escape — so the expression parses the
+# same under either value of spark.sql.parser.escapedStringLiterals
+# (the registry must behave identically on foreign driver sessions).
+_WS_PATTERN_SQL = "concat(char(92), 's+')"
+
+
+def _quote_ident(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _tokens_sql(quoted: str) -> str:
+    return f"filter(split(lower({quoted}), {_WS_PATTERN_SQL}), x -> x != '')"
+
+
+def _zipped_grams_sql(quoted: str, n: int) -> str:
+    toks = _tokens_sql(quoted)
+    cnt = f"greatest(size({toks}) - {n - 1}, 0)"
+    slices = ", ".join(f"slice({toks}, {k + 1}, {cnt})" for k in range(n))
+    return f"arrays_zip({slices})"
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens of lowercased text, empty strings removed."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != "")
+    if isinstance(col, str):
+        return F.expr(_tokens_sql(_quote_ident(col)))
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda x: x != "")
 
 
 def token_count(col: Column | str) -> Column:
@@ -63,6 +167,8 @@ def zipped_token_grams(col: Column | str, n: int) -> Column:
     non-negative slice length so docs with < n tokens yield an empty
     array instead of a runtime error — callers' when(size>=n)/filter
     guards stay purely semantic (empty-result) gates."""
+    if isinstance(col, str):
+        return F.expr(_zipped_grams_sql(_quote_ident(col), n))
     toks = tokens(col)
     cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     return F.arrays_zip(*[F.slice(toks, k + 1, cnt) for k in range(n)])

@@ -62,8 +62,22 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+# Inferred parquet schema per (applicationId, path) — CONFIG, not
+# results (the same class of memo as __spark_entry__'s nanos footer
+# probe): schema inference re-reads footers on the driver on EVERY
+# ``spark.read.parquet`` call (~75-100 ms of driver-side work per call,
+# measured r16 — guide §5), yet a table's schema is immutable within a
+# session. With the memo, repeat reads supply the schema explicitly
+# and skip inference; the scan itself — and every byte of data — is
+# still read from parquet on every action. Keyed on applicationId so a
+# new session (tests spin up many) never sees a stale entry.
+_SCHEMA_MEMO: dict[tuple[str, str], T.StructType] = {}
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
+    memo_key = (spark.sparkContext.applicationId, path)
+    schema = _SCHEMA_MEMO.get(memo_key)
     if name == "events":
         # The events table's physical ts layout has varied across testdata
         # generations; normalize every variant to a session-tz TIMESTAMP
@@ -81,24 +95,34 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         #     unix_millis/unix_micros reject; cast to TIMESTAMP — the
         #     session tz is UTC (session.py) so wall-clock values are
         #     unchanged and the DuckDB oracle sees identical instants.
-        try:
-            df = spark.read.parquet(path)
-        except Exception as ex:  # noqa: BLE001 — rethrown unless nanos
-            if "NANOS" not in str(ex):
-                raise
-            raise RuntimeError(
-                f"{path} stores TIMESTAMP(NANOS); build the session with "
-                "session.get_spark() (which sets spark.sql.legacy.parquet."
-                "nanosAsLong=true) or set that conf on your own session — "
-                "the query registry does not mutate session config."
-            ) from ex
+        if schema is not None:
+            df = spark.read.schema(schema).parquet(path)
+        else:
+            try:
+                df = spark.read.parquet(path)
+            except Exception as ex:  # noqa: BLE001 — rethrown unless nanos
+                if "NANOS" not in str(ex):
+                    raise
+                raise RuntimeError(
+                    f"{path} stores TIMESTAMP(NANOS); build the session with "
+                    "session.get_spark() (which sets spark.sql.legacy.parquet."
+                    "nanosAsLong=true) or set that conf on your own session — "
+                    "the query registry does not mutate session config."
+                ) from ex
+            _SCHEMA_MEMO[memo_key] = df.schema
+        # the ts normalization re-applies per call (cheap Column exprs);
+        # only the footer-derived schema is memoized
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         elif ts_type == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
-    return spark.read.parquet(path)
+    if schema is not None:
+        return spark.read.schema(schema).parquet(path)
+    df = spark.read.parquet(path)
+    _SCHEMA_MEMO[memo_key] = df.schema
+    return df
 
 
 # ---------------------------------------------------------------------------

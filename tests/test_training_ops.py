@@ -259,6 +259,54 @@ def test_contamination_probe_skipped_under_cheap_bound(spark):
         D.release_caches(r)
 
 
+def test_expr_fastpath_parity(spark):
+    """r16: string-named columns route the hot token builders through a
+    single F.expr string (one py4j round trip instead of one per tree
+    node — ~70-100 ms of driver time per word_ngram_hashes build). The
+    SQL spelling must produce BIT-IDENTICAL values to the functions-API
+    tree it replaces: same token arrays, same gram order, same xxhash64
+    shingles — pinned here by evaluating both paths side by side over
+    edge-case docs (empty, sub-n, exact-n, tabs/newlines/multi-space,
+    uppercase, duplicate grams) plus the sf0.01 corpus."""
+    edge = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "one"),
+            (3, "one two"),
+            (4, "one two three"),
+            (5, "A\tB\nC   D E"),
+            (6, "x y z x y z x y z"),
+            (7, "  leading and trailing  "),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    for df in (edge, corpus):
+        # functions-API spellings (the Column-input path, unchanged)
+        c = F.col("text")
+        rows = (
+            df.select(
+                (X.tokens("text") == X.tokens(c)).alias("tok_eq"),
+                (
+                    X.zipped_token_grams("text", 3).cast("string")
+                    == X.zipped_token_grams(c, 3).cast("string")
+                ).alias("zip_eq"),
+                (D.word_ngrams("text", 3) == D.word_ngrams(c, 3)).alias(
+                    "grams_eq"
+                ),
+                (
+                    D.word_ngram_hashes("text", 3) == D.word_ngram_hashes(c, 3)
+                ).alias("hash_eq"),
+                (D.word_ngram_hashes("text", 8) == D.word_ngram_hashes(c, 8)).alias(
+                    "hash8_eq"
+                ),
+            )
+            .collect()
+        )
+        for r in rows:
+            assert r.tok_eq and r.zip_eq and r.grams_eq and r.hash_eq and r.hash8_eq
+
+
 def test_zipped_token_grams_total_on_short_docs(spark):
     """ADVICE r10: the shifted-slice helper must be TOTAL — a doc with
     fewer than n-1 tokens used to produce a negative slice length
