@@ -607,6 +607,35 @@ class Transaction:
             writer = writer.partitionBy(*self._partition_keys)
         writer.save(self.stage_path)
 
+    def _read_staged(self) -> DataFrame:
+        """The just-staged files as a DataFrame in PHYSICAL column
+        names — the view ``_attach_stats`` and the constraint check
+        scan. The schema is supplied explicitly (the staged frame's
+        own schema, renamed through the logical→physical map): schema
+        inference re-reads every staged footer on the driver per
+        commit (~80-100 ms, r16 guide §5), pure overhead when the
+        writer just declared the schema itself. Partition columns ride
+        the explicit schema; their values still come from the
+        directory names, cast to the declared type (identical to what
+        inference produced — stats/blooms exclude partition keys
+        regardless)."""
+        read = self.table.spark.read
+        if self._schema_json is not None:
+            logical = T.StructType.fromJson(json.loads(self._schema_json))
+            read = read.schema(
+                T.StructType(
+                    [
+                        T.StructField(
+                            self._mapping.get(f.name, f.name),
+                            f.dataType,
+                            f.nullable,
+                        )
+                        for f in logical.fields
+                    ]
+                )
+            )
+        return read.option("basePath", self.stage_path).parquet(self.stage_path)
+
     def append(
         self, df: DataFrame, partition_by: list[str] | None = None
     ) -> "Transaction":
@@ -704,9 +733,7 @@ class Transaction:
         ]
         if not files or not (scols or bcols):
             return files
-        df = tbl.spark.read.option("basePath", self.stage_path).parquet(
-            self.stage_path
-        )
+        df = self._read_staged()
         s_present = [c for c in scols if c in df.columns]
         b_present = [c for c in bcols if c in df.columns]
         if not (s_present or b_present):
@@ -1052,9 +1079,7 @@ class Transaction:
         if not cons:
             return
         inv = {p: l for l, p in self._mapping.items()}
-        df = self.table.spark.read.option("basePath", self.stage_path).parquet(
-            self.stage_path
-        )
+        df = self._read_staged()
         df = df.select(*[F.col(c).alias(inv.get(c, c)) for c in df.columns])
         bad = _violation_counts(df, cons)
         if bad:
