@@ -1371,9 +1371,50 @@ class TxTable:
         fs.delete(jpath, False)
         return True
 
+    def _local_log_dir(self) -> str | None:
+        """The log directory as a plain local path when the table lives
+        on the local filesystem, else None."""
+        root = self._log_path()
+        if root.startswith("file:"):
+            root = root[len("file:"):]
+        return root if root.startswith("/") else None
+
     def _try_write_manifest(self, manifest: dict) -> bool:
-        """Atomic claim of a version: ``create(overwrite=False)`` fails
-        if another writer landed the same version first."""
+        """Atomic claim of a version. On HDFS-like filesystems,
+        ``create(overwrite=False)`` is the namenode-atomic claim. On
+        the LOCAL filesystem, Hadoop's RawLocalFileSystem implements
+        overwrite=False as exists-check-then-create — a TOCTOU race
+        (r16): two concurrent claimers of the same version could BOTH
+        pass the check, interleave their writes into one file, and
+        leave a manifest whose .crc sidecar doesn't match (observed
+        once as a ChecksumException under the DML query's four
+        concurrent appends). Local tables therefore claim with a
+        kernel-atomic O_CREAT|O_EXCL open instead: exactly one claimer
+        wins, the loser sees FileExistsError and rebases. The winner
+        writes the bytes directly (no .crc sidecar — ChecksumFileSystem
+        skips verification when none exists; any stale sidecar from a
+        pre-fix torn create is removed with the claim)."""
+        local_dir = self._local_log_dir()
+        if local_dir is not None:
+            os.makedirs(local_dir, exist_ok=True)
+            vname = _vname(manifest["version"])
+            target = os.path.join(local_dir, vname)
+            try:
+                fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                return False
+            try:
+                os.write(fd, json.dumps(manifest).encode("utf-8"))
+            finally:
+                os.close(fd)
+            crc = os.path.join(local_dir, f".{vname}.crc")
+            if os.path.exists(crc):
+                try:
+                    os.remove(crc)
+                except OSError:
+                    pass
+            self._write_head_hint(manifest["version"])
+            return True
         fs, _ = _fs_and_path(self.spark, self.root)
         jvm = self.spark._jvm
         fs.mkdirs(jvm.org.apache.hadoop.fs.Path(self._log_path()))

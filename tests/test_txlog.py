@@ -2210,3 +2210,37 @@ def _docs_w(spark, worker: int, c: int, rows_per: int):
     return spark.createDataFrame(
         [Row(id=base + i, w=worker) for i in range(rows_per)]
     ).coalesce(1)
+
+
+def test_manifest_claim_is_atomic_under_concurrency(spark, root):
+    """r16: Hadoop's LOCAL FileSystem implements create(overwrite=False)
+    as exists-check-then-create — a TOCTOU race that let two concurrent
+    claimers of the same version interleave writes into one manifest
+    (observed as a ChecksumException under the DML query's concurrent
+    appends). Local tables now claim with a kernel-atomic
+    O_CREAT|O_EXCL open: hammer one version number from many threads —
+    exactly one claim must win, and the winning manifest must parse to
+    exactly one writer's payload."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = TxTable(spark, root)
+    t.append(_docs(spark, range(4)))  # version 0 exists
+
+    rounds = 8
+    for r in range(rounds):
+        head = t._head_manifest()
+        target = head["version"] + 1  # every thread claims THIS version
+
+        def claim(i: int) -> bool:
+            m = dict(head)
+            m["version"] = target
+            m["txid"] = f"claimer-{r}-{i}"
+            m["files"] = t._snapshot_files(head)
+            return t._try_write_manifest(m)
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            wins = list(pool.map(claim, range(8)))
+        assert sum(wins) == 1, f"claims must be exclusive, got {wins}"
+        new_head = t._head_manifest()  # parses cleanly -> not torn/mixed
+        assert new_head["version"] == target
+        assert new_head["txid"].startswith(f"claimer-{r}-")
