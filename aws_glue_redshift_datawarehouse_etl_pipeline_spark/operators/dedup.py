@@ -898,6 +898,32 @@ def dot_exact(x: Column, y: Column) -> Column:
     ).cast("double")
 
 
+def dot_exact_sql(x: str, y: str) -> str:
+    """SQL spelling of ``dot_exact`` over two array-SQL fragments —
+    the single-expr fast path (one py4j round trip instead of one per
+    tree node, see text.py's fast-path rationale; the dot_exact tree
+    costs ~50 ms to build through the functions API and similarity
+    queries build three of them per call). Semantics are IDENTICAL to
+    the Column spelling: same casts, same DECIMAL(30,12) accumulator,
+    so every value is bit-identical (pinned by
+    test_dot_exact_sql_parity)."""
+    prod = "CAST(CAST(p AS DOUBLE) * CAST(q AS DOUBLE) AS DECIMAL(30,12))"
+    step = "CAST(acc + v AS DECIMAL(30,12))"
+    return (
+        f"CAST(aggregate(zip_with({x}, {y}, (p, q) -> {prod}), "
+        f"CAST(0 AS DECIMAL(30,12)), (acc, v) -> {step}) AS DOUBLE)"
+    )
+
+
+def cosine_sim_exact_sql(a: str, b: str) -> str:
+    """SQL spelling of ``cosine_sim_exact`` over two array-SQL
+    fragments — same values, one expression-build round trip."""
+    return (
+        f"{dot_exact_sql(a, b)} / "
+        f"(sqrt({dot_exact_sql(a, a)}) * sqrt({dot_exact_sql(b, b)}))"
+    )
+
+
 def cosine_sim_exact(a: Column, b: Column) -> Column:
     """Cosine similarity built on ``dot_exact`` — bit-identical across
     engines and partitionings."""

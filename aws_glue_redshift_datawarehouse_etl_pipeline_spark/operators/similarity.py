@@ -23,6 +23,19 @@ def _lit_vec(vec: Sequence[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in vec])
 
 
+def _lit_vec_sql(vec: Sequence[float]) -> str:
+    """The query vector as a SQL array literal of doubles. Values are
+    embedded as CAST('<repr>' AS DOUBLE): repr round-trips IEEE doubles
+    exactly and the string-cast spelling parses identically under any
+    literal-parsing config, so the array is bit-identical to
+    ``_lit_vec``'s."""
+    return (
+        "array("
+        + ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in vec)
+        + ")"
+    )
+
+
 def assign_clusters(
     df: DataFrame,
     cents: list[tuple[int, list[float]]],
@@ -95,22 +108,121 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    float_prefilter: bool = False,
+    prefilter_margin: int = 50,
 ) -> DataFrame:
     """Brute-force top-k by cosine similarity against one query vector.
     Plans as scan → project → TakeOrderedAndProject: per-partition
     heaps, driver merge — no global sort. (Under-partitioned local
     scans are spread first so the per-row fold uses every core; at
-    scale that spread is a no-op and the plan stays shuffle-free.)"""
-    q = _lit_vec(query_vec)
-    return (
-        spread_small_scan(df, id_col)
-        .select(
-            F.col(id_col),
-            cosine_sim_exact(F.col(vec_col), q).alias("cosine"),
+    scale that spread is a no-op and the plan stays shuffle-free.)
+
+    ``float_prefilter=True`` is the two-phase 100 TB spelling: phase A
+    scores every row with a float64 numpy GEMM (Arrow batches — no
+    per-row interpreted decimal fold on the corpus path) and takes the
+    top ``k + prefilter_margin`` by (float cosine desc, id asc); phase
+    B re-scores ONLY the candidates with the exact-decimal fold and
+    returns the exact top-k. Result identity: float and exact cosine
+    are sums of the SAME IEEE-double products, differing only in
+    summation rounding — |fcos - ecos| <= ~1e-10 for the dimensions
+    and magnitudes here, and the candidate cut keeps every row with
+    fcos >= (k-th fcos) - 2e-6, so any row whose EXACT score reaches
+    the exact top-k (ecos >= e_k >= t_k - 1e-6, hence fcos >= t_k -
+    2e-6) survives the prefilter; the exact re-rank then orders the
+    superset identically to the one-phase plan (ties broken by id in
+    both). When the cut cannot be certified inside the collected
+    candidates (pathological near-ties wider than the margin, or
+    fewer than k finite scores), the call falls back to the exact
+    one-phase plan — correctness never rests on the margin."""
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.dedup import (
+        cosine_sim_exact_sql,
+    )
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.text import (
+        _quote_ident,
+    )
+
+    # single-expr spelling of the exact score (one py4j round trip;
+    # the functions-API tree costs ~150 ms to build per call — values
+    # bit-identical, see dot_exact_sql)
+    score = F.expr(
+        cosine_sim_exact_sql(_quote_ident(vec_col), _lit_vec_sql(query_vec))
+    )
+    spread = spread_small_scan(df, id_col)
+    if float_prefilter:
+        ids = _gemm_topk_candidate_ids(
+            spread, query_vec, k, id_col, vec_col, prefilter_margin
         )
+        if ids is not None:
+            spread = spread.filter(F.col(id_col).isin(*ids))
+        # ids is None -> margin could not certify the cut; exact
+        # one-phase plan below is the fallback
+    return (
+        spread
+        .select(F.col(id_col), score.alias("cosine"))
         .orderBy(F.desc("cosine"), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def _gemm_topk_candidate_ids(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int,
+    id_col: str,
+    vec_col: str,
+    margin: int,
+) -> list | None:
+    """Phase A of the two-phase top-k (see ``cosine_topk``): float64
+    GEMM scores per Arrow batch, driver-side top-(k+margin) collect,
+    certified candidate cut at (k-th float score) - 2e-6. Returns the
+    candidate id list, or None when the cut cannot be certified and
+    the caller must run the exact one-phase plan."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+    if qn == 0.0:
+        return None  # degenerate query vector: exact path decides
+    id_field = df.schema[id_col]
+    schema = T.StructType(
+        [id_field, T.StructField("fcos", T.DoubleType(), True)]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(
+                np.float64, copy=False
+            )
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                fcos = (mat @ q) / (norms * qn)
+            # zero-norm rows score NULL in the exact plan and can never
+            # reach a finite top-k; -inf keeps them out of the cut
+            fcos = np.where(np.isfinite(fcos), fcos, -np.inf)
+            yield pd.DataFrame({id_col: pdf[id_col], "fcos": fcos})
+
+    cand = (
+        df.select(id_col, vec_col)
+        .mapInPandas(gen, schema)
+        .orderBy(F.desc("fcos"), F.col(id_col).asc())
+        .limit(k + margin)
+        .collect()
+    )
+    if len(cand) < k:
+        return None  # fewer finite rows than k: exact path decides
+    eps2 = 2e-6
+    t_k = cand[k - 1]["fcos"]
+    if t_k == float("-inf"):
+        return None
+    if len(cand) == k + margin and cand[-1]["fcos"] >= t_k - eps2:
+        # the cut extends past the collected margin — cannot certify
+        return None
+    return [r[id_col] for r in cand if r["fcos"] >= t_k - eps2]
 
 
 def cosine_topk_per_query(

@@ -661,6 +661,58 @@ def test_cosine_topk_orders_correctly(vectors):
     assert res[0].cosine == pytest.approx(1.0)
 
 
+def test_cosine_topk_float_prefilter_identical(spark, vectors):
+    """r16: the two-phase spelling (float64 GEMM prefilter + exact
+    re-rank, the 100 TB path) must return the IDENTICAL rows and exact
+    cosine values as the one-phase exact plan — including under a
+    margin so small the certified-cut fallback triggers."""
+    q = [1.0, 0.0, 0.0, 0.0]
+    exact = S.cosine_topk(vectors, q, k=3).collect()
+    two = S.cosine_topk(vectors, q, k=3, float_prefilter=True).collect()
+    assert [(r.vec_id, r.cosine) for r in two] == [
+        (r.vec_id, r.cosine) for r in exact
+    ]
+    # margin 0: the cut cannot be certified -> falls back to exact plan
+    tiny = S.cosine_topk(
+        vectors, q, k=3, float_prefilter=True, prefilter_margin=0
+    ).collect()
+    assert [(r.vec_id, r.cosine) for r in tiny] == [
+        (r.vec_id, r.cosine) for r in exact
+    ]
+    # the sf0.01 corpus end-to-end (real float32 vectors)
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    a = S.cosine_topk(emb, qvec, k=10).collect()
+    b = S.cosine_topk(emb, qvec, k=10, float_prefilter=True).collect()
+    assert [(r.vec_id, r.cosine) for r in a] == [(r.vec_id, r.cosine) for r in b]
+
+
+def test_dot_exact_sql_parity(spark):
+    """r16: the single-expr SQL spelling of dot_exact/cosine_sim_exact
+    must be bit-identical to the Column spelling (same casts, same
+    DECIMAL(30,12) accumulator)."""
+    from aws_glue_redshift_datawarehouse_etl_pipeline_spark.operators.text import (
+        _quote_ident,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    pair = emb.select(
+        F.col("embedding").alias("a"),
+        F.reverse("embedding").alias("b"),
+    )
+    mism = pair.select(
+        (
+            F.expr(D.dot_exact_sql("a", "b"))
+            == D.dot_exact(F.col("a"), F.col("b"))
+        ).alias("dot_eq"),
+        (
+            F.expr(D.cosine_sim_exact_sql(_quote_ident("a"), _quote_ident("b")))
+            == D.cosine_sim_exact(F.col("a"), F.col("b"))
+        ).alias("cos_eq"),
+    ).filter("NOT (dot_eq AND cos_eq)").count()
+    assert mism == 0
+
+
 def test_cosine_topk_per_query(spark, vectors):
     queries = spark.createDataFrame(
         [(100, [1.0, 0.0, 0.0, 0.0]), (200, [0.0, 1.0, 0.0, 0.0])],
