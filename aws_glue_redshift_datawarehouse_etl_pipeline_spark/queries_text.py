@@ -328,8 +328,9 @@ def dedup_keep_best_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     id tie-break) instead of an arbitrary one — the curation policy
     when duplicates differ in truncation."""
     return D.exact_dedup(
-        t(spark, sf_dir, "documents"), "doc_id", score_col="n_chars"
-    ).select("doc_id", "lang", "n_chars")
+        t(spark, sf_dir, "documents"), "doc_id", score_col="n_chars",
+        keep_cols=("doc_id", "lang", "n_chars"),
+    )
 
 
 @query(
@@ -456,8 +457,9 @@ def winnow_fingerprints_documents(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: lowest-id representative per content fingerprint."""
-    return D.exact_dedup(t(spark, sf_dir, "documents"), "doc_id").select(
-        "doc_id", "lang", "source"
+    return D.exact_dedup(
+        t(spark, sf_dir, "documents"), "doc_id",
+        keep_cols=("doc_id", "lang", "source"),
     )
 
 
@@ -1021,7 +1023,7 @@ def curation_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = docs.filter(
         (F.col("quality_score") >= 0.5) & (F.col("lang_pred") == F.col("lang"))
     )
-    dd = D.exact_dedup(kept, "doc_id")
+    dd = D.exact_dedup(kept, "doc_id", keep_cols=("lang", "source", "n_tokens"))
     return dd.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),

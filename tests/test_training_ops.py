@@ -55,6 +55,48 @@ def test_exact_dedup_idempotent(docs):
     assert once.count() == twice.count()
 
 
+def test_exact_dedup_keep_cols_identical_survivors(spark, docs):
+    """r16: keep_cols narrows the returned columns only — the survivor
+    set and every returned value must match the full-width path plus a
+    projection, on BOTH policies (min_by keep-lowest-id and the
+    keep-best ranking window), including on a real corpus."""
+    full = sorted(
+        (r.doc_id,) for r in D.exact_dedup(docs, "doc_id").select("doc_id").collect()
+    )
+    nar = sorted(
+        tuple(r) for r in D.exact_dedup(docs, "doc_id", keep_cols=("doc_id",)).collect()
+    )
+    assert nar == full
+    docs01 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    a = sorted(
+        tuple(r)
+        for r in D.exact_dedup(docs01, "doc_id")
+        .select("doc_id", "lang", "source")
+        .collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in D.exact_dedup(
+            docs01, "doc_id", keep_cols=("doc_id", "lang", "source")
+        ).collect()
+    )
+    assert a == b
+    c = sorted(
+        tuple(r)
+        for r in D.exact_dedup(docs01, "doc_id", score_col="n_chars")
+        .select("doc_id", "lang", "n_chars")
+        .collect()
+    )
+    d = sorted(
+        tuple(r)
+        for r in D.exact_dedup(
+            docs01, "doc_id", score_col="n_chars",
+            keep_cols=("doc_id", "lang", "n_chars"),
+        ).collect()
+    )
+    assert c == d
+
+
 def test_ngram_jaccard_finds_near_dup(docs):
     pairs = D.ngram_jaccard_pairs(docs, "doc_id", threshold=0.5).collect()
     got = {(r.doc_a, r.doc_b) for r in pairs}
