@@ -47,6 +47,26 @@ def _conf_bytes(spark, key: str, default: int) -> int:
         return default
 
 
+_BARE_SCAN_NODES = frozenset({"Project", "Filter", "SubqueryAlias", "View", "Relation"})
+
+
+def _is_bare_scan(df: DataFrame) -> bool:
+    """True iff the analyzed logical plan is only projections/filters
+    over relations — the shapes whose partitioning is fully determined
+    by the scanned files. Anything else (Repartition, Join, Aggregate,
+    Generate, LogicalRDD, ...) falls back to the exact RDD check in
+    ``spread_small_scan``."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # noqa: BLE001 — be conservative on any surprise
+        return False
+    for line in plan.splitlines():
+        node = line.lstrip(" :+-").split(" ", 1)[0].split("[", 1)[0]
+        if node and node not in _BARE_SCAN_NODES:
+            return False
+    return True
+
+
 def spread_small_scan(df: DataFrame, *key_cols: str) -> DataFrame:
     """Spread CPU-bound per-row work (regex tokenization, hashing,
     shingling) across the session's cores. A small single-row-group
@@ -69,8 +89,16 @@ def spread_small_scan(df: DataFrame, *key_cols: str) -> DataFrame:
     e.g. in-memory test frames) falls back to the exact RDD check."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
+    # the file inventory speaks for the frame's partitioning ONLY when
+    # the plan is a bare scan (projections/filters over one relation):
+    # inputFiles() still reports the underlying files after a
+    # .repartition()/join/aggregate, so the size heuristic would
+    # wrongly re-spread a frame whose partitioning was already set
+    # upstream (caught by the suite in r16: a deliberately widened
+    # frame must pass through untouched). One py4j round trip (the
+    # analyzed plan is already cached on the DataFrame).
     try:
-        files = df.inputFiles()
+        files = df.inputFiles() if _is_bare_scan(df) else []
     except Exception:  # noqa: BLE001 — non-file plans use the exact path
         files = []
     if files:
