@@ -41,14 +41,17 @@ WARM_SPREAD_QUALIFY = 0.10
 # (BASELINE.md's table is sf0.1); at any other SF there is no pinned
 # basis and qualification stays spread-only, with canary fields null.
 # The basis moves with the judging table: 0.17 against the r10 table,
-# 0.23 across the r14 era (host regime shift, code at parity), and
-# 0.17 again since the r15 DOWNWARD re-base — two fully-qualifying r15
-# sittings read the untouched canary at 0.72-0.77x the r14 basis
-# (0.166/0.176 s, i.e. the r10 level), tripping BASELINE.md's own
-# symmetric trigger; per the governance rule the ratchet moves down
-# (see BASELINE.md "THE judging baseline (r15)" and artifacts_r15/).
+# 0.23 across the r14 era (host regime shift, code at parity), 0.17
+# again after the r15 DOWNWARD re-base, and 0.09 since the r16
+# DOWNWARD re-base — two fully-qualifying r16 sittings (steal
+# <=0.05%/pass, spread 1.3%/2.2%) read the untouched canary at
+# 0.54-0.55x the r15 basis with the committed single-thread regime
+# instrument independently reading 2.25 s vs its 2.63 s round-start
+# band, tripping BASELINE.md's symmetric trigger again; per the
+# governance rule the ratchet moves down (see BASELINE.md "THE judging
+# baseline (r16)" and artifacts_r16/bench_r16_final_{c,e}.json.log).
 CANARY_QUERY = "top_orders_by_value"
-CANARY_BASELINE_SF01 = 0.17  # BASELINE.md "THE judging baseline" table (r15)
+CANARY_BASELINE_SF01 = 0.09  # BASELINE.md "THE judging baseline" table (r16)
 CANARY_INFLATED_RATIO = 1.3
 # The basis is sf0.1 AT local[32] (the judging table's config). The
 # driver also benches at LOWER core counts to measure scaling; there
@@ -68,7 +71,7 @@ CANARY_BASELINE_CPUS = 32
 # prose, because their canary was judged against the basis the re-base
 # replaced (VERDICT r14 "what's wrong" #1). Bump this tag whenever the
 # judging table (and with it CANARY_BASELINE_SF01) is re-based.
-TABLE_VERSION = "r15"
+TABLE_VERSION = "r16"
 
 # Hypervisor steal-time cross-check (r14). The "ambient load" that
 # inflated r12-r13 sittings is CPU STEAL: /proc/stat col 8 — cycles the

@@ -21,44 +21,44 @@ from __future__ import annotations
 import json
 import sys
 
-# BASELINE.md "THE judging baseline" (r15) — per-query medians of the
-# two fully-qualifying r15 sittings, sf0.1 local[32], on r15 final
+# BASELINE.md "THE judging baseline" (r16) — per-query medians of the
+# two fully-qualifying r16 sittings, sf0.1 local[32], on r16 final
 # code. Kept in sync with the doc table; tests/test_bench_qualify pins
-# the sum. The canary basis lives in bench.py (0.17, same table).
+# the sum. The canary basis lives in bench.py (0.09, same table).
 JUDGING_TABLE = {
-    "pricing_summary": 1.74,
-    "star_revenue_by_nation": 1.02,
-    "antijoin_composite_lineitem": 1.27,
-    "merge_upsert_orders": 0.51,
-    "topk_customers_per_nation": 0.40,
-    "top_orders_by_value": 0.17,
-    "asof_purchase_last_click": 0.58,
-    "range_join_error_context": 0.42,
-    "snapshot_diff_orders": 0.63,
-    "funnel_view_click_purchase": 0.99,
-    "retention_weekly_purchases": 0.43,
-    "token_count_documents": 0.20,
-    "dedup_exact_documents": 0.72,
-    "minhash_lsh_dedup_documents": 2.44,
-    "minhash_lsh_dedup_transitive_fast": 2.67,
-    "stratified_sample_documents": 0.21,
-    "embedding_cosine_topk": 0.54,
-    "embedding_near_dup_bucketed_pairs": 1.75,
-    "contamination_check_documents": 3.43,
-    "token_budget_per_source": 0.50,
-    "pack_sequences_documents": 0.88,
-    "streaming_hourly_event_counts": 1.53,
-    "cobucketed_join_revenue": 1.30,
-    "multimodal_image_dims": 1.05,
-    "txlog_orders_time_travel": 1.26,
-    "local_supplier_volume_by_nation": 1.07,
-    "repeated_span_stats_documents": 1.90,
-    "large_order_customers": 1.12,
-    "parts_supplier_counts": 0.93,
-    "txlog_dml_orders": 2.14,
-    "semantic_dedup_production": 1.97,
+    "pricing_summary": 1.15,
+    "star_revenue_by_nation": 0.53,
+    "antijoin_composite_lineitem": 0.92,
+    "merge_upsert_orders": 0.36,
+    "topk_customers_per_nation": 0.24,
+    "top_orders_by_value": 0.09,
+    "asof_purchase_last_click": 0.44,
+    "range_join_error_context": 0.36,
+    "snapshot_diff_orders": 0.5,
+    "funnel_view_click_purchase": 0.73,
+    "retention_weekly_purchases": 0.3,
+    "token_count_documents": 0.1,
+    "dedup_exact_documents": 0.48,
+    "minhash_lsh_dedup_documents": 1.74,
+    "minhash_lsh_dedup_transitive_fast": 1.96,
+    "stratified_sample_documents": 0.1,
+    "embedding_cosine_topk": 0.24,
+    "embedding_near_dup_bucketed_pairs": 1.33,
+    "contamination_check_documents": 2.84,
+    "token_budget_per_source": 0.36,
+    "pack_sequences_documents": 0.61,
+    "streaming_hourly_event_counts": 1.21,
+    "cobucketed_join_revenue": 0.99,
+    "multimodal_image_dims": 0.78,
+    "txlog_orders_time_travel": 1.01,
+    "local_supplier_volume_by_nation": 0.65,
+    "repeated_span_stats_documents": 1.69,
+    "large_order_customers": 0.76,
+    "parts_supplier_counts": 0.62,
+    "txlog_dml_orders": 1.48,
+    "semantic_dedup_production": 1.49,
 }
-TABLE_TOTAL = round(sum(JUDGING_TABLE.values()), 2)  # 35.8
+TABLE_TOTAL = round(sum(JUDGING_TABLE.values()), 2)  # 26.1
 
 # BASELINE.md's symmetric re-base trigger (era-generic): a qualifying
 # sitting far under the table WITH the untouched canary equally under

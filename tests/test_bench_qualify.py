@@ -242,8 +242,8 @@ def test_artifact_self_description_constants():
     # to. The constants are the single source of truth bench.py emits.
     from bench import CANARY_BASELINE_SF01, TABLE_VERSION
 
-    assert TABLE_VERSION == "r15"  # bump together with a re-base
-    assert CANARY_BASELINE_SF01 == pytest.approx(0.17)
+    assert TABLE_VERSION == "r16"  # bump together with a re-base
+    assert CANARY_BASELINE_SF01 == pytest.approx(0.09)
 
 
 def test_bench_main_emits_canary_basis_and_table_version():
@@ -292,7 +292,7 @@ def test_scorer_table_matches_baseline_md():
     # the embedded table must stay in sync with BASELINE.md's r15 table
     ss = _load_scorer()
     assert len(ss.JUDGING_TABLE) == 31
-    assert ss.TABLE_TOTAL == pytest.approx(35.77, abs=0.06)  # doc says 35.8 (rounded)
+    assert ss.TABLE_TOTAL == pytest.approx(26.06, abs=0.06)  # doc says 26.1 (rounded)
     assert ss.JUDGING_TABLE["top_orders_by_value"] == pytest.approx(
         CANARY_BASELINE_SF01
     )  # canary basis moves with the table
