@@ -105,8 +105,13 @@ def exact_dedup(
         )
     # keep-best needs (score desc, id asc) — a two-key MIXED-direction
     # order no single min_by/max_by key expresses for arbitrary score
-    # types, so the ranking-window spelling stays; project down to the
-    # needed columns BEFORE the window exchange (same pruning rationale)
+    # types, so the ranking-window spelling stays. Unlike the min_by
+    # struct, a Window is NOT opaque to Catalyst — column pruning
+    # already pushes the consumer's projection below the window
+    # exchange (verified in plans/r16/dedup_keep_best_documents_*:
+    # the exchange carries 4 narrow columns in BOTH spellings) — so
+    # keep_cols here only narrows the RETURNED frame and keeps the
+    # API symmetric with the min_by path.
     need = list(dict.fromkeys(out_cols + [score_col, id_col]))
     w = Window.partitionBy("__fp").orderBy(
         F.col(score_col).desc(), F.col(id_col).asc()
